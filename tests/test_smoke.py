@@ -1,0 +1,43 @@
+"""Phase-0 smoke: entry() runs, flagship query returns sane results."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def load_entry_module():
+    spec = importlib.util.spec_from_file_location("__spark_entry__", "__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_smoke(spark):
+    mod = load_entry_module()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(rows) <= 6  # at most |returnflag| x |linestatus| groups
+    cols = set(df.columns)
+    assert {"l_returnflag", "l_linestatus", "sum_qty", "count_order"} <= cols
+
+
+def test_queries_and_oracles_aligned():
+    mod = load_entry_module()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert "q1_pricing_summary" in qs
+
+
+def test_q1_totals(spark, sf_dir):
+    mod = load_entry_module()
+    df = mod.queries()["q1_pricing_summary"](spark, sf_dir)
+    rows = {(r.l_returnflag, r.l_linestatus): r for r in df.collect()}
+    total = sum(r.count_order for r in rows.values())
+    assert 0 < total <= 6000
+    for r in rows.values():
+        assert r.sum_qty > 0
+        assert 0 <= r.avg_disc <= 1

@@ -1,0 +1,136 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle twin over
+the same parquet tables, then compares row count, column-name set, and
+an order-insensitive value digest (columns sorted by name, rows sorted,
+values canonicalized). A mismatch here predicts a CORRECTNESS_r{N}
+failure, so keep this green.
+
+Usage:
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from hdfs_parquet_importer_spark.queries import registry
+from hdfs_parquet_importer_spark.session import build_session
+from hdfs_parquet_importer_spark.tables import TABLE_NAMES, table_path
+
+
+def canon(v) -> str:
+    """Canonicalize one value for cross-engine comparison."""
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def digest(rows: list[tuple], cols: list[str]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    reg = registry()
+    names = args.names or sorted(reg)
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = build_session("check-oracle", shuffle_partitions=32)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf_dir, t)}')"
+        )
+
+    failures = []
+    for name in names:
+        q = reg[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, args.sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        spark_s = time.time() - t0
+        if q.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{spark_s:.1f}s]")
+            if len(srows) == 0:
+                print(f"      WARNING {name}: 0 rows")
+            continue
+        try:
+            orel = con.execute(q.oracle)
+            ocols = [d[0] for d in orel.description]
+            orows = orel.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        elif digest(srows, list(scols)) != digest(orows, ocols):
+            problems.append("value digest mismatch")
+            sd = dict(zip(sorted(range(len(scols)), key=lambda i: scols[i]), []))
+            # print the first differing row pair for debugging
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            lines_s = sorted("\x1f".join(canon(r[i]) for i in order_s) for r in srows)
+            lines_o = sorted("\x1f".join(canon(r[i]) for i in order_o) for r in orows)
+            for a, b in zip(lines_s, lines_o):
+                if a != b:
+                    problems.append(f"  spark : {a[:300]}")
+                    problems.append(f"  duckdb: {b[:300]}")
+                    break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: {len(srows)} rows [{spark_s:.1f}s]")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
