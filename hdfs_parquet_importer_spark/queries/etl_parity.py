@@ -1,1 +1,153 @@
-"""Placeholder — populated in a later phase."""
+"""Reference-parity ETL operators exposed as oracle-checked queries.
+
+The parity operators (cleanse O3, date-enrich O4, array-parse O5 —
+SURVEY §2.1) are demonstrated on the driver's testdata tables: a
+datetime *string* column is synthesized from real timestamps (with
+deterministic corruption injected so the miss paths execute), then the
+operator expressions are applied identically in Spark and DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.etl.arrays import parse_string_array
+from hdfs_parquet_importer_spark.etl.cleanse import TIME_REGEX
+from hdfs_parquet_importer_spark.etl.enrich import (
+    extract_date,
+    extract_month,
+    extract_year,
+)
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+# Spark-side synthesized "yyyy-MM-dd HH:mm" string with every 13th row
+# corrupted — exercises the ''-on-miss enrich path and the cleanse drop
+# path on data both engines can derive independently.
+_CORRUPT_MOD = 13
+
+
+def _orders_time_str():
+    return F.when(
+        F.col("o_orderkey") % _CORRUPT_MOD == 0,
+        F.concat(F.lit("corrupted "), F.col("o_orderstatus")),
+    ).otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm"))
+
+
+_ORDERS_TIME_SQL = f"""
+CASE WHEN o_orderkey % {_CORRUPT_MOD} = 0
+     THEN 'corrupted ' || o_orderstatus
+     ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M')
+END
+"""
+
+
+@register(
+    "etl_date_enrich",
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderkey, {_ORDERS_TIME_SQL} AS t FROM orders
+), enriched AS (
+  SELECT
+    o_orderkey,
+    COALESCE(split_part(t, ' ', 1), '')                                              AS date,
+    COALESCE(regexp_extract(t, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}}) (\\d{{2}}):(\\d{{2}})$', 1), '') AS year,
+    COALESCE(regexp_extract(t, '^(\\d{{4}})-(\\d{{2}})-(\\d{{2}}) (\\d{{2}}):(\\d{{2}})$', 2), '') AS month
+  FROM src
+)
+SELECT year, month, COUNT(*) AS n, MIN(date) AS min_date, COUNT(DISTINCT o_orderkey) AS n_orders
+FROM enriched
+GROUP BY year, month
+ORDER BY year, month
+""",
+    doc="O4 date-enrich: date/year/month string extraction with ''-on-miss semantics.",
+)
+def etl_date_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").withColumn("t", _orders_time_str())
+    t = F.col("t")
+    enriched = orders.select(
+        "o_orderkey",
+        extract_date(t).alias("date"),
+        extract_year(t).alias("year"),
+        extract_month(t).alias("month"),
+    )
+    return (
+        enriched.groupBy("year", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("date").alias("min_date"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+@register(
+    "etl_cleanse",
+    oracle=f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderpriority, {_ORDERS_TIME_SQL} AS t FROM orders
+)
+SELECT o_orderpriority, COUNT(*) AS n_clean
+FROM src
+WHERE t IS NOT NULL
+  AND regexp_matches(t, '^\\d{{4}}-\\d{{2}}-\\d{{2}} \\d{{2}}:\\d{{2}}$')
+  AND o_orderkey IS NOT NULL
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    doc="O3 cleanse: single-pass regex-validity filter (scalable NOT-IN replacement).",
+)
+def etl_cleanse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load_table(spark, sf_dir, "orders").withColumn("t", _orders_time_str())
+    cleaned = src.filter(
+        F.col("t").isNotNull()
+        & F.col("t").rlike(TIME_REGEX)
+        & F.col("o_orderkey").isNotNull()
+    )
+    return (
+        cleaned.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "etl_array_parse",
+    oracle="""
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 10 = 0 THEN '[]'
+              WHEN p_partkey % 10 = 1 THEN ''
+              WHEN p_partkey % 10 = 2 THEN NULL
+              ELSE '[' || p_brand || ', ' || p_type || ']'
+         END AS s
+  FROM part
+), parsed AS (
+  SELECT p_partkey,
+         CASE WHEN s IS NULL OR length(s) = 0 THEN []
+              ELSE list_transform(string_split(s[2:-2], ','), x -> trim(x))
+         END AS tags
+  FROM src
+)
+SELECT p_partkey, tags, len(tags) AS n_tags
+FROM parsed
+ORDER BY p_partkey
+""",
+    doc="O5 array-parse: '[a, b]' string -> array<string> with []/''/null edge rules.",
+)
+def etl_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    s = (
+        F.when(F.col("p_partkey") % 10 == 0, F.lit("[]"))
+        .when(F.col("p_partkey") % 10 == 1, F.lit(""))
+        .when(F.col("p_partkey") % 10 == 2, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("["), "p_brand", F.lit(", "), "p_type", F.lit("]")))
+    )
+    parsed = part.select(
+        "p_partkey", parse_string_array(s).alias("tags")
+    )
+    return parsed.select(
+        "p_partkey", "tags", F.size("tags").alias("n_tags")
+    ).orderBy("p_partkey")
