@@ -1,0 +1,81 @@
+"""As-of join — for each left row, the most recent right row with
+``right_ts <= left_ts`` within the same key (inclusive, like DuckDB's
+``ASOF JOIN`` / kdb's ``aj``).
+
+Spark has no native as-of join; a naive implementation is a key-equi
+join plus ``right_ts <= left_ts`` filter plus a per-left-row max — an
+O(n*m) explosion within each key. This implementation uses the
+**union-marker** technique instead:
+
+1. tag both sides and union them (no join!);
+2. one window pass per key ordered by (ts, right-before-left) carrying
+   the last-seen right payload forward (``last(..., ignorenulls)``
+   over an unbounded-preceding frame);
+3. keep the left rows.
+
+Cost at scale: a single hash shuffle on the key + an in-partition
+sort — the same price as one shuffle join, with no row explosion and
+no skew amplification from popular keys. This is the canonical
+streaming-friendly shape (the same pass works under
+``applyInPandasWithState`` for true streams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the payload columns of the
+    latest right row with ``right[right_ts] <= left[left_ts]`` and the
+    same ``on`` key (null payload when no such row exists).
+
+    Payload columns appear as ``{prefix}{col}``; ``{prefix}ts`` carries
+    the matched right timestamp.
+    """
+    payload = F.struct(
+        F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in right_payload]
+    )
+    right_tagged = right.select(
+        F.col(on).alias(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        payload.alias("_payload"),
+    )
+    left_tagged = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        F.lit(None).cast(right_tagged.schema["_payload"].dataType).alias("_payload"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+    )
+    right_tagged = right_tagged.withColumn(
+        "_left", F.lit(None).cast(left_tagged.schema["_left"].dataType)
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    # Right rows sort BEFORE left rows at equal ts so the match is
+    # inclusive (right_ts == left_ts counts), matching ASOF >= .
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_is_right") == 0).select(
+        *[F.col(f"_left.{c}").alias(c) for c in left.columns],
+        F.col("_match.ts").alias(f"{prefix}ts"),
+        *[F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload],
+    )
+    return out

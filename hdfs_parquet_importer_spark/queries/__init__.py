@@ -56,6 +56,7 @@ def registry() -> dict[str, Query]:
     from hdfs_parquet_importer_spark.queries import (  # noqa: F401
         relational,
         etl_parity,
+        functions,
         windows,
         events,
         llm,

@@ -1,0 +1,229 @@
+"""Scalar function coverage: string / date / math / conditional /
+array / JSON (SURVEY §2.2 rows "String functions" .. "Map/JSON").
+
+All expressions are Catalyst built-ins — they compile into whole-stage
+codegen and cost nothing in Python. Cross-engine gotchas handled here:
+
+* Spark ``dayofweek`` is 1=Sunday, DuckDB 0=Sunday → Spark side emits
+  ``dayofweek - 1``;
+* DuckDB ``year``/``quarter``/``len``/``strpos`` return BIGINT where
+  Spark returns INT → Spark side casts to long;
+* DuckDB ``floor``/``ceil`` on DOUBLE return DOUBLE → both sides cast
+  to BIGINT;
+* transcendental results (sqrt/ln/pow) are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+@register(
+    "func_string",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name)                              AS uname,
+       lower(p_brand)                             AS lbrand,
+       substr(p_type, 1, 3)                       AS type3,
+       p_brand || '/' || p_type                   AS brand_type,
+       CAST(length(p_name) AS BIGINT)             AS name_len,
+       replace(p_name, 'a', '#')                  AS repl,
+       CAST(strpos(p_name, 'e') AS BIGINT)        AS epos,
+       lpad(CAST(p_size AS VARCHAR), 4, '0')      AS padded,
+       reverse(p_brand)                           AS rbrand,
+       trim('  ' || p_name || ' ')                AS trimmed,
+       split_part(p_name, ' ', 1)                 AS first_tok
+FROM part ORDER BY p_partkey
+""",
+    doc="String functions: case, substr, concat, length, replace, strpos, pad, reverse, trim, split_part.",
+)
+def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.concat("p_brand", F.lit("/"), "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.expr("replace(p_name, 'a', '#')").alias("repl"),
+        F.instr("p_name", "e").cast("long").alias("epos"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+        F.reverse("p_brand").alias("rbrand"),
+        F.trim(F.concat(F.lit("  "), "p_name", F.lit(" "))).alias("trimmed"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_tok"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "func_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT)                         AS y,
+       CAST(month(o_orderdate) AS BIGINT)                        AS m,
+       CAST(day(o_orderdate) AS BIGINT)                          AS d,
+       CAST(quarter(o_orderdate) AS BIGINT)                      AS q,
+       CAST(dayofweek(o_orderdate) AS BIGINT)                    AS dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')    AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d')               AS month_end,
+       CAST(date_diff('day', o_orderdate,
+                      TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to_2002
+FROM orders ORDER BY o_orderkey
+""",
+    doc="Date functions: parts, quarter, dow (normalized), trunc, last_day, datediff.",
+)
+def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("y"),
+        F.month(d).cast("long").alias("m"),
+        F.dayofmonth(d).cast("long").alias("d"),
+        F.quarter(d).cast("long").alias("q"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),  # Spark 1=Sun -> DuckDB 0=Sun
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "func_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(abs(l_discount - 0.05), 4)                 AS disc_dev,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT)    AS price_k,
+       CAST(ceil(l_quantity) AS BIGINT)                 AS qty_up,
+       ROUND(sqrt(l_extendedprice), 4)                  AS sqrt_price,
+       ROUND(ln(l_extendedprice + 1), 6)                AS ln_price,
+       ROUND(pow(1 + l_discount, 2), 6)                 AS pow_disc,
+       l_orderkey % 7                                   AS key_mod,
+       CAST(sign(l_discount - 0.05) AS BIGINT)          AS disc_sign
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+""",
+    doc="Math functions: abs, floor, ceil, sqrt, ln, pow, mod, sign.",
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        F.ceil("l_quantity").cast("long").alias("qty_up"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("pow_disc"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "func_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            ELSE 'ok' END                                AS bal_class,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       ROUND(GREATEST(c_acctbal, 0.0), 2)                AS bal_floor0,
+       ROUND(LEAST(c_acctbal, 5000.0), 2)                AS bal_cap
+FROM customer ORDER BY c_custkey
+""",
+    doc="Conditional functions: CASE, COALESCE, NULLIF, GREATEST, LEAST.",
+)
+def func_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "overdrawn").when(bal < 1000, "low").otherwise("ok").alias(
+            "bal_class"
+        ),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("bal_floor0"),
+        F.round(F.least(bal, F.lit(5000.0)), 2).alias("bal_cap"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "func_array",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT)                 AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT)  AS n_distinct,
+       list_contains(words, 'spark')              AS has_spark,
+       words[1]                                   AS first_word,
+       words[-1]                                  AS last_word,
+       array_to_string(words[1:3], '-')           AS first3
+FROM t ORDER BY doc_id
+""",
+    doc="Array functions: size, distinct, contains, element_at, slice, join.",
+)
+def func_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.array_contains(words, "spark").alias("has_spark"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.array_join(F.slice(words, 1, 3), "-").alias("first3"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "func_explode",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word ORDER BY word
+""",
+    doc="explode/unnest: word frequencies across the documents corpus.",
+)
+def func_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("word")
+    )
+
+
+@register(
+    "func_json",
+    oracle="""
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="JSON functions: extract scalar from the events.props JSON string.",
+)
+def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -62,3 +62,528 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------------
+# Joins. Scale stance: fact-to-fact joins (orders-lineitem) shuffle on
+# the join key and rely on AQE for skew; fact-to-dimension joins
+# broadcast the dimension (BROADCAST_TABLES) so the fact side never
+# shuffles.
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT
+  l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+GROUP BY l_orderkey, orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3: 3-way join + agg + deterministic top-10 (broadcast dim).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    doc="TPC-H Q5: 6-way join, dims broadcast, facts shuffle once on orderkey.",
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT p_brand,
+       COUNT(*)                        AS n_items,
+       ROUND(SUM(l_extendedprice), 2)  AS brand_revenue,
+       ROUND(AVG(l_quantity), 4)       AS avg_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    doc="Fact-to-dim broadcast hash join: lineitem never shuffles.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders ORDER BY n_orders
+""",
+    doc="Left outer join preserving customers with zero orders.",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_cust
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="Left-semi join (EXISTS): customers with >=1 finished order.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    finished = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(finished, cust.c_custkey == finished.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY n_name ORDER BY n_name
+""",
+    doc="Left-anti join (NOT EXISTS): customers with no pending orders, by nation.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    orderless = cust.join(pending, cust.c_custkey == pending.o_custkey, "left_anti")
+    return (
+        orderless.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0)  AS n_cust,
+       COALESCE(n_supp, 0)  AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+""",
+    doc="Full outer join of per-nation customer and supplier counts.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, COUNT(*) AS n_late
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY order_year ORDER BY order_year
+""",
+    doc="Equi join + range predicate (theta component): items shipped >60d after order.",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .orderBy("order_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregations.
+# --------------------------------------------------------------------------
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_cust,
+       COUNT(*)                  AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Hash agg with COUNT DISTINCT (expand + two-phase agg in Spark).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimate is engine-specific — rows-only check
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct. Rows-only.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus, o_totalprice
+  FROM orders
+)
+SELECT order_year, o_orderstatus,
+       CAST(GROUPING(order_year, o_orderstatus) AS BIGINT) AS gid,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM o
+GROUP BY ROLLUP(order_year, o_orderstatus)
+ORDER BY gid, order_year, o_orderstatus
+""",
+    doc="ROLLUP hierarchy: (year,status) -> (year) -> grand total.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return (
+        o.rollup("order_year", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("gid", "order_year", "o_orderstatus")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+""",
+    doc="CUBE: all 4 grouping-set combinations of (returnflag, linestatus).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY gid, o_orderstatus, o_orderpriority
+""",
+    doc="Explicit GROUPING SETS via Spark SQL.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+    """)
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+ORDER BY o_custkey
+""",
+    doc="Post-aggregation HAVING filter (frequent buyers).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(MIN(l_extendedprice), 2)          AS min_price,
+       ROUND(MAX(l_extendedprice), 2)          AS max_price,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2)  AS sd_price,
+       ROUND(VAR_SAMP(l_discount), 6)          AS var_disc,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Statistical aggregates: stddev/variance/correlation.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / set ops.
+# --------------------------------------------------------------------------
+@register(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition heap + merge), no full sort.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@register(
+    "setop_union",
+    oracle="""
+SELECT custkey FROM (
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+  UNION
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) ORDER BY custkey
+""",
+    doc="UNION (distinct) of big spenders and BUILDING-segment customers.",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    bld = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return big.union(bld).distinct().orderBy("custkey")
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY custkey
+""",
+    doc="INTERSECT: customers with both open and finished orders.",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.intersect(f).orderBy("custkey")
+
+
+@register(
+    "setop_except",
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+ORDER BY custkey
+""",
+    doc="EXCEPT (distinct): open-order customers with no pending orders.",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    p = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o.subtract(p).orderBy("custkey")

@@ -1,1 +1,259 @@
-"""Placeholder — populated in a later phase."""
+"""Window functions (SURVEY §2.2 "Window functions") and the as-of
+join custom operator.
+
+Every window here partitions by a key (custkey/suppkey/user_id), so at
+100 TB each partition's state fits one executor and Spark plans a
+single hash shuffle + in-partition sort per window. The one global
+(unpartitioned) window demo is explicitly marked — a global ntile at
+scale needs a range-partitioned two-pass plan, which Spark's
+``Window.orderBy`` without partitionBy does NOT do (single-task
+bottleneck); it's included for surface coverage and bounded inputs.
+
+Ordering inside every window carries a unique tie-break column so both
+engines compute identical frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators.asof import asof_join
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total,
+       CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3 ORDER BY o_custkey, rn
+""",
+    doc="Top-3 orders per customer via row_number (partitioned top-k, no global sort).",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 2) AS running_total
+FROM orders ORDER BY o_custkey, o_orderkey
+""",
+    doc="Running per-customer revenue (cumulative frame).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         LAG(o_orderdate)  OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_date,
+         LEAD(o_orderkey)  OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       CAST(COALESCE(date_diff('day', prev_date, o_orderdate), -1) AS BIGINT)
+         AS days_since_prev,
+       COALESCE(next_orderkey, -1) AS next_orderkey
+FROM w ORDER BY o_custkey, o_orderkey
+""",
+    doc="lag/lead: inter-order gap days and next order per customer.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    next_ok = F.lead("o_orderkey").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff(F.col("o_orderdate").cast("date"), prev_date.cast("date")),
+            F.lit(-1),
+        )
+        .cast("long")
+        .alias("days_since_prev"),
+        F.coalesce(next_ok, F.lit(-1)).alias("next_orderkey"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT p_brand, p_partkey,
+       CAST(RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+            AS BIGINT) AS price_rank,
+       CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+            AS BIGINT) AS price_drank
+FROM part ORDER BY p_brand, p_partkey
+""",
+    doc="rank vs dense_rank under ties, per brand.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_drank"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       ROUND(AVG(l_extendedprice)
+             OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg4
+FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber
+""",
+    doc="Moving average over a bounded rows frame per supplier.",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("avg4"),
+    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+         AS first_orderkey,
+       LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING)
+         AS last_orderkey
+FROM orders ORDER BY o_custkey, o_orderkey
+""",
+    doc="first_value / last_value with an explicit full-partition frame.",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.last("o_orderkey").over(w_full).alias("last_orderkey"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_ntile_global",
+    oracle="""
+SELECT o_orderkey,
+       CAST(NTILE(4)     OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice), 6)  AS pr,
+       ROUND(CUME_DIST()    OVER (ORDER BY o_totalprice), 6)  AS cd
+FROM orders ORDER BY o_orderkey
+""",
+    doc=(
+        "GLOBAL window (no partition) — surface demo only: Spark executes "
+        "this in ONE task; at 100 TB use range-partitioned percentiles "
+        "(approx_percentile or a two-pass rank) instead."
+    ),
+)
+def window_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    w_pr = Window.orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w_pr), 6).alias("pr"),
+        F.round(F.cume_dist().over(w_pr), 6).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "asof_join_purchase_view",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id                       AS purchase_id,
+       p.user_id                        AS user_id,
+       COALESCE(v.event_id, -1)         AS view_id,
+       CAST(COALESCE(date_diff('second', v.ts, p.ts), -1) AS BIGINT) AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY purchase_id
+""",
+    doc=(
+        "As-of join (custom operator): latest prior 'view' for each "
+        "'purchase', per user. Union-marker implementation — one shuffle, "
+        "no O(n*m) explosion (operators/asof.py); oracle uses DuckDB's "
+        "native ASOF JOIN."
+    ),
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+    )
+    gap = F.col("ts").cast("long") - F.col("asof_ts").cast("long")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s"),
+    ).orderBy("purchase_id")

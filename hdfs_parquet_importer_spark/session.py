@@ -31,6 +31,9 @@ _SCALE_DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Reference sets this exact key (App.scala:19).
     "spark.debug.maxToStringFields": "100",
+    # Testdata events.parquet carries TIMESTAMP(NANOS); read as long
+    # (tables.load_table converts to microsecond timestamps).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -1,0 +1,65 @@
+"""Unit tests for the as-of join custom operator (operators/asof.py)."""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from hdfs_parquet_importer_spark.operators import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_latest_prior(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T10:00:00"), lid=100),
+            Row(k=1, ts=_ts("2024-01-01T09:00:00"), lid=101),
+            Row(k=2, ts=_ts("2024-01-01T10:00:00"), lid=102),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T09:30:00"), rid=7),
+            Row(k=1, ts=_ts("2024-01-01T08:00:00"), rid=6),
+        ]
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["rid"]
+        ).collect()
+    }
+    assert out[100].asof_rid == 7  # latest of the two prior rights
+    assert out[101].asof_rid == 6  # only 08:00 precedes 09:00
+    assert out[102].asof_rid is None  # no right rows for k=2
+    assert out[102].asof_ts is None
+
+
+def test_asof_inclusive_equal_ts(spark):
+    # right_ts == left_ts must match (>= semantics, like DuckDB ASOF).
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T10:00:00"), rid=9),
+            Row(k=1, ts=_ts("2024-01-01T09:00:00"), rid=8),
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["rid"]
+    ).collect()
+    assert out[0].asof_rid == 9
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [Row(k=i % 3, ts=_ts(f"2024-01-01T{10 + i % 10}:00:00"), lid=i) for i in range(30)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=0, ts=_ts("2024-01-01T00:00:00"), rid=1)]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["rid"]
+    )
+    assert out.count() == 30
