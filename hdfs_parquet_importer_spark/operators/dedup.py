@@ -1,0 +1,218 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all Catalyst-native (no Python UDFs), all designed so
+the only shuffles are key-partitioned aggregations/joins:
+
+* **exact** — hash-groupBy on a normalization key; map-side partial
+  aggregation makes the shuffle carry one row per distinct key per
+  partition, not one per document.
+* **MinHash + LSH** — shingle -> 32 permuted min-hashes -> 8 bands of
+  4 -> band-bucket self-join. Candidate generation touches only
+  documents sharing a band bucket: no O(n^2) cross join anywhere, the
+  scale path for 100 TB corpora (the band join's shuffle key is the
+  band hash, so skew == true near-dup clusters, which AQE splits).
+* **SimHash** — 64-bit fingerprint computed with higher-order array
+  functions (zero shuffle, zero explode); candidates via 16-bit chunk
+  banding (Hamming<=3 guarantees >=1 of 4 chunks equal by pigeonhole).
+* **n-gram Jaccard** — exact verification used on candidate pairs, or
+  brute-force inside small blocks.
+
+All hashing is ``xxhash64`` (deterministic across runs/executors).
+Arithmetic stays below 2^62 (mod-prime reduction) so ANSI-mode Spark
+never overflows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: permutation arithmetic stays < 2^62.
+_MERSENNE = (1 << 31) - 1
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical dedup key: lowercase, strip non-alnum, collapse spaces."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
+    """Keep the lowest-id document per normalized key.
+
+    Returns (dedup_key, keep_id, n_copies). groupBy = one partial-agg
+    shuffle on the key hash; no sort, no window.
+    """
+    return (
+        df.select(key.alias("dedup_key"), F.col(id_col))
+        .groupBy("dedup_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def tokens(col: Column) -> Column:
+    return F.split(normalize_text(col), " ")
+
+
+def token_set(col: Column) -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), '' guarded to an empty array."""
+    toks = tokens(col)
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two *distinct-element* arrays (double)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_distinct(F.concat(a, b))).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def _permute(h32: Column, i: int) -> Column:
+    # Deterministic affine permutations over Z_p; coefficients from a
+    # fixed linear-congruential sequence so both driver and tests agree.
+    a = (2654435761 * (i + 1) + 40503) % _MERSENNE or 1
+    b = (2246822519 * (i + 1) + 12345) % _MERSENNE
+    return (F.lit(a) * h32 + F.lit(b)) % F.lit(_MERSENNE)
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      num_perm: int = 32, shingle_n: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) via explode + k partial-min aggregations.
+
+    The explode is map-local; the groupBy's partial aggregation reduces
+    each partition to one row per doc before the shuffle.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    h32 = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
+    sh = sh.select(id_col, h32.alias("h"))
+    aggs = [F.min(_permute(F.col("h"), i)).alias(f"sig_{i}") for i in range(num_perm)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
+                        num_perm: int = 32, bands: int = 8) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >=1 LSH band bucket."""
+    rows_per_band = num_perm // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ])
+    banded = sig_df.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
+                        threshold: float = 0.9, num_perm: int = 32,
+                        bands: int = 8, shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold. LSH prunes
+    candidates; the verify join re-reads only candidate documents'
+    shingle sets (a broadcast-sized set in practice; a key-partitioned
+    join otherwise).
+    """
+    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    sets_df = df.select(
+        F.col(id_col).alias("_sid"), shingles(F.col(text_col), shingle_n).alias("_sset")
+    )
+    verified = (
+        cand.join(sets_df.withColumnRenamed("_sid", "id_a")
+                         .withColumnRenamed("_sset", "set_a"), "id_a")
+        .join(sets_df.withColumnRenamed("_sid", "id_b")
+                     .withColumnRenamed("_sset", "set_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("set_a"), F.col("set_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash64(text_col: Column, bits: int = 63) -> Column:
+    """SimHash fingerprint, computed entirely with array expressions.
+
+    For each bit i, the signed vote is summed across token hashes; the
+    fingerprint packs the vote signs. No explode, no shuffle — the
+    whole computation is a per-row projection (bits x n_tokens hash
+    evaluations; linear, JVM-side). The bit loop is unrolled in Python
+    (``F.shiftright`` takes a literal shift count); 63 bits by default
+    so the packed value never overflows a signed long in ANSI mode.
+    """
+    tok_hashes = F.transform(token_set(text_col), lambda t: F.xxhash64(t))
+
+    # Closure factory, NOT a default arg: pyspark's _create_lambda
+    # builds one lambda variable per function parameter, so a
+    # ``lambda acc, h, i=i`` would receive a Column for ``i``.
+    def _voter(i: int):
+        def merge(acc: Column, h: Column) -> Column:
+            bit = F.shiftright(h, i).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return merge
+
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(tok_hashes, F.lit(0).cast("long"), _voter(i))
+        fp = fp + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
+
+
+def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
+
+    Banding: 4 chunks of 16 bits; Hamming<=3 implies at least one chunk
+    is identical (pigeonhole), so an equi-join per chunk finds every
+    qualifying pair without a cross join.
+    """
+    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("fp"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+        )
+        for c in range(4)
+    ])
+    banded = fp.select("id", "fp", F.explode(chunks).alias("cb")).select(
+        "id", "fp", "cb.chunk", "cb.ckey"
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "ckey")
+    b = banded.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "ckey")
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, mirroring what a 100 TB training-data pipeline needs:
+
+* **Brute-force cosine top-k** — the correctness baseline. The query
+  set is broadcast (it is small by definition); candidates stream
+  through a map-side cosine projection, then top-k per query is taken
+  in two phases (partial top-k per salt bucket, then final top-k) so
+  no single reducer ever sees the full candidate set.
+* **Random-hyperplane LSH (SimHash for vectors)** — the scale path.
+  Each vector gets a small integer bucket from the sign pattern of
+  dot products with ``n_planes`` fixed hyperplanes; candidate
+  generation is an equi-join on the bucket id, optionally multiprobed
+  (Hamming-1 neighbor buckets) for recall. Join key cardinality is
+  ``2**n_planes``; skew maps to true dense regions, which AQE splits.
+
+All arithmetic is Catalyst-native (``zip_with`` + ``aggregate`` in
+double precision) — no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; null-safe via 0-norm guard (returns null)."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Scale shape: ``broadcast(queries) x vectors`` — one pass over the
+    candidate set, no shuffle of the big side for the join. Top-k runs
+    in two phases: partial top-k within ``pmod(id, salt_buckets)``
+    buckets (bounded window partitions), then final top-k over
+    ``k * salt_buckets`` survivors per query. A single-phase window
+    over (query) would funnel every candidate row of a query into one
+    reducer — exactly what dies at 100 TB.
+
+    Ties broken deterministically by candidate id ascending.
+    """
+    from pyspark.sql import Window
+
+    scored = vectors.join(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+    )
+    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+    partial_w = Window.partitionBy(query_id_col, salt).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    final_w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("_prn", F.row_number().over(partial_w))
+        .filter(F.col("_prn") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .drop("_prn")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    h = rng.standard_normal((n_planes, dim))
+    h /= np.linalg.norm(h, axis=1, keepdims=True)
+    return [[float(v) for v in row] for row in h]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit j = (vec . plane_j) >= 0."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: cosine ranking restricted to LSH candidates.
+
+    Candidates = vectors whose bucket equals the query's bucket or (if
+    ``multiprobe``) differs in exactly one bit — recall insurance for
+    query points near a hyperplane. The join is a bucket equi-join:
+    each query probes ``1 + n_planes`` of ``2**n_planes`` buckets, so
+    the candidate set shrinks ~``(1+n_planes)/2**n_planes`` vs brute
+    force while staying a shuffle-free broadcast join on the small
+    probe side.
+    """
+    from pyspark.sql import Window
+
+    dim = len(queries.select(query_vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    cand = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        lsh_bucket(F.col(query_vec_col), planes).alias("qbucket"),
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(n_planes)
+            ],
+        )
+    else:
+        probes = F.array(F.col("qbucket"))
+    q = q.select(query_id_col, query_vec_col, F.explode(probes).alias("bucket"))
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        cand.join(F.broadcast(q), "bucket")
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,133 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Every function here is a pure Catalyst column builder (regexp + array
+higher-order functions, zero Python UDFs), so each one is a narrow
+per-row projection that pipelines inside whole-stage codegen — the
+only shuffles in any query using these come from the final groupBy,
+never from the text analysis itself. Each builder has an exact DuckDB
+SQL twin in ``queries/llm.py`` (the heuristics are deliberately
+regexp/arithmetic-only so the oracle can replicate them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators.dedup import normalize_text, tokens
+
+# Tiny marker-word lists for the n-gram/stopword language heuristic.
+# Deliberately short so the DuckDB oracle can inline the same lists.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "las", "es", "una", "que"],
+    "fr": ["le", "la", "les", "est", "une", "dans", "que"],
+}
+# CJK ideograph presence short-circuits to 'zh' (works in both Java
+# regex and RE2 with the \x{...} escape form).
+HAN_RX = r"[\x{4e00}-\x{9fff}]"
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["it", "that", "for", "on", "with", "as"]
+
+# BPE-ish tokenization: letter runs, digit runs, single punctuation.
+BPE_RX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count over the normalized text."""
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punct marks."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_RX), 0))
+
+
+def marker_hits(col: Column, markers: list[str]) -> Column:
+    """How many tokens (with multiplicity) are in the marker list."""
+    lit_set = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_set, t)))
+
+
+def han_char_count(col: Column) -> Column:
+    return F.length(col) - F.length(F.regexp_replace(col, HAN_RX, ""))
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word argmax language guess; 'und' when nothing matches.
+
+    Tie-break order en > de > es > fr is fixed so the DuckDB oracle's
+    CASE chain agrees exactly.
+    """
+    en = marker_hits(col, LANG_MARKERS["en"])
+    de = marker_hits(col, LANG_MARKERS["de"])
+    es = marker_hits(col, LANG_MARKERS["es"])
+    fr = marker_hits(col, LANG_MARKERS["fr"])
+    return (
+        F.when(han_char_count(col) > 0, F.lit("zh"))
+        .when(F.greatest(en, de, es, fr) == 0, F.lit("und"))
+        .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
+        .when((de >= es) & (de >= fr), F.lit("de"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars (double)."""
+    punct = F.length(col) - F.length(
+        F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    )
+    return punct.cast("double") / F.nullif(F.length(col), F.lit(0)).cast("double")
+
+
+def alpha_ratio(col: Column) -> Column:
+    alpha = F.length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    return alpha.cast("double") / F.nullif(F.length(col), F.lit(0)).cast("double")
+
+
+def stopword_ratio(col: Column) -> Column:
+    n = ws_token_count(col)
+    return marker_hits(col, STOPWORDS_EN).cast("double") / F.nullif(
+        n, F.lit(0)
+    ).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic (Gopher-rule flavored):
+
+    0.35 * length-in-range  (20..2000 whitespace tokens)
+    0.25 * alpha ratio
+    0.25 * min(stopword_ratio * 5, 1)   (fluent text has stopwords)
+    0.15 * (1 - min(punct_ratio * 4, 1)) (symbol soup is junk)
+    """
+    n = ws_token_count(col)
+    len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    pr = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    return (
+        F.lit(0.35) * len_ok
+        + F.lit(0.25) * alpha_ratio(col)
+        + F.lit(0.25) * sw
+        + F.lit(0.15) * pr
+    )
+
+
+def md5_fingerprint(col: Column) -> Column:
+    """Exact-content fingerprint: md5 hex of the normalized text."""
+    return F.md5(normalize_text(col))
+
+
+def kgram_min_fingerprint(col: Column, k: int = 5) -> Column:
+    """Winnowing-style fingerprint: lexicographic min of md5 over word
+    k-gram shingles. Robust to local edits (an edit only perturbs k
+    shingles); null when the document has fewer than k tokens."""
+    toks = tokens(col)
+    count = F.size(toks) - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
+    )
+    return F.array_min(grams)

@@ -1,1 +1,359 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-training-data pipeline queries: deduplication, similarity
+search, and text analysis over the ``documents`` / ``embeddings``
+tables (driver north_star extensions; no counterpart in the reference,
+which is a single-purpose CSV->Parquet ETL — see SURVEY.md §2.2).
+
+Oracle strategy:
+
+* Exact/deterministic ops (exact dedup, n-gram Jaccard, cosine pairs,
+  brute-force top-k, text stats) get full DuckDB SQL twins. Ratios of
+  integers are emitted UNROUNDED — both engines perform one IEEE-754
+  double division on identical integers, so the bits match, whereas
+  ROUND() would expose half-even vs half-up differences on exact
+  halfway rationals (e.g. 1/160).
+* Continuous values (cosines) are rounded to 6 dp — cross-engine
+  summation-order differences are ~1e-16 and a continuous value has
+  probability ~0 of sitting exactly on a rounding boundary.
+* Sketch-based ops (MinHash-LSH, SimHash, hyperplane-LSH ANN) have no
+  DuckDB-expressible twin (xxhash64 is Spark-specific) → rows-only
+  driver check + recall-vs-brute-force pytest coverage in
+  ``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators import dedup as D
+from hdfs_parquet_importer_spark.operators import similarity as S
+from hdfs_parquet_importer_spark.operators import textstats as T
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+# DuckDB twin of operators.dedup.normalize_text / tokens / shingles.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _shingles_sql(n: int = 3) -> str:
+    """DuckDB list comprehension mirroring operators.dedup.shingles."""
+    return (
+        f"list_distinct([array_to_string(t[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len(t)-{n - 1}, 0)+1)])"
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH n AS (SELECT doc_id, md5({_NORM_SQL}) AS dedup_key FROM documents)
+SELECT dedup_key, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM n GROUP BY dedup_key
+""",
+    doc="Exact dedup: hash-groupBy on md5(normalized text); map-side "
+    "partial agg means the shuffle carries one row per distinct key "
+    "per partition — O(distinct) network traffic at 100 TB.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, F.md5(D.normalize_text(F.col("text"))), "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))::DOUBLE
+         / len(list_distinct(a.s || b.s)) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(a.s || b.s)) >= 0.8
+""",
+    doc="Brute-force n-gram Jaccard near-dup pairs (threshold 0.8). "
+    "O(n^2) correctness baseline for the MinHash-LSH scale path; at "
+    "100 TB use dedup_minhash_lsh, which prunes candidates to "
+    "band-bucket collisions.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"), D.shingles(F.col("text"), 3).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            D.jaccard(F.col("sa"), F.col("sb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 has no DuckDB twin; recall tested in pytest
+    doc="MinHash(32 perms) + LSH(8 bands x 4 rows) candidate pairs, "
+    "exact-Jaccard verified at >= 0.8. The only joins are band-bucket "
+    "equi-joins — no cross join anywhere; detection prob at s=0.9 is "
+    "1-(1-0.9^4)^8 ~ 0.9998. The 100 TB scale path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint; pytest-verified
+    doc="SimHash-64 near-dup candidates, Hamming <= 3, via 4x16-bit "
+    "chunk banding (pigeonhole guarantees recall). Fingerprinting is "
+    "a pure per-row projection — zero shuffle until the band join.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.35
+""",
+    doc="Embedding near-dup pairs: cosine >= 0.35 over all pairs. "
+    "Correctness baseline; at 100 TB block by LSH bucket first "
+    "(ann_lsh_bucketed) so the pair space is per-bucket.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (ANN)
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM r WHERE rank <= 10
+""",
+    doc="Brute-force cosine top-10 for 5 query vectors: "
+    "broadcast(queries) x vectors scan, two-phase top-k (salted "
+    "partial then final) so no reducer sees the full candidate set.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # k=11 in the salted partial phase so dropping the self-match
+    # afterwards still leaves >= 10 true neighbors; final rank is
+    # recomputed after self-exclusion.
+    topk = (
+        S.brute_force_topk(emb, q, k=11, salt_buckets=32)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 10)
+    )
+    return topk.select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # approximate by design; recall tested in pytest
+    doc="Hyperplane-LSH ANN: 6 sign-bits -> 64 buckets, Hamming-1 "
+    "multiprobe; candidates shrink ~7/64 vs brute force while the "
+    "probe side stays a broadcast equi-join. The 100 TB scale path "
+    "(IVF-style: bucket = inverted-list key).",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=True)
+    return topk.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_tokens",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKS_SQL}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS n_bpe_tokens,
+       length(text) AS n_chars_actual,
+       len(list_distinct({_TOKS_SQL})) AS n_distinct_tokens
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+    "(letter runs / digit runs / punct). Pure projection — pipelines "
+    "inside the parquet scan stage, no shuffle.",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(D.token_set(F.col("text"))).alias("n_distinct_tokens"),
+    )
+
+
+def _marker_hits_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_SQL}, x -> list_contains([{lst}], x)))"
+
+
+_EN = _marker_hits_sql(T.LANG_MARKERS["en"])
+_DE = _marker_hits_sql(T.LANG_MARKERS["de"])
+_ES = _marker_hits_sql(T.LANG_MARKERS["es"])
+_FR = _marker_hits_sql(T.LANG_MARKERS["fr"])
+_HAN = r"length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', 'g'))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+WITH s AS (SELECT doc_id,
+  {_EN} AS en_hits, {_DE} AS de_hits, {_ES} AS es_hits, {_FR} AS fr_hits,
+  {_HAN} AS han_chars
+FROM documents)
+SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, han_chars,
+  CASE WHEN han_chars > 0 THEN 'zh'
+       WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+       WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
+         THEN 'en'
+       WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+       WHEN es_hits >= fr_hits THEN 'es'
+       ELSE 'fr' END AS lang_guess
+FROM s
+""",
+    doc="Language ID: marker-word argmax + CJK-script short-circuit. "
+    "Per-row regexp/array arithmetic only; the heuristic is "
+    "deliberately SQL-replicable so the oracle checks it exactly.",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.marker_hits(t, T.LANG_MARKERS["en"]).alias("en_hits"),
+        T.marker_hits(t, T.LANG_MARKERS["de"]).alias("de_hits"),
+        T.marker_hits(t, T.LANG_MARKERS["es"]).alias("es_hits"),
+        T.marker_hits(t, T.LANG_MARKERS["fr"]).alias("fr_hits"),
+        T.han_char_count(t).alias("han_chars"),
+        T.lang_id(t).alias("lang_guess"),
+    )
+
+
+_SW = _marker_hits_sql(T.STOPWORDS_EN)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH s AS (SELECT doc_id,
+  len({_TOKS_SQL}) AS n_tok,
+  (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+    / nullif(length(text), 0) AS punct_ratio,
+  length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+    / nullif(length(text), 0) AS alpha_ratio,
+  {_SW}::DOUBLE / nullif(len({_TOKS_SQL}), 0) AS stopword_ratio
+FROM documents)
+SELECT doc_id, n_tok, punct_ratio, alpha_ratio, stopword_ratio,
+  0.35 * (CASE WHEN n_tok BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
+  + 0.25 * alpha_ratio
+  + 0.25 * least(stopword_ratio * 5, 1.0)
+  + 0.15 * (1.0 - least(punct_ratio * 4, 1.0)) AS quality
+FROM s
+""",
+    doc="Quality scoring (Gopher-rule flavored): length window, alpha "
+    "ratio, stopword ratio, punctuation ratio -> composite [0,1]. "
+    "Ratios left unrounded: both engines divide identical integers, "
+    "so doubles match bit-for-bit.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(t).alias("n_tok"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.alpha_ratio(t).alias("alpha_ratio"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id,
+       md5({_NORM_SQL}) AS content_fp,
+       list_aggregate([md5(array_to_string(t[i:i+4], ' '))
+                       for i in range(1, greatest(len(t)-4, 0)+1)], 'min')
+         AS kgram_min_fp
+FROM documents JOIN toks USING (doc_id)
+""",
+    doc="Document fingerprinting: md5 content hash + winnowing-style "
+    "min-hash over word 5-grams (robust to local edits). Per-row "
+    "projection; at 100 TB this is the partition/bucket key for "
+    "incremental dedup.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.md5_fingerprint(F.col("text")).alias("content_fp"),
+        T.kgram_min_fingerprint(F.col("text"), 5).alias("kgram_min_fp"),
+    )
