@@ -64,14 +64,21 @@ def token_set(col: Column) -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), '' guarded to an empty array."""
+    """Word n-gram shingles (distinct); < n tokens -> empty array.
+
+    The short-text guard matters: ``F.sequence(1, 0)`` is DESCENDING
+    ([1, 0], implicit step -1), not empty, so the index sequence is
+    clamped to >= 1 and a ``when`` returns [] for short docs.
+    """
     toks = tokens(col)
     count = F.size(toks) - (n - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

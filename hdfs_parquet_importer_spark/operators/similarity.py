@@ -114,6 +114,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 6,
+    n_tables: int = 4,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -123,47 +124,53 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: cosine ranking restricted to LSH candidates.
 
-    Candidates = vectors whose bucket equals the query's bucket or (if
-    ``multiprobe``) differs in exactly one bit — recall insurance for
-    query points near a hyperplane. The join is a bucket equi-join:
-    each query probes ``1 + n_planes`` of ``2**n_planes`` buckets, so
-    the candidate set shrinks ~``(1+n_planes)/2**n_planes`` vs brute
-    force while staying a shuffle-free broadcast join on the small
-    probe side.
+    Standard multi-table hyperplane LSH: ``n_tables`` independent
+    hash tables (fresh hyperplanes per table) union their candidate
+    sets — a vector is a candidate if ANY table buckets it with the
+    query; ``multiprobe`` additionally probes the Hamming-1 neighbor
+    buckets of each table (recall insurance for queries near a
+    hyperplane). The candidate join is a (table, bucket) equi-join
+    with the probe side broadcast, so the big side never shuffles;
+    per-table fraction probed is ``(1+n_planes)/2**n_planes``.
+    Deduplication of candidates found by several tables happens via
+    max-per-pair aggregation before ranking.
     """
     from pyspark.sql import Window
 
     dim = len(queries.select(query_vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
 
-    cand = vectors.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(query_vec_col),
-        lsh_bucket(F.col(query_vec_col), planes).alias("qbucket"),
-    )
+    def banded(df: DataFrame, id_: str, vec: str, out: str) -> DataFrame:
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(
+                    F.col(vec), hyperplanes(dim, n_planes, seed + t)
+                ).alias(out),
+            )
+            for t in range(n_tables)
+        ])
+        return df.select(
+            F.col(id_), F.col(vec), F.explode(tables).alias("tb")
+        ).select(id_, vec, "tb.tbl", F.col(f"tb.{out}").alias(out))
+
+    cand = banded(vectors, id_col, vec_col, "bucket")
+    q = banded(queries, query_id_col, query_vec_col, "qbucket")
     if multiprobe:
         probes = F.array(
             F.col("qbucket"),
-            *[
-                F.col("qbucket").bitwiseXOR(F.lit(1 << j))
-                for j in range(n_planes)
-            ],
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
         )
     else:
         probes = F.array(F.col("qbucket"))
-    q = q.select(query_id_col, query_vec_col, F.explode(probes).alias("bucket"))
+    q = q.select(
+        query_id_col, query_vec_col, "tbl", F.explode(probes).alias("bucket")
+    )
 
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
-        cand.join(F.broadcast(q), "bucket")
-        .select(
-            query_id_col,
-            id_col,
-            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
-        )
+        cand.join(F.broadcast(q), ["tbl", "bucket"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.max(cosine(F.col(query_vec_col), F.col(vec_col))).alias("cos"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

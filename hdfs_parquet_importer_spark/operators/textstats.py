@@ -126,8 +126,9 @@ def kgram_min_fingerprint(col: Column, k: int = 5) -> Column:
     shingles); null when the document has fewer than k tokens."""
     toks = tokens(col)
     count = F.size(toks) - (k - 1)
+    # sequence(1, 0) would be DESCENDING [1, 0], so clamp + guard.
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
         lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
     )
-    return F.array_min(grams)
+    return F.when(count >= 1, F.array_min(grams))

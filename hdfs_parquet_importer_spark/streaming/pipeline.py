@@ -1,0 +1,175 @@
+"""Streaming pipelines over the events table.
+
+Batch/stream parity is the design invariant: every transformation here
+is the SAME logical plan as its batch twin in ``queries/events.py``
+(``F.window`` / ``F.session_window`` / groupBy-agg), so correctness is
+checked in batch by the DuckDB oracle while this module demonstrates
+the incremental execution mode.
+
+Scale notes: streaming state lives in the state store keyed by
+(window/session, group keys) — the watermark bounds it by evicting
+windows older than the lateness horizon, which is what makes a
+forever-running 100 TB/day pipeline's state O(active windows) instead
+of O(history). ``availableNow`` triggers are used in tests so a finite
+parquet source drains and stops deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Parquet streaming sources need an explicit schema (no inference at
+# stream start). ``ts`` is TIMESTAMP(NANOS) in the testdata; with
+# spark.sql.legacy.parquet.nanosAsLong=true (set by the session
+# factory) it surfaces as long and is converted below — same contract
+# as tables.load_table.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events parquet path.
+
+    In production the path is a landing directory that keeps receiving
+    files; the parquet file-stream source discovers new files per
+    micro-batch (``maxFilesPerTrigger`` bounds per-batch work).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source needs a DIRECTORY basePath; the testdata
+    # table is a single file, so scan the sf dir with a glob filter.
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling.
+
+    The watermark lets the state store evict windows more than
+    ``watermark`` behind the max event time — late rows inside the
+    horizon still update their window; older ones are dropped.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "2 hours", watermark: str = "4 hours"
+) -> DataFrame:
+    """Session windows per user — state merges adjacent sessions as
+    events arrive; watermark finalizes sessions once no event can
+    extend them."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    ``applyInPandasWithState``.
+
+    Demonstrates the arbitrary-state API for operators the built-in
+    windows can't express (counters, ML feature state, CDC merge).
+    State schema is (n, total) per user_id; each micro-batch folds its
+    Arrow batches into the state and emits the updated row. State is
+    partitioned by the grouping key, so it scales horizontally with
+    executors — no global state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> Any:
+    """Drain a finite stream into an in-memory table (test/dev sink).
+
+    ``availableNow`` processes everything currently in the source in
+    bounded micro-batches, then stops — deterministic for tests, and
+    the production-shaped alternative to a one-shot batch backfill.
+    """
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

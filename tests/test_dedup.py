@@ -1,0 +1,144 @@
+"""Unit tests for dedup operators: known-answer fixtures plus
+recall-vs-brute-force checks at sf0.001 for the sketch-based paths
+(MinHash-LSH, SimHash) that have no DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators import dedup as D
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog today"),
+            (2, "the QUICK brown fox — jumps over the lazy dog today!"),  # = 1 normalized
+            (3, "The quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+            (4, "Completely different content about spark partitions and shuffles"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Héllo,   World! 42  ",)], ["t"])
+    out = df.select(D.normalize_text(F.col("t")).alias("n")).first()["n"]
+    # non [a-z0-9] chars (including accented letters) -> space, collapsed
+    assert out == "h llo world 42"
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = D.exact_dedup(
+        docs, F.md5(D.normalize_text(F.col("text"))), "doc_id"
+    ).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[1] == 2  # docs 1 and 2 collapse
+    assert groups[3] == 1
+    assert groups[4] == 1
+    assert groups[5] == 1
+    assert len(out) == 4
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    sh = df.select(D.shingles(F.col("t"), 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    pair = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"]
+    ).select(D.jaccard(F.col("x"), F.col("y")).alias("j"))
+    assert pair.first()["j"] == pytest.approx(2 / 4)
+
+
+def test_empty_text_shingles(spark):
+    df = spark.createDataFrame([("",), ("ab",)], ["t"])
+    rows = df.select(D.shingles(F.col("t"), 3).alias("s")).collect()
+    # '' normalizes to '' -> tokens [''] -> fewer than 3 tokens -> []
+    assert rows[0]["s"] == []
+    assert rows[1]["s"] == []
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=2
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # exact dup after normalization, jaccard 1.0
+    assert (1, 3) in found or (3, 1) in found  # one-word edit near-dup
+
+
+def test_minhash_lsh_recall_vs_brute_force(spark, sf_dir):
+    """Every true Jaccard>=0.8 pair in the real corpus must be found
+    (detection prob at s>=0.8 with 8x4 banding is ~0.97 per pair at
+    s=0.8 and ~1.0 at s~1; the planted dups sit at s~1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", D.shingles(F.col("text"), 3).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", D.jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, "doc_id", "text", 0.8).collect()
+    }
+    assert truth, "testdata should contain planted near-dups"
+    # exact-Jaccard verification makes found ⊆ truth; banding makes
+    # recall ~1 at s~1
+    assert found == truth
+
+
+def test_simhash_identical_token_sets_collide(spark, docs):
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", D.simhash64(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fps[1] == fps[2]  # same token set -> same fingerprint
+    assert fps[1] != fps[4]
+
+
+def test_simhash_banding_guarantee_vs_brute_force(spark, sf_dir):
+    """Pigeonhole guarantee: chunk banding must find EVERY pair with
+    Hamming <= 3 (4 chunks, <= 3 differing bits -> >= 1 equal chunk).
+    Brute-force all-pairs Hamming on the real corpus is the truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.col("doc_id").alias("id"), D.simhash64(F.col("text")).alias("fp")
+    )
+    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_candidate_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ).collect()
+    }
+    assert truth, "corpus should contain simhash-close pairs"
+    assert found == truth
+
+
+def test_simhash_hamming_zero_for_dups(spark, docs):
+    out = D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    assert ham.get((1, 2)) == 0

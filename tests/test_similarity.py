@@ -1,0 +1,94 @@
+"""Unit tests for similarity search: exact cosine math, two-phase
+top-k correctness vs a single-phase reference, and LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators import similarity as S
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            ([1.0, 0.0], [1.0, 0.0], 1.0),
+            ([1.0, 0.0], [0.0, 1.0], 0.0),
+            ([1.0, 0.0], [-1.0, 0.0], -1.0),
+            ([1.0, 1.0], [1.0, 0.0], 1 / math.sqrt(2)),
+        ],
+        ["a", "b", "want"],
+    )
+    rows = df.select(S.cosine(F.col("a"), F.col("b")).alias("c"), "want").collect()
+    for r in rows:
+        assert r["c"] == pytest.approx(r["want"], abs=1e-12)
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], ["a", "b"])
+    assert df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] is None
+
+
+def test_brute_force_topk_matches_single_phase(spark, sf_dir):
+    """Two-phase (salted) top-k must equal the naive single-window
+    top-k — the salt is an execution detail, not a semantics change."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    naive = (
+        emb.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            S.cosine(F.col("query_vec"), F.col("embedding")).alias("cos"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    want = {(r["query_id"], r["rank"]): r["vec_id"] for r in naive.collect()}
+    assert got == want
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """Multiprobe hyperplane LSH should recover most of the true
+    top-10 (random hyperplanes on clustered data; recall >= 0.5 is a
+    loose floor — brute force is the correctness path, LSH the scale
+    path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, q, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=True).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_lsh_bucket_is_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    planes = S.hyperplanes(64, 6, seed=42)
+    b1 = emb.select(S.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
+    b2 = emb.select(S.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
+    assert [r["b"] for r in b1] == [r["b"] for r in b2]
+    assert all(0 <= r["b"] < 64 for r in b1)
