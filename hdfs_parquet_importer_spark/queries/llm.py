@@ -357,3 +357,28 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.md5_fingerprint(F.col("text")).alias("content_fp"),
         T.kgram_min_fingerprint(F.col("text"), 5).alias("kgram_min_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multimodal (binary payload) pipeline
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       length(text)::BIGINT AS n_bytes,
+       list_sum([ord(c) for c in string_split(text, '')])::BIGINT AS byte_sum
+FROM documents
+""",
+    doc="Multimodal decode stage driven through mapInPandas (Arrow "
+    "batches): documents.text bytes as an opaque binary payload, "
+    "decoded to byte statistics. The oracle recomputes the byte sums "
+    "in SQL (text is pure ASCII, so chars == bytes) — this checks the "
+    "whole Pandas-UDF plumbing end-to-end, not just the plan shape.",
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = M.decode_image(M.documents_as_media(docs))
+    return decoded.select("media_id", "n_bytes", "byte_sum")
