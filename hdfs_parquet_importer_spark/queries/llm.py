@@ -84,9 +84,15 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE
     "band-bucket collisions.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    # The theta-join (id_a < id_b) is a broadcast-nested-loop; spread
+    # the stream side so the O(n^2) Jaccard work uses every core.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
-        F.col("doc_id"), D.shingles(F.col("text"), 3).alias("s")
+        F.col("doc_id"), D.tokens(F.col("text")).alias("_t")
+    ).select(
+        "doc_id", D.shingles_of_tokens(F.col("_t"), 3).alias("s")
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
@@ -141,7 +147,9 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
     "(ann_lsh_bucketed) so the pair space is per-bucket.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = S.cosine(F.col("va"), F.col("vb"))
@@ -351,11 +359,18 @@ FROM documents JOIN toks USING (doc_id)
     "incremental dedup.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    # md5 per word-5-gram is CPU-bound — spread a narrow input first.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         T.md5_fingerprint(F.col("text")).alias("content_fp"),
-        T.kgram_min_fingerprint(F.col("text"), 5).alias("kgram_min_fp"),
+        D.tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "content_fp",
+        T.kgram_min_from_tokens(F.col("_toks"), 5).alias("kgram_min_fp"),
     )
 
 
