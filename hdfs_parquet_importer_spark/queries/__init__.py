@@ -60,6 +60,8 @@ def registry() -> dict[str, Query]:
         windows,
         events,
         llm,
+        subqueries,
+        pandas_surface,
     )
 
     return dict(_REGISTRY)

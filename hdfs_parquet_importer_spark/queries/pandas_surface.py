@@ -1,0 +1,110 @@
+"""Pandas-UDF surface demonstrations (SURVEY.md §2.2 UDF row).
+
+The reference registers four Scala scalar UDFs (reference
+package.scala:48-66,104); this engine replaces all of them with native
+Catalyst expressions (queries/etl_parity.py) because Python row UDFs
+serialize per row. The two queries here demonstrate the *sanctioned*
+Python escape hatches for logic Catalyst genuinely cannot express —
+Arrow-batched so the Python boundary costs one (de)serialization per
+~10k-row batch, not per row:
+
+* a vectorized scalar ``pandas_udf`` (Series -> Series);
+* a grouped ``applyInPandas`` (per-group closed-form OLS regression —
+  stand-in for any per-group model fit / sklearn-style step).
+
+Both are checked against exact DuckDB twins (log1p and regr_slope /
+regr_intercept respectively), so the Arrow plumbing is verified
+end-to-end, not just plan-shaped.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+def _log1p_price_udf():
+    # Built lazily: decorating at import time would parse the DDL
+    # return type, which requires an active SparkContext (the registry
+    # imports this module before any session exists).
+    @pandas_udf("double")
+    def _log1p_price(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.log1p(price)
+
+    return _log1p_price
+
+
+@register(
+    "pandas_udf_log_price",
+    oracle="""
+SELECT o_orderkey, ROUND(ln(1 + o_totalprice), 6) AS log_price
+FROM orders ORDER BY o_orderkey
+""",
+    doc="Vectorized scalar pandas_udf (Arrow batches, numpy log1p). "
+    "~10-100x faster than a row-at-a-time Python UDF; still slower "
+    "than the equivalent F.log1p — use only when no builtin exists.",
+)
+def pandas_udf_log_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    log1p_price = _log1p_price_udf()
+    return orders.select(
+        "o_orderkey", F.round(log1p_price("o_totalprice"), 6).alias("log_price")
+    ).orderBy("o_orderkey")
+
+
+def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Closed-form OLS of extendedprice on quantity for one group."""
+    import numpy as np
+
+    x = pdf["l_quantity"].to_numpy(dtype="float64")
+    y = pdf["l_extendedprice"].to_numpy(dtype="float64")
+    n = len(x)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "slope": [np.round(slope, 4)],
+            "intercept": [np.round(intercept, 4)],
+            "n_points": [n],
+        }
+    )
+
+
+@register(
+    "pandas_grouped_regression",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       COUNT(*) AS n_points
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="applyInPandas per-group model fit (closed-form OLS), the "
+    "template for any per-group sklearn/numpy step. One shuffle on "
+    "the group key; each group must fit in one executor's memory — "
+    "at 100 TB group by a finer key or pre-aggregate sufficient "
+    "statistics with native sums (which is what the oracle does).",
+)
+def pandas_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    out_schema = (
+        "l_returnflag string, slope double, intercept double, n_points long"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(_fit_group, schema=out_schema)
+        .orderBy("l_returnflag")
+    )
