@@ -1,0 +1,131 @@
+"""Physical-plan quality gate.
+
+Correctness tests prove the numbers match; these tests prove the PLAN
+is the one we'd want at 100 TB — filters pushed into the parquet scan,
+dimensions broadcast, top-k planned as TakeOrderedAndProject (no global
+sort), per-group top-k using WindowGroupLimit, and no accidental
+cartesian products anywhere except the explicitly brute-force
+operators. A regression that silently turns a broadcast join into a
+1000-executor shuffle passes correctness and fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hdfs_parquet_importer_spark.queries import registry
+
+# Queries whose *algorithm* is an intentional O(n^2) theta/cross join
+# (correctness baselines for the LSH scale paths) — the only ones
+# allowed a nested-loop join.
+BRUTE_FORCE_OK = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",       # broadcast(queries) x vectors, no equi key
+    "subq_global_avg_anti",  # 1-row scalar broadcast cross join
+}
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def ops_of(plan: str) -> set[str]:
+    return set(re.findall(r"^\s*\(\d+\)\s+([A-Za-z]+)", plan, re.M))
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, q in registry().items():
+        out[name] = plan_of(q.fn(spark, sf_dir))
+    return out
+
+
+def test_no_accidental_cartesian(plans):
+    """CartesianProduct / non-sanctioned BNLJ = death at scale."""
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        if name not in BRUTE_FORCE_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q1_filter_pushdown(plans):
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plans["q1_pricing_summary"])
+
+
+def test_q1_partial_aggregation(plans):
+    # Two HashAggregate nodes = map-side partial + final: the shuffle
+    # carries one row per (flag,status) per partition, not per line.
+    assert len(re.findall(r"\(\d+\) HashAggregate", plans["q1_pricing_summary"])) >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_local_supplier", "join_broadcast_dim", "join_anti"],
+)
+def test_dim_joins_broadcast(plans, name):
+    assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_q3_predicate_pushdown_all_tables(plans):
+    plan = plans["q3_shipping_priority"]
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*c_mktsegment", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_topk_no_global_sort(plans):
+    plan = plans["topk_orders"]
+    assert "TakeOrderedAndProject" in plan
+    assert "(1) Sort" not in plan  # no standalone global Sort node
+    assert not re.search(r"^\s*\(\d+\) Sort\b", plan, re.M)
+
+
+def test_window_topk_group_limit(plans):
+    # Spark 3.5+ pushes rank<=k into WindowGroupLimit: each partition
+    # keeps k rows before the shuffle instead of sorting everything.
+    assert "WindowGroupLimit" in plans["window_topk_per_group"]
+
+
+def test_column_pruning_reaches_scan(plans):
+    # q1 touches 7 lineitem columns; the scan must not read all 11.
+    m = re.search(
+        r"ReadSchema: struct<([^>]*)>", plans["q1_pricing_summary"]
+    )
+    assert m, "no ReadSchema in plan"
+    read_cols = [c for c in m.group(1).split(",") if c]
+    assert len(read_cols) <= 7, read_cols
+
+
+def test_semi_and_anti_joins_planned_as_such(plans):
+    assert re.search(r"Join LeftSemi|BroadcastHashJoin.*LeftSemi", plans["join_semi"])
+    assert re.search(r"LeftAnti", plans["join_anti"])
+
+
+def test_exact_dedup_single_shuffle(plans):
+    # groupBy on the hash key: exactly one Exchange (plus AQE wrapper),
+    # partial agg before it.
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plans["dedup_exact"]))
+    assert n_exchanges == 1, plans["dedup_exact"]
+
+
+def test_scans_are_columnar(plans):
+    # Vectorized parquet read feeds codegen via ColumnarToRow. AQE
+    # hides the scan subtree until execution, so assert on a plan
+    # without an AdaptiveSparkPlan wrapper.
+    assert "ColumnarToRow" in plans["topk_orders"]
+    assert "Scan parquet" in plans["q1_pricing_summary"]
+
+
+def test_minhash_no_cartesian_candidates(plans):
+    # The LSH band join must be an equi-join (hash-partitioned on
+    # band+bucket), never a cross join over documents.
+    plan = plans["dedup_minhash_lsh"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
