@@ -1,0 +1,117 @@
+"""Format connectors: JSONL, ORC, partitioned Parquet, bucketed tables.
+
+Design rules (100 TB):
+
+* **Partitioned layouts** (``partitionBy``) give readers partition
+  pruning — a filter on the partition column skips whole directories
+  (PartitionFilters in the scan, zero IO for pruned values). Choose
+  low-cardinality columns; a high-cardinality partition key creates
+  millions of small files.
+* **Bucketed tables** (``bucketBy`` + ``saveAsTable``) pre-shuffle
+  data by join key at write time: two tables bucketed on the same key
+  with the same bucket count join with ZERO exchanges forever after —
+  the write-once/join-many trade that pays for itself after one join.
+* **JSONL** is a row format: fine as an interchange/ingest format,
+  wrong as an analytics store (no column pruning, no predicate
+  pushdown, full-text parse per read). Pipelines here land JSONL into
+  Parquet first, mirroring the reference's CSV->Parquet pattern
+  (reference README.md:3-9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Read newline-delimited JSON.
+
+    Pass an explicit schema in production: without one Spark runs a
+    full inference scan (an extra pass over 100 TB) and infers
+    permissive types. ``multiLine=False`` keeps the file splittable —
+    one JSON doc per line can be read by many tasks in parallel;
+    multiline JSON cannot be split.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("multiLine", str(multiline).lower()).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same vectorized read + pushdown machinery as Parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.orc(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned Parquet (reference O8, package.scala:157).
+
+    Unlike the reference — which sorts globally and THEN repartitions,
+    destroying the sort (package.scala:144-155; SURVEY.md §2.1 O7) —
+    this composes ``repartition(partition_cols)`` with
+    ``sortWithinPartitions``, so each output file is internally sorted
+    (better parquet page/dictionary compression + min-max pruning) and
+    each Hive partition is written by one task (no small-file spray:
+    without the repartition, every input task writes a file into every
+    partition directory → tasks x partitions files).
+    """
+    out = df.repartition(*partition_cols)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a partitioned layout; partition columns come from the
+    directory structure and filters on them prune directories before
+    any file IO (check PartitionFilters in .explain)."""
+    return spark.read.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles by ``bucket_cols`` into ``n_buckets`` files
+    per partition at write time. Reading two tables bucketed on the
+    same key/count lets Spark plan a join with no Exchange on either
+    side — at 100 TB this converts every repeated fact-fact join from
+    a full network shuffle into a local merge. Requires saveAsTable
+    (bucket metadata lives in the catalog, not the files).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

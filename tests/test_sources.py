@@ -1,0 +1,133 @@
+"""Source/sink connector tests: JSONL and ORC round-trips, partitioned
+Parquet with partition-pruned read-back, bucketed tables joining with
+zero exchanges. Plan assertions included — the point of these
+connectors is the plan shape they buy, not just the bytes."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.sources import (
+    read_jsonl,
+    read_orc,
+    read_partitioned_parquet,
+    write_bucketed_table,
+    write_jsonl,
+    write_orc,
+    write_partitioned_parquet,
+)
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+def formatted_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_jsonl_roundtrip(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("jsonl") / "orders.jsonl")
+    src = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    write_jsonl(src, path)
+    back = read_jsonl(
+        spark, path,
+        schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+    a = src.agg(F.sum("o_totalprice")).first()[0]
+    b = back.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(a - b) < 1e-6
+
+
+def test_jsonl_schema_avoids_inference_scan(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("jsonl2") / "o.jsonl")
+    write_jsonl(orders.select("o_orderkey"), path)
+    df = read_jsonl(spark, path, schema="o_orderkey long")
+    assert df.schema.fieldNames() == ["o_orderkey"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("orc") / "orders.orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path).filter(F.col("o_totalprice") > 100000)
+    plan = formatted_plan(back)
+    assert "Scan orc" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_totalprice", plan)
+    expected = orders.filter(F.col("o_totalprice") > 100000).count()
+    assert back.count() == expected
+
+
+def test_partitioned_write_prunes_on_read(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("part") / "orders_by_status")
+    write_partitioned_parquet(
+        orders, path, partition_cols=["o_orderstatus"], sort_cols=["o_orderdate"]
+    )
+    back = read_partitioned_parquet(spark, path).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = formatted_plan(back)
+    # The status filter must appear as a PartitionFilter (directory
+    # skip), NOT a data filter evaluated per row.
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), plan
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_partitioned_layout_is_hive_style(spark, orders, tmp_path_factory):
+    base = tmp_path_factory.mktemp("part2") / "layout"
+    write_partitioned_parquet(orders, str(base), partition_cols=["o_orderstatus"])
+    dirs = {p.name for p in base.iterdir() if p.is_dir()}
+    statuses = {r[0] for r in orders.select("o_orderstatus").distinct().collect()}
+    assert dirs == {f"o_orderstatus={s}" for s in statuses}
+    # One task per partition dir -> exactly one data file inside each.
+    for d in base.iterdir():
+        if d.is_dir():
+            n_files = len([f for f in d.iterdir() if f.name.endswith(".parquet")])
+            assert n_files == 1, (d.name, n_files)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, orders):
+    # Managed tables land in the session's default warehouse dir
+    # (spark.sql.warehouse.dir is static config); DROP TABLE in the
+    # finally block removes the data.
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed_table(
+        orders.select("o_orderkey", "o_totalprice"),
+        "orders_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"],
+    )
+    write_bucketed_table(
+        li.select("l_orderkey", "l_quantity"),
+        "lineitem_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"],
+    )
+    # Disable auto-broadcast: at test scale the planner would broadcast
+    # the tiny table and skip the bucketed path entirely (at real scale
+    # two fact tables exceed any broadcast threshold).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table("orders_b")
+        b = spark.table("lineitem_b")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # Same join on the raw (unbucketed) parquet shuffles both sides.
+        raw = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert "Exchange" in formatted_plan(raw)
+        # And the answer matches the unbucketed join.
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
