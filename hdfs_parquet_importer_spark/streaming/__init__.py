@@ -13,5 +13,7 @@ from hdfs_parquet_importer_spark.streaming.pipeline import (  # noqa: F401
     running_user_totals,
     sessionized_counts,
     sliding_counts,
+    stream_static_enrich,
     tumbling_counts,
+    write_stream_parquet,
 )

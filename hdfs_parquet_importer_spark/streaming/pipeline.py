@@ -157,6 +157,45 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enrich(events: DataFrame, dim: DataFrame,
+                         stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table.
+
+    The static side is re-resolved each micro-batch (a slowly-changing
+    dim picked up on change) and broadcast, so the unbounded stream
+    side never shuffles and no join state accumulates — the scalable
+    default for stream enrichment. Stream-stream joins (both sides
+    unbounded) instead need watermarks on both inputs to bound state.
+    """
+    return events.join(F.broadcast(dim), events[stream_key] == dim[dim_key])
+
+
+def write_stream_parquet(
+    stream_df: DataFrame, path: str, checkpoint: str
+) -> Any:
+    """Stream -> partitioned Parquet via foreachBatch.
+
+    foreachBatch hands each micro-batch over as a *batch* DataFrame,
+    unlocking every batch sink/feature (overwrite-by-partition MERGE
+    patterns, JDBC, multi-sink fan-out). Exactly-once comes from the
+    checkpointed batch id + an idempotent write. The direct
+    ``format("parquet")`` sink would also work for pure append; the
+    foreachBatch form is the production template.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> Any:
