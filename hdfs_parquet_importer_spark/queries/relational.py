@@ -326,6 +326,61 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_salted_skew",
+    oracle="""
+SELECT p_brand, COUNT(*) AS n_items, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+    doc="Explicitly salted equi-join (operators/skew.py): the big side "
+    "spreads each key over 16 salts, the small side replicates via a "
+    "map-side explode, so one hot key lands on 16 reducers instead of "
+    "one. Same answer as the plain join (the oracle IS the plain "
+    "join) — the manual fallback when AQE skew splitting isn't enough.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        salted_join(li, part, "l_partkey", "p_partkey", n_salts=16)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Explicit two-phase (salted) aggregation: partial agg on "
+    "(key, salt) then merge on key — the combiner pattern made "
+    "manual for hot grouping keys. Oracle is the plain aggregate.",
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        salted_agg(
+            li,
+            "l_returnflag",
+            {"n": F.count(F.lit(1)), "total": F.sum("l_extendedprice")},
+            n_salts=16,
+        )
+        .select("l_returnflag", "n", F.round("total", 2).alias("total"))
+        .orderBy("l_returnflag")
+    )
+
+
 # --------------------------------------------------------------------------
 # Aggregations.
 # --------------------------------------------------------------------------

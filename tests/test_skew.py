@@ -1,0 +1,88 @@
+"""Salted join / salted aggregation: result parity with the unsalted
+plan, determinism, and the expected plan shape (replication is an
+explode, not a shuffle)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators.skew import salted_agg, salted_join
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plain = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    salted = (
+        salted_join(li, part, "l_partkey", "p_partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    plain = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    # Salting a LEFT join: big side = left side; unmatched left rows
+    # must survive exactly once (their salt matches no replica... but
+    # every salt value exists on the replicated right side, so the
+    # no-match case still yields exactly one null-extended row).
+    salted = salted_join(cust, orders, "c_custkey", "o_custkey", n_salts=8, how="left")
+    assert salted.count() == plain.count()
+    plain_null = plain.filter(F.col("o_custkey").isNull()).count()
+    salted_null = salted.filter(F.col("o_custkey").isNull()).count()
+    assert plain_null == salted_null
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = salted_join(li, part, "l_partkey", "p_partkey", n_salts=8).count()
+    b = salted_join(li, part, "l_partkey", "p_partkey", n_salts=8).count()
+    assert a == b
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag): (r.n, r.q)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+        )
+        .collect()
+    }
+    salted_df = salted_agg(
+        li,
+        "l_returnflag",
+        {"n": F.count(F.lit(1)), "q": F.sum("l_quantity")},
+        n_salts=8,
+    ).select(
+        "l_returnflag", "n", F.round("q", 2).alias("q")
+    )
+    salted = {(r.l_returnflag): (r.n, r.q) for r in salted_df.collect()}
+    assert plain == salted
+
+
+def test_replication_is_explode_not_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    df = salted_join(li, part, "l_partkey", "p_partkey", n_salts=8)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"\(\d+\) Generate", plan), plan  # explode of salt range
+    assert "CartesianProduct" not in plan
