@@ -227,3 +227,72 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "func_higher_order",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> length(x) >= 6)) AS n_long,
+       COALESCE(array_to_string(list_sort(list_transform(
+         list_filter(toks, x -> length(x) >= 6), x -> upper(x))), ','), '')
+         AS long_upper_sorted,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS total_chars
+FROM t
+""",
+    doc="Higher-order array functions (filter/transform/aggregate over "
+    "a materialized token column — see shingles_of_tokens' performance "
+    "contract): long-token extraction + fold. Pure per-row projection, "
+    "fused into the scan stage.",
+)
+def func_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.dedup import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    long_toks = F.filter(F.col("toks"), lambda x: F.length(x) >= 6)
+    return tok.select(
+        "doc_id",
+        F.size(long_toks).alias("n_long"),
+        F.array_join(
+            F.array_sort(F.transform(long_toks, lambda x: F.upper(x))), ","
+        ).alias("long_upper_sorted"),
+        F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"),
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "func_nullsafe_eq",
+    oracle="""
+SELECT (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+        nullif(c_mktsegment, c_mktsegment)) AS both_null_or_equal,
+       COUNT(*) AS n
+FROM customer GROUP BY both_null_or_equal ORDER BY both_null_or_equal
+""",
+    doc="Null-safe equality (<=> / IS NOT DISTINCT FROM): right side "
+    "is always NULL, left side is NULL only for BUILDING rows, so "
+    "BUILDING groups as true (NULL<=>NULL) and everything else as "
+    "false (value<=>NULL) — plain = would return NULL for every row. "
+    "The only equality form safe for join keys with NULLs.",
+)
+def func_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    b = F.nullif(F.col("c_mktsegment"), F.col("c_mktsegment"))
+    return (
+        c.select(a.eqNullSafe(b).alias("both_null_or_equal"))
+        .groupBy("both_null_or_equal")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("both_null_or_equal")
+    )

@@ -642,3 +642,112 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey")
     )
     return o.subtract(p).orderBy("custkey")
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+""",
+    doc="TPC-H Q14 shape: conditional aggregation (CASE inside SUM) — "
+    "one scan computes both branches; no self-join, no second pass. "
+    "Part dim broadcasts; the date filter pushes to the scan.",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+""",
+    doc="TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst "
+    "factors the single-table conjuncts out of the disjunction and "
+    "pushes them into each scan (p_brand IN (...) to part, quantity "
+    "range to lineitem) — the classic test that complex predicates "
+    "still prune IO.",
+)
+def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "setop_union_by_name",
+    oracle="""
+SELECT kind, key_id, ROUND(amount, 2) AS amount FROM (
+  SELECT 'order' AS kind, o_orderkey AS key_id, o_totalprice AS amount
+  FROM orders WHERE o_totalprice > 450000
+  UNION ALL BY NAME
+  SELECT s_acctbal AS amount, s_suppkey AS key_id, 'supplier' AS kind
+  FROM supplier WHERE s_acctbal > 9000
+) ORDER BY kind, key_id
+""",
+    doc="unionByName: position-independent union of heterogeneous "
+    "sources (columns matched by name, not ordinal) — the safe way to "
+    "append schemas that evolved independently.",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(
+            F.lit("order").alias("kind"),
+            F.col("o_orderkey").alias("key_id"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(
+            F.col("s_acctbal").alias("amount"),
+            F.col("s_suppkey").alias("key_id"),
+            F.lit("supplier").alias("kind"),
+        )
+    )
+    return (
+        orders.unionByName(supp)
+        .select("kind", "key_id", F.round("amount", 2).alias("amount"))
+        .orderBy("kind", "key_id")
+    )

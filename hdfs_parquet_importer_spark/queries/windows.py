@@ -257,3 +257,38 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
         F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total,
+       COUNT(*) OVER (ORDER BY o_totalprice
+                      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+         AS n_within_10k
+FROM orders WHERE o_orderkey % 10 = 0
+ORDER BY total, o_orderkey
+""",
+    doc="RANGE frame (value-based, not row-based): how many orders "
+    "fall within $10k below each order's price. Range frames bound "
+    "the frame by the ORDER BY value — ties and gaps behave unlike "
+    "ROWS frames. Systematic 10% pre-filter keeps the demo bounded.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    w = (
+        Window.orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+            F.count(F.lit(1)).over(w).alias("n_within_10k"),
+        )
+        .orderBy("total", "o_orderkey")
+    )
