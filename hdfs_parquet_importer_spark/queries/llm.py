@@ -397,3 +397,74 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = M.decode_image(M.documents_as_media(docs))
     return decoded.select("media_id", "n_bytes", "byte_sum")
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+SELECT label, d.dim AS dim, ROUND(AVG(embedding[d.dim]), 6) AS centroid
+FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) d
+GROUP BY label, d.dim ORDER BY label, dim
+""",
+    doc="Per-label centroid vectors via posexplode + groupBy-avg: the "
+    "k-means-update / class-prototype step. Long form (label, dim, "
+    "value) scales to any dimension — the shuffle key is (label, dim) "
+    "so no reducer sees a whole vector set; map-side partial avg "
+    "means the shuffle carries one partial sum per (label,dim) per "
+    "partition.",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql(3)}) AS gram FROM toks)
+SELECT gram, COUNT(*) AS n_docs
+FROM sh GROUP BY gram
+ORDER BY n_docs DESC, gram LIMIT 20
+""",
+    doc="Corpus-wide top-20 trigram document frequencies: materialized "
+    "tokens -> distinct shingles per doc -> explode -> count -> "
+    "deterministic top-k (TakeOrderedAndProject; no global sort). "
+    "The vocabulary-statistics building block for contamination "
+    "checks and boilerplate detection.",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
+    grams = tok.select(
+        F.explode(D.shingles_of_tokens(F.col("_t"), 3)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative fixpoint; verified by union-find in pytest
+    doc="Near-dup cluster assignment: connected components (iterative "
+    "min-label propagation, one shuffle per round, localCheckpoint "
+    "per round to truncate lineage) over the MinHash-LSH pair graph. "
+    "component = min doc_id reachable = the kept representative.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    return connected_components(pairs, "id_a", "id_b").orderBy("node")
