@@ -31,9 +31,15 @@ def parse_string_array(col: Column) -> Column:
     exactly what the reference does (package.scala:104).
     """
     inner = F.substring(col, 2, F.greatest(F.length(col) - 2, F.lit(0)))
+    # limit=0 — NOT the PySpark default of -1 — reproduces Scala/Java
+    # String.split semantics: trailing empty strings are dropped
+    # ("a,," -> ["a"]), an all-empty split collapses to [] (","), and
+    # a zero-length input still yields [""] ("[]" -> [""]). The -1
+    # default would keep trailing empties and silently diverge from
+    # the reference (caught by hypothesis in tests/test_properties.py).
     return F.when(
         col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")
-    ).otherwise(F.transform(F.split(inner, ","), lambda x: F.trim(x)))
+    ).otherwise(F.transform(F.split(inner, ",", 0), lambda x: F.trim(x)))
 
 
 def parse_array_col(df: DataFrame, src_col: str, remove_src: bool = False) -> DataFrame:

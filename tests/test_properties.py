@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the reference-parity edge
+semantics — the pieces SURVEY §7.3 flags as easiest to get subtly
+wrong. Each Spark property batches all generated examples into ONE
+DataFrame so hypothesis shrinks over Python data, not Spark jobs."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.etl.arrays import parse_string_array
+from hdfs_parquet_importer_spark.etl.enrich import (
+    DATE_TIME_REGEX,
+    extract_date,
+    extract_month,
+    extract_year,
+)
+from hdfs_parquet_importer_spark.schema import parse_schema_text
+
+_TYPES = ["String", "Long", "Int", "Double", "Float", "Boolean"]
+
+_name = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_"),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(
+    st.lists(st.tuples(_name, st.sampled_from(_TYPES)), min_size=1, max_size=30),
+    st.sampled_from(["", " ", "\t", "  "]),
+)
+@settings(max_examples=200, deadline=None)
+def test_schema_parser_roundtrip(pairs, pad):
+    """Rendering (name, type) pairs with arbitrary padding + comments
+    and parsing back preserves names, order, and types."""
+    lines = ["# header comment", ""]
+    for n, t in pairs:
+        lines.append(f"{pad}{n}{pad}={pad}{t}{pad}")
+    schema = parse_schema_text("\n".join(lines))
+    assert [f.name for f in schema.fields] == [n for n, _ in pairs]
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        {"String": "string", "Long": "bigint", "Int": "int",
+         "Double": "double", "Float": "float", "Boolean": "boolean"}[t]
+        for _, t in pairs
+    ]
+    assert all(f.nullable for f in schema.fields)
+
+
+def _ref_array_parse(s):
+    """Driver-side reference semantics of O5 (SURVEY §2.1):
+    null/'' -> []; else strip first+last char, Java-split on ',', trim.
+
+    Java String.split(sep) (limit 0): a zero-length input yields [""];
+    otherwise trailing EMPTY strings (pre-trim) are removed — possibly
+    all of them ("," -> [])."""
+    if s is None or s == "":
+        return []
+    inner = s[1:-1] if len(s) >= 2 else ""
+    if inner == "":
+        return [""]
+    parts = inner.split(",")
+    while parts and parts[-1] == "":
+        parts.pop()
+    return [p.strip() for p in parts]
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.just(""),
+            st.just("[]"),
+            st.builds(
+                lambda els: "[" + ", ".join(els) + "]",
+                st.lists(st.text(alphabet="abcxyz 1", max_size=5), max_size=5),
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_array_parse_matches_reference_model(spark, vals):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    got = {
+        r.i: r.a
+        for r in df.select("i", parse_string_array(F.col("s")).alias("a")).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == _ref_array_parse(v), (v, got[i])
+
+
+_datetime_like = st.one_of(
+    st.none(),
+    st.just(""),
+    # valid shape
+    st.builds(
+        lambda y, mo, d, h, mi: f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}",
+        st.integers(0, 9999), st.integers(0, 99), st.integers(0, 99),
+        st.integers(0, 99), st.integers(0, 99),
+    ),
+    # junk
+    st.text(alphabet="0123456789-: x", max_size=20),
+)
+
+
+@given(st.lists(_datetime_like, min_size=1, max_size=50))
+@settings(max_examples=20, deadline=None)
+def test_date_enrich_matches_reference_model(spark, vals):
+    rx = re.compile(DATE_TIME_REGEX)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
+    got = {
+        r.i: (r.d, r.y, r.m)
+        for r in df.select(
+            "i",
+            extract_date(F.col("s")).alias("d"),
+            extract_year(F.col("s")).alias("y"),
+            extract_month(F.col("s")).alias("m"),
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] == ("", "", "")
+            continue
+        m = rx.match(v)
+        exp_date = v.split(" ")[0] if v else ""
+        exp_year = m.group(1) if m else ""
+        exp_month = m.group(2) if m else ""
+        assert got[i] == (exp_date, exp_year, exp_month), (v, got[i])
