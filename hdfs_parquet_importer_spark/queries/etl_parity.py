@@ -151,3 +151,78 @@ def etl_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "p_partkey", "tags", F.size("tags").alias("n_tags")
     ).orderBy("p_partkey")
+
+
+@register(
+    "etl_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 3
+),
+merged AS (
+  SELECT * FROM updates
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2)
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+)
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    doc="MERGE/upsert (operators/upsert.py): updates replace same-key "
+    "target rows, inserts pass through, via union + per-key priority "
+    "argmax — ONE hash shuffle on the key, no join, no column "
+    "coalescing. The compute half of overwrite-by-partition upserts "
+    "when no MERGE-capable table format is available.",
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.upsert import upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 3)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    merged = upsert(orders, updates, ["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "cdc_latest_per_key",
+    oracle="""
+SELECT user_id, event_id AS latest_event_id, event_type,
+       ROUND(value, 2) AS value
+FROM events
+QUALIFY row_number() OVER
+  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+""",
+    doc="CDC-log compaction (operators/upsert.py latest_per_key): "
+    "newest row per key by event time with a deterministic event-id "
+    "tiebreak — merge-on-read for change streams. One shuffle on the "
+    "key; WindowGroupLimit keeps per-partition state at k=1.",
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.upsert import latest_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(ev, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        "event_type",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
