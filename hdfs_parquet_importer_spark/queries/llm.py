@@ -468,3 +468,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
     return connected_components(pairs, "id_a", "id_b").orderBy("node")
+
+
+@register(
+    "embedding_kmeans",
+    oracle=None,  # iterative fixpoint; quality + determinism in pytest
+    doc="Deterministic k-means (k=8, Lloyd iterations): centroids are "
+    "the only driver-side state (k x dim floats); assignment is a "
+    "broadcast argmin projection (zero shuffle of the vectors) and "
+    "the update is one (cluster, dim)-keyed partial-agg groupBy per "
+    "round. First-k-by-id init keeps runs reproducible.",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.kmeans import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, max_iter=5)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )
