@@ -141,3 +141,31 @@ def kgram_min_fingerprint(col: Column, k: int = 5) -> Column:
     """Convenience/compat form over a raw text column (slow path —
     prefer projecting ``tokens(col)`` first)."""
     return kgram_min_from_tokens(tokens(col), k)
+
+
+# Rabin-Karp rolling-hash parameters: base 31, Mersenne prime modulus.
+# acc stays < 2^31, so acc*31 + codepoint < 2^36 — no BIGINT overflow
+# even under ANSI mode, and the identical fold is expressible in
+# DuckDB (list_reduce) for an exact cross-engine oracle.
+ROLL_BASE = 31
+ROLL_MOD = (1 << 31) - 1
+
+
+def rolling_hash(col: Column) -> Column:
+    """Polynomial (Rabin-Karp) rolling hash of the normalized text:
+    ``h = fold(chars, (acc, c) -> (acc*B + ord(c)) mod P)``.
+
+    Unlike md5, the polynomial structure supports O(1) sliding-window
+    updates (h(s[1:] + c) derivable from h(s)), which is what makes it
+    the fingerprint of choice for streaming/windowed content hashing.
+    The char array is the HOF *argument* (evaluated once per row), so
+    the fold is a single O(len) pass.
+    """
+    codes = F.transform(
+        F.split(normalize_text(col), ""), lambda c: F.ascii(c).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + c) % F.lit(ROLL_MOD),
+    )

@@ -489,3 +489,23 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split({_NORM_SQL}, ''),
+                        c -> CAST(ord(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 2147483647) AS roll_hash
+FROM documents
+""",
+    doc="Rabin-Karp polynomial rolling hash of the normalized text "
+    "(base 31 mod 2^31-1) — the fingerprint family that supports O(1) "
+    "sliding-window updates. Exact cross-engine oracle: DuckDB "
+    "replays the identical fold with list_reduce.",
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.rolling_hash(F.col("text")).alias("roll_hash"))

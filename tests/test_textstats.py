@@ -96,3 +96,19 @@ def test_fingerprints(spark):
     assert rows[4][1] is None
     # local edit changes content fp but kgram mins may overlap; both non-null
     assert rows[3][1] is not None
+
+
+def test_rolling_hash_deterministic_and_normalized(spark):
+    from hdfs_parquet_importer_spark.operators.textstats import rolling_hash
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello, World"), (2, "hello world"), (3, "goodbye"), (4, "")],
+        "i long, t string",
+    )
+    got = {r.i: r.h for r in df.select("i", rolling_hash(F.col("t")).alias("h")).collect()}
+    # Normalization makes punctuation/case-variants collide...
+    assert got[1] == got[2]
+    # ...different content does not, and empty text hashes to 0.
+    assert got[3] != got[1]
+    assert got[4] == 0
