@@ -292,3 +292,45 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("total", "o_orderkey")
     )
+
+
+@register(
+    "window_quartile_scalable",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+         quantile_cont(o_totalprice, 0.50) AS b2,
+         quantile_cont(o_totalprice, 0.75) AS b3
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(CASE WHEN o_totalprice <= b1 THEN 1
+                 WHEN o_totalprice <= b2 THEN 2
+                 WHEN o_totalprice <= b3 THEN 3
+                 ELSE 4 END AS BIGINT) AS quartile
+FROM orders, b ORDER BY o_orderkey
+""",
+    doc="The 100 TB replacement for window_ntile_global: quartile "
+    "boundaries come from one tiny aggregate (swap in "
+    "approx_percentile's t-digest at scale), broadcast as a 1-row "
+    "cross join, and bucket assignment is a per-row CASE — fully "
+    "parallel, no global-order single-task window anywhere.",
+)
+def window_quartile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.expr("percentile(o_totalprice, 0.25)").alias("b1"),
+        F.expr("percentile(o_totalprice, 0.50)").alias("b2"),
+        F.expr("percentile(o_totalprice, 0.75)").alias("b3"),
+    )
+    quartile = (
+        F.when(F.col("o_totalprice") <= F.col("b1"), 1)
+        .when(F.col("o_totalprice") <= F.col("b2"), 2)
+        .when(F.col("o_totalprice") <= F.col("b3"), 3)
+        .otherwise(4)
+    )
+    return (
+        o.crossJoin(F.broadcast(b))
+        .select("o_orderkey", quartile.cast("long").alias("quartile"))
+        .orderBy("o_orderkey")
+    )

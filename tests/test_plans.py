@@ -24,7 +24,8 @@ BRUTE_FORCE_OK = {
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_cosine_topk",       # broadcast(queries) x vectors, no equi key
-    "subq_global_avg_anti",  # 1-row scalar broadcast cross join
+    "subq_global_avg_anti",      # 1-row scalar broadcast cross join
+    "window_quartile_scalable",  # 1-row boundary broadcast cross join
 }
 
 
