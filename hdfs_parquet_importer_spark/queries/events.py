@@ -167,3 +167,47 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), _FMT).alias("first_seen"),
         F.date_format(F.max("ts"), _FMT).alias("last_seen"),
     )
+
+
+@register(
+    "events_interval_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 2 HOUR
+ORDER BY purchase_id, view_id
+""",
+    doc="Interval join: every view within 2h before a purchase by the "
+    "same user — the batch twin of the stream-stream interval join in "
+    "streaming/pipeline.py (same plan, plus watermarks to bound state "
+    "when both sides are unbounded). Equi-key on user_id carries the "
+    "shuffle; the time bound prunes within each key.",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS")),
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
+    ).orderBy("purchase_id", "view_id")

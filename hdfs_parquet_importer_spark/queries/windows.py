@@ -139,13 +139,19 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       ROUND(AVG(l_extendedprice)
-             OVER (PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS avg4
-FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber
+       ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+               OVER w / (100.0 * COUNT(*) OVER w), 4) AS avg4
+FROM lineitem
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY l_suppkey, l_orderkey, l_linenumber
 """,
-    doc="Moving average over a bounded rows frame per supplier.",
+    doc="Moving average over a bounded rows frame per supplier. The "
+    "window aggregates exact integer cents (engines are free to "
+    "re-associate windowed float sums — DuckDB's segment tree vs "
+    "Spark's per-row frame scan produced a 4dp-boundary flip at "
+    "sf0.1); one final integer division is bit-identical everywhere.",
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -154,11 +160,13 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
         .rowsBetween(-3, Window.currentRow)
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    avg4 = F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w))
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.avg("l_extendedprice").over(w), 4).alias("avg4"),
+        F.round(avg4, 4).alias("avg4"),
     ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
 
 

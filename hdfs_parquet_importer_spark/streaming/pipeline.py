@@ -157,6 +157,45 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    max_gap: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views within ``max_gap`` before it.
+
+    Both unbounded sides carry a watermark; the interval condition
+    (v.ts in [p.ts - max_gap, p.ts]) + the watermarks let the state
+    store evict buffered rows once no future match is possible — the
+    two requirements that make a stream-stream join's state bounded.
+    Same logical result as the batch twin ``events_interval_join``.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame,
                          stream_key: str, dim_key: str) -> DataFrame:
     """Stream-static join: enrich a stream with a dimension table.

@@ -159,3 +159,22 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # amended (append-mode emit-once).
     assert not any(et == "late" for (_, et) in rows2)
     assert ("2024-01-01 10:00:00", "click") not in rows2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    ev = ST.read_events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view")
+    joined = ST.stream_stream_interval_join(purchases, views, "2 hours")
+    q = ST.run_to_memory(joined, "ss_join", output_mode="append")
+    _drain(q)
+    got = {
+        (r.purchase_id, r.view_id, r.gap_s)
+        for r in spark.table("ss_join").collect()
+    }
+    # Batch twin: the oracle-checked events_interval_join query.
+    from hdfs_parquet_importer_spark.queries import registry
+
+    batch = registry()["events_interval_join"].fn(spark, sf_dir)
+    expect = {(r.purchase_id, r.view_id, r.gap_s) for r in batch.collect()}
+    assert got == expect
