@@ -176,3 +176,103 @@ def lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def build_lsh_index(
+    vectors: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist an IVF-style LSH index: vectors written as parquet
+    partitioned by (tbl, bucket).
+
+    Index-once / query-many: a probe for (tbl, bucket) becomes a
+    PartitionFilters directory skip — the query reads only the probed
+    buckets' files, ~(1+n_planes)/2**n_planes of the corpus per table,
+    without scanning or shuffling the rest. Re-ranking inside the
+    probed buckets is exact cosine. This is the batch analogue of an
+    inverted-list (IVF) ANN index, built with nothing but partitioned
+    parquet."""
+    dim = len(vectors.select(vec_col).first()[0])
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)).alias(
+                "bucket"
+            ),
+        )
+        for t in range(n_tables)
+    ])
+    banded = (
+        ensure_parallelism(vectors)
+        .select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb"))
+        .select(id_col, vec_col, "tb.tbl", "tb.bucket")
+    )
+    # One task per (tbl, bucket) directory -> no small-file spray.
+    banded.repartition("tbl", "bucket").write.mode("overwrite").partitionBy(
+        "tbl", "bucket"
+    ).parquet(path)
+
+
+def query_lsh_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Top-k over a persisted LSH index with partition-pruned probes.
+
+    The probe set (tbl, bucket) pairs is an IN-list literal filter on
+    the index's partition columns, so pruning happens at planning time
+    (PartitionFilters, zero IO for unprobed buckets). Candidates from
+    all probed buckets are deduped per (query, id) then ranked by
+    exact cosine."""
+    from pyspark.sql import Window
+
+    dim = len(queries.select(query_vec_col).first()[0])
+    q_rows = queries.collect()  # queries are small by definition
+    probes: set[tuple[int, int]] = set()
+    qb = []
+    for r in q_rows:
+        vec = list(r[query_vec_col])
+        for t in range(n_tables):
+            planes = hyperplanes(dim, n_planes, seed + t)
+            b = 0
+            for j, plane in enumerate(planes):
+                if sum(float(x) * float(p) for x, p in zip(vec, plane)) >= 0:
+                    b |= 1 << j
+            buckets = [b] + ([b ^ (1 << j) for j in range(n_planes)] if multiprobe else [])
+            for bb in buckets:
+                probes.add((t, bb))
+            qb.append((r[query_id_col], vec, t, buckets))
+
+    index = spark.read.parquet(path)
+    probe_pred = F.struct(F.col("tbl"), F.col("bucket")).isin(
+        [F.struct(F.lit(t), F.lit(b)) for t, b in probes]
+    )
+    cand = index.filter(probe_pred)
+
+    probe_df = spark.createDataFrame(
+        [(qid, vec, t, b) for qid, vec, t, bs in qb for b in bs],
+        f"{query_id_col} long, {query_vec_col} array<double>, tbl int, bucket int",
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        cand.join(F.broadcast(probe_df), ["tbl", "bucket"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.max(cosine(F.col(query_vec_col), F.col(vec_col))).alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -92,3 +92,44 @@ def test_lsh_bucket_is_deterministic(spark, sf_dir):
     b2 = emb.select(S.lsh_bucket(F.col("embedding"), planes).alias("b")).collect()
     assert [r["b"] for r in b1] == [r["b"] for r in b2]
     assert all(0 <= r["b"] < 64 for r in b1)
+
+
+def test_persisted_lsh_index_matches_inmemory_lsh(spark, sf_dir, tmp_path):
+    """Index-once/query-many: the persisted (tbl, bucket)-partitioned
+    index returns the same top-k as the in-memory lsh_topk, and the
+    probe filter prunes partitions at planning time."""
+    import re
+
+    from hdfs_parquet_importer_spark.operators.similarity import (
+        build_lsh_index,
+        query_lsh_index,
+        lsh_topk,
+    )
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_path = str(tmp_path / "lsh_index")
+    build_lsh_index(emb, idx_path)
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    from_index = query_lsh_index(spark, idx_path, q, k=5)
+    in_memory = lsh_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        k=5,
+    )
+    a = {(r.query_id, r.vec_id, r.rank) for r in from_index.collect()}
+    b = {(r.query_id, r.vec_id, r.rank) for r in in_memory.collect()}
+    assert a == b
+
+    plan = from_index._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan  # probes prune directories
