@@ -751,3 +751,43 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kind", "key_id", F.round("amount", 2).alias("amount"))
         .orderBy("kind", "key_id")
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+WITH iv AS (
+  SELECT p_partkey, p_retailprice - 50 AS lo, p_retailprice + 50 AS hi
+  FROM part WHERE p_partkey % 20 = 0
+)
+SELECT p_partkey, COUNT(*) AS n_orders_in_band,
+       ROUND(MIN(o_totalprice - lo), 2) AS min_off
+FROM orders JOIN iv
+  ON o_totalprice >= lo AND o_totalprice <= hi
+GROUP BY p_partkey ORDER BY p_partkey
+""",
+    doc="Point-in-interval join via banding (operators/rangejoin.py): "
+    "intervals explode to their overlapping width-100 buckets, points "
+    "map to one bucket, and the range predicate re-checks after a "
+    "plain equi-join on the bucket id — no nested-loop join, the "
+    "shuffle key is the bucket hash. Oracle is the naive theta join.",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.rangejoin import interval_point_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0)
+    iv = part.select(
+        "p_partkey",
+        (F.col("p_retailprice") - 50).alias("lo"),
+        (F.col("p_retailprice") + 50).alias("hi"),
+    )
+    joined = interval_point_join(orders, iv, "o_totalprice", "lo", "hi", 100.0)
+    return (
+        joined.groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_in_band"),
+            F.round(F.min(F.col("o_totalprice") - F.col("lo")), 2).alias("min_off"),
+        )
+        .orderBy("p_partkey")
+    )

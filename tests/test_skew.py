@@ -86,3 +86,39 @@ def test_replication_is_explode_not_shuffle(spark, sf_dir):
     )
     assert re.search(r"\(\d+\) Generate", plan), plan  # explode of salt range
     assert "CartesianProduct" not in plan
+
+def test_interval_join_no_nested_loop(spark, sf_dir):
+    """The banded interval join must plan as an equi-join on the
+    bucket id — no BroadcastNestedLoopJoin / CartesianProduct."""
+    from hdfs_parquet_importer_spark.operators.rangejoin import interval_point_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    iv = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 50).alias("lo"),
+        (F.col("p_retailprice") + 50).alias("hi"),
+    )
+    df = interval_point_join(orders, iv, "o_totalprice", "lo", "hi", 100.0)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # Parity with the naive theta join.
+    naive = orders.join(
+        iv,
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") <= F.col("hi")),
+    )
+    assert df.count() == naive.count()
+
+
+def test_interval_join_boundary_inclusive(spark):
+    points = spark.createDataFrame([(1, 100.0), (2, 199.99), (3, 200.0)], "id long, v double")
+    iv = spark.createDataFrame([(7, 100.0, 200.0)], "ivid long, lo double, hi double")
+    from hdfs_parquet_importer_spark.operators.rangejoin import interval_point_join
+
+    got = {r.id for r in interval_point_join(points, iv, "v", "lo", "hi", 50.0).collect()}
+    assert got == {1, 2, 3}  # both endpoints inclusive
