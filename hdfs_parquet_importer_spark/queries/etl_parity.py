@@ -156,19 +156,24 @@ def etl_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "etl_upsert",
     oracle="""
-WITH updates AS (
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+updates AS (
   SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-         ROUND(o_totalprice * 1.1, 2) AS o_totalprice
-  FROM orders WHERE o_orderkey % 10 = 3
+         (cents * 11) // 10 AS cents
+  FROM base WHERE o_orderkey % 10 = 3
 ),
 merged AS (
   SELECT * FROM updates
   UNION ALL
-  SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice, 2)
-  FROM orders
+  SELECT * FROM base
   WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
 )
-SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(cents) / 100.0, 2) AS total
 FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
     doc="MERGE/upsert (operators/upsert.py): updates replace same-key "
@@ -180,21 +185,25 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.upsert import upsert
 
+    # Money math in exact integer cents: cross-engine ROUND(x*1.1, 2)
+    # diverges by a cent near ties (Spark rounds the exact binary
+    # expansion via BigDecimal; DuckDB rounds a scaled double), which
+    # accumulated a visible drift in the summed totals at sf0.1.
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     updates = (
         orders.filter(F.col("o_orderkey") % 10 == 3)
         .withColumn("o_orderstatus", F.lit("U"))
-        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+        .withColumn("cents", F.expr("cents * 11 div 10"))
     )
     merged = upsert(orders, updates, ["o_orderkey"])
     return (
         merged.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total"),
         )
         .orderBy("o_orderstatus")
     )
