@@ -39,6 +39,12 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The DuckDB oracle reads parquet timestamps as naive wall-clock
+    # values; a session in any other zone would shift every formatted
+    # timestamp string. Runtime-settable, so this also protects when
+    # queries run under the DRIVER's own session (which doesn't go
+    # through our session factory).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
         # (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-settable
