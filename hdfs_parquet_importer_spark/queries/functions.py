@@ -296,3 +296,67 @@ def func_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("both_null_or_equal")
     )
+
+
+@register(
+    "func_date_arith",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')   AS plus_30d,
+       strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d')  AS plus_2mo,
+       strftime(last_day(o_orderdate), '%Y-%m-%d')           AS month_end,
+       CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+         AS days_since_95,
+       CAST(dayofweek(o_orderdate) AS INT)                   AS dow,
+       CAST(weekofyear(o_orderdate) AS INT)                  AS woy
+FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+""",
+    doc="Date/interval arithmetic: interval add, month add (end-of-"
+    "month clamping), last_day, datediff, day-of-week, ISO week. All "
+    "pure projections over the scan; the systematic key filter keeps "
+    "the demo output bounded.",
+)
+def func_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
+        (F.dayofweek(d) - 1).alias("dow"),  # Spark 1=Sun -> DuckDB 0=Sun
+        F.weekofyear(d).alias("woy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "func_explode_outer",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split(trim(text), ' ') END AS toks
+  FROM documents WHERE doc_id < 50
+),
+padded AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END AS toks2
+  FROM t
+)
+SELECT doc_id, unnest(toks2) AS tok FROM padded ORDER BY doc_id, tok
+""",
+    doc="explode_outer: rows with empty arrays survive with a NULL "
+    "element (plain explode silently drops them — the classic "
+    "fan-out data-loss pitfall). The oracle emulates it by padding "
+    "empty lists with [NULL] before unnest.",
+)
+def func_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.when(
+        F.length(F.trim("text")) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim("text"), " "))
+    return (
+        d.select("doc_id", F.explode_outer(toks).alias("tok"))
+        .orderBy("doc_id", "tok")
+    )
