@@ -139,19 +139,21 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-               OVER w / (100.0 * COUNT(*) OVER w), 4) AS avg4
+       (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w * 100)
+         // (COUNT(*) OVER w) AS avg_centi_cents
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 ORDER BY l_suppkey, l_orderkey, l_linenumber
 """,
-    doc="Moving average over a bounded rows frame per supplier. The "
-    "window aggregates exact integer cents (engines are free to "
-    "re-associate windowed float sums — DuckDB's segment tree vs "
-    "Spark's per-row frame scan produced a 4dp-boundary flip at "
-    "sf0.1); one final integer division is bit-identical everywhere.",
+    doc="Moving average over a bounded rows frame per supplier, "
+    "emitted in exact hundredths of a cent via pure integer "
+    "arithmetic. Float formulations are cross-engine hazards twice "
+    "over: windowed float sums re-associate (DuckDB's segment tree "
+    "vs Spark's frame scan) and even ROUND of an identical double "
+    "can differ at tie boundaries (BigDecimal vs scaled-double "
+    "rounding) — integer division has neither failure mode.",
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -161,13 +163,25 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-3, Window.currentRow)
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
-    avg4 = F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w))
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.round(avg4, 4).alias("avg4"),
-    ).orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    avg_cc = F.expr(
+        "_w_sum * 100 div _w_cnt"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(cents).over(w).alias("_w_sum"),
+            F.count(F.lit(1)).over(w).alias("_w_cnt"),
+        )
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            avg_cc.alias("avg_centi_cents"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
 
 
 @register(
