@@ -53,13 +53,17 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                     ORDER BY o_orderdate, o_orderkey
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW), 2) AS running_total
+       ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) / 100.0, 2) AS running_total
 FROM orders ORDER BY o_custkey, o_orderkey
 """,
-    doc="Running per-customer revenue (cumulative frame).",
+    doc="Running per-customer revenue (cumulative frame). Summed in "
+    "exact integer cents — windowed float sums re-associate across "
+    "engines; the single final /100.0 on identical integers is "
+    "bit-stable and lands at most 2 decimals from a tie.",
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -68,10 +72,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("running_total"),
     ).orderBy("o_custkey", "o_orderkey")
 
 
