@@ -148,23 +148,29 @@ SELECT l_suppkey, l_orderkey, l_linenumber,
          // (COUNT(*) OVER w) AS avg_centi_cents
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
-             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                      CAST(round(l_extendedprice * 100) AS BIGINT)
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
 ORDER BY l_suppkey, l_orderkey, l_linenumber
 """,
     doc="Moving average over a bounded rows frame per supplier, "
     "emitted in exact hundredths of a cent via pure integer "
-    "arithmetic. Float formulations are cross-engine hazards twice "
-    "over: windowed float sums re-associate (DuckDB's segment tree "
-    "vs Spark's frame scan) and even ROUND of an identical double "
-    "can differ at tie boundaries (BigDecimal vs scaled-double "
-    "rounding) — integer division has neither failure mode.",
+    "arithmetic (windowed float sums re-associate across engines; "
+    "cross-engine ROUND disagrees at ties). The summed value itself "
+    "is the FINAL order key: the synthetic lineitem has duplicate "
+    "(l_orderkey, l_linenumber) pairs, so a ROWS frame ordered only "
+    "by (shipdate, ok, ln) is under-determined — tied rows with "
+    "different prices made the frame sums engine- and run-dependent. "
+    "With the value as tiebreak, any remaining ties are "
+    "value-identical and every tie permutation yields the same "
+    "output multiset.",
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    order_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", order_cents)
         .rowsBetween(-3, Window.currentRow)
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
