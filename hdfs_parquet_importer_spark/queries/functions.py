@@ -360,3 +360,44 @@ def func_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode_outer(toks).alias("tok"))
         .orderBy("doc_id", "tok")
     )
+
+
+@register(
+    "func_map_transform",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS BIGINT)
+         AS sum_k_doubled,
+       MAX('k_' || json_extract_string(props, '$.k')) AS max_tagged_key
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="Map higher-order functions: transform_values doubles every "
+    "value, transform_keys tags every key — per-row map rewrites with "
+    "no explode and no shuffle until the final aggregate. The oracle "
+    "recomputes the same results from the JSON source (DuckDB has no "
+    "map HOFs), which checks the transformed map CONTENTS, not just "
+    "plan shape.",
+)
+def func_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,long>")
+    doubled = F.transform_values(m, lambda _k, v: v * 2)
+    tagged = F.transform_keys(
+        m, lambda k, v: F.concat_ws("_", k, v.cast("string"))
+    )
+    return (
+        ev.select(
+            "event_type",
+            F.element_at(doubled, "k").alias("k2"),
+            # max over the tagged key names ("K_<digits>", lexicographic)
+            F.array_max(F.map_keys(tagged)).alias("tk"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k2").alias("sum_k_doubled"),
+            F.max("tk").alias("max_tagged_key"),
+        )
+        .orderBy("event_type")
+    )
