@@ -131,11 +131,18 @@ WITH src AS (
          END AS tags
   FROM src
 )
-SELECT p_partkey, tags, len(tags) AS n_tags
+SELECT p_partkey,
+       COALESCE(array_to_string(tags, '|'), '') AS tags_str,
+       len(tags) AS n_tags
 FROM parsed
 ORDER BY p_partkey
 """,
-    doc="O5 array-parse: '[a, b]' string -> array<string> with []/''/null edge rules.",
+    doc="O5 array-parse: '[a, b]' string -> array<string> with []/''/null "
+    "edge rules. The array itself travels as array_join(tags, '|'): the "
+    "driver canonicalizes results through pandas, which cannot hash a "
+    "raw list column (r1 err: unhashable type 'list'). n_tags keeps the "
+    "'[]' -> [''] (size 1) vs '' -> [] (size 0) edge observable even "
+    "though both join to the empty string.",
 )
 def etl_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -149,7 +156,9 @@ def etl_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", parse_string_array(s).alias("tags")
     )
     return parsed.select(
-        "p_partkey", "tags", F.size("tags").alias("n_tags")
+        "p_partkey",
+        F.array_join("tags", "|").alias("tags_str"),
+        F.size("tags").cast("long").alias("n_tags"),
     ).orderBy("p_partkey")
 
 

@@ -410,16 +410,38 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL estimate is engine-specific — rows-only check
-    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct. Rows-only.",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_cust,
+       COUNT(*) AS n_orders,
+       TRUE AS within_bounds
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale distinct. "
+    "The HLL estimate itself is engine-specific, so the checkable "
+    "contract is a bound: |approx - exact| / exact < 5% (rsd=0.02, so "
+    "5% is ~2.5 sigma). Spark emits the exact count plus the bound "
+    "verdict; the oracle emits the exact count plus literal TRUE — a "
+    "full hash check instead of r1's rows-only `no_oracle`.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+            F.count_distinct("o_custkey").alias("exact_cust"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_cust",
+            "n_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_cust"))
+                / F.col("exact_cust")
+                < F.lit(0.05)
+            ).alias("within_bounds"),
         )
         .orderBy("o_orderpriority")
     )

@@ -277,21 +277,42 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based estimate is engine-specific — rows-only
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
     doc="approx_percentile: mergeable quantile sketch, the 100 TB path "
-    "for percentiles (map-side partial sketches, tiny shuffle).",
+    "for percentiles (map-side partial sketches, tiny shuffle). The "
+    "sketch output is engine-specific, so the checkable contract is a "
+    "rank bound: each approx quantile q must land inside the exact "
+    "[q-0.02, q+0.02] quantile envelope (accuracy=10000 guarantees "
+    "rank error <= n/10000, far inside that band). Spark emits the "
+    "per-quantile verdicts; the oracle emits literal TRUEs — a full "
+    "hash check instead of r1's rows-only `no_oracle`.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000
-            ).alias("approx_quartiles")
-        )
-        .orderBy("l_returnflag")
+    approx = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.99], 10000
+    ).alias("_approx")
+    lo = F.expr(
+        "percentile(l_extendedprice, array(0.23, 0.48, 0.73, 0.97))"
+    ).alias("_lo")
+    hi = F.expr(
+        "percentile(l_extendedprice, array(0.27, 0.52, 0.77, 1.0))"
+    ).alias("_hi")
+    agged = li.groupBy("l_returnflag").agg(
+        approx, lo, hi, F.count(F.lit(1)).alias("n")
     )
+    checks = [
+        (
+            (F.col("_approx")[i] >= F.col("_lo")[i])
+            & (F.col("_approx")[i] <= F.col("_hi")[i])
+        ).alias(f"ok_p{p}")
+        for i, p in enumerate((25, 50, 75, 99))
+    ]
+    return agged.select("l_returnflag", "n", *checks).orderBy("l_returnflag")
 
 
 @register(
@@ -315,17 +336,41 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_bernoulli",
-    oracle=None,  # RNG stream is engine-specific — rows-only check
+    oracle="""
+SELECT o_orderstatus, COUNT(*) AS n_total, TRUE AS within_bounds
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
     doc="Bernoulli row sampling (df.sample, fixed seed): per-partition "
     "XORShift stream, no shuffle, deterministic for a fixed partition "
-    "layout. Aggregated so the output is a small per-status summary.",
+    "layout — but partition layout is NOT stable across engines, so "
+    "the checkable contract is statistical: the per-status sample "
+    "count must land within 6 binomial sigma of fraction*n_total "
+    "(p=1e-9 false-alarm). Spark emits the exact totals plus the "
+    "bound verdict; the oracle emits exact totals plus literal TRUE.",
 )
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fraction = 0.1
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.sample(fraction=0.1, seed=42)
+    totals = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    sampled = (
+        orders.sample(fraction=fraction, seed=42)
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .agg(F.count(F.lit(1)).alias("_n_sampled"))
+    )
+    mean = F.col("n_total") * fraction
+    sigma = F.sqrt(F.col("n_total") * fraction * (1 - fraction))
+    return (
+        totals.join(F.broadcast(sampled), "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            "n_total",
+            (
+                F.abs(F.coalesce(F.col("_n_sampled"), F.lit(0)) - mean)
+                <= F.lit(6) * sigma
+            ).alias("within_bounds"),
+        )
         .orderBy("o_orderstatus")
     )
 

@@ -144,8 +144,8 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w * 100)
-         // (COUNT(*) OVER w) AS avg_centi_cents
+       CAST((SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) OVER w * 100)
+         // (COUNT(*) OVER w) AS BIGINT) AS avg_centi_cents
 FROM lineitem
 WINDOW w AS (PARTITION BY l_suppkey
              ORDER BY l_shipdate, l_orderkey, l_linenumber,
@@ -163,7 +163,11 @@ ORDER BY l_suppkey, l_orderkey, l_linenumber
     "different prices made the frame sums engine- and run-dependent. "
     "With the value as tiebreak, any remaining ties are "
     "value-identical and every tie permutation yields the same "
-    "output multiset.",
+    "output multiset. The r1 driver hash-fail was NOT tie order: "
+    "DuckDB SUM(BIGINT) yields HUGEINT, which pandas materializes as "
+    "float64 (123.0) while Spark emits int64 (123) — the driver's "
+    "dtype-sensitive hasher sees different values. Oracle now CASTs "
+    "the windowed quotient back to BIGINT (see tools/dtype_audit.py).",
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")

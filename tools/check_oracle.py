@@ -32,10 +32,13 @@ def canon(v) -> str:
     if v is None:
         return "<null>"
     if isinstance(v, float):
+        # Dtype-STRICT: a float64 123.0 must NOT canonicalize like an
+        # int64 123 — the driver's pandas-based hasher distinguishes
+        # them, and collapsing here hid the r1 window_moving_avg fail
+        # (DuckDB HUGEINT sums decay to float64 in pandas). Keep the
+        # replica at least as strict as the driver.
         if math.isnan(v):
             return "<nan>"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
