@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 
 _SALT = "__salt"
 
+# Join types for which replicating the small side is semantics-preserving.
+# right/full (and right_semi/right_anti-style variants) are NOT: every
+# small-side row that matches nothing on the big side would be emitted
+# once per salt replica — n_salts silent duplicates.
+_SAFE_SALTED_HOWS = frozenset({
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+})
+
 
 def salted_join(
     big: DataFrame,
@@ -43,7 +52,20 @@ def salted_join(
     rand(), so retried tasks (speculative execution, stage retry)
     produce identical output; nondeterministic salting breaks
     exactly-once file commit at scale.
+
+    Only join types where small-side replication preserves semantics
+    are accepted (``_SAFE_SALTED_HOWS``). ``right``/``full`` would
+    duplicate each unmatched small-side row n_salts times; for those,
+    salt the other side or rely on AQE skew-join splitting.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized not in {h.replace("_", "") for h in _SAFE_SALTED_HOWS}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side duplicates its unmatched rows under right/full "
+            "joins. Use inner/left/semi/anti, swap the sides, or rely on "
+            "AQE skew-join splitting."
+        )
     big_salted = big.withColumn(
         _SALT, F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
     )

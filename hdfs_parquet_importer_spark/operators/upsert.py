@@ -28,14 +28,31 @@ _PRIO = "__prio"
 _RN = "__rn"
 
 
-def upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
     """MERGE semantics: rows from ``updates`` replace same-key rows in
     ``target``; unmatched update rows are inserted; unmatched target
-    rows survive. Schemas must be union-compatible by name."""
+    rows survive. Schemas must be union-compatible by name.
+
+    When ``updates`` itself contains duplicate keys, the winner is
+    chosen by ``tiebreak_cols`` (descending — e.g. a version/timestamp
+    column, mirroring ``latest_per_key``). Default: every non-key
+    column, descending — arbitrary but DETERMINISTIC, so repeated runs
+    and retried tasks produce identical output; a row_number over a
+    window ordered only by priority would pick whichever duplicate a
+    given shuffle happened to order first.
+    """
     tagged = target.withColumn(_PRIO, F.lit(0)).unionByName(
         updates.withColumn(_PRIO, F.lit(1))
     )
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(_PRIO))
+    if tiebreak_cols is None:
+        tiebreak_cols = [c for c in target.columns if c not in set(key_cols)]
+    order = [F.desc(_PRIO)] + [F.desc(c) for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     return (
         tagged.withColumn(_RN, F.row_number().over(w))
         .filter(F.col(_RN) == 1)

@@ -66,9 +66,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Joins. Scale stance: fact-to-fact joins (orders-lineitem) shuffle on
-# the join key and rely on AQE for skew; fact-to-dimension joins
-# broadcast the dimension (BROADCAST_TABLES) so the fact side never
-# shuffles.
+# the join key and rely on AQE for skew; joins to world-bounded dims
+# (region/nation, see BROADCAST_TABLES) may hint F.broadcast; joins to
+# sf-proportional tables (customer/supplier/part) are left unhinted so
+# AQE picks broadcast-vs-shuffle from the actual runtime size — a
+# hard-coded hint there would OOM executors at 100x scale.
 # --------------------------------------------------------------------------
 @register(
     "q3_shipping_priority",
@@ -88,7 +90,8 @@ GROUP BY l_orderkey, orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-    doc="TPC-H Q3: 3-way join + agg + deterministic top-10 (broadcast dim).",
+    doc="TPC-H Q3: 3-way join + agg + deterministic top-10. Customer "
+    "join unhinted: AQE broadcasts the filtered side when it fits.",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
@@ -101,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("2000-03-15").cast("timestamp")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy(
             "l_orderkey",
@@ -135,7 +138,9 @@ WHERE c_custkey = o_custkey
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
-    doc="TPC-H Q5: 6-way join, dims broadcast, facts shuffle once on orderkey.",
+    doc="TPC-H Q5: 6-way join. region/nation hinted (world-bounded); "
+    "supplier/customer unhinted (sf-proportional, AQE decides); facts "
+    "shuffle once on orderkey.",
 )
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in
@@ -148,9 +153,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(t["customer"]),
+            t["customer"],
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -177,13 +182,15 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """,
-    doc="Fact-to-dim broadcast hash join: lineitem never shuffles.",
+    doc="Fact-to-dim hash join, unhinted: AQE picks broadcast when the "
+    "dim fits (it does at test sf), shuffle+skew-split when it "
+    "doesn't — lineitem never shuffles in the broadcast case.",
 )
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -680,7 +687,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """,
     doc="TPC-H Q14 shape: conditional aggregation (CASE inside SUM) — "
     "one scan computes both branches; no self-join, no second pass. "
-    "Part dim broadcasts; the date filter pushes to the scan.",
+    "Part join unhinted (sf-proportional — AQE decides); the date "
+    "filter pushes to the scan.",
 )
 def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -690,7 +698,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).agg(
+    return li.join(part, F.col("l_partkey") == F.col("p_partkey")).agg(
         F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -716,7 +724,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    j = li.join(part, F.col("p_partkey") == F.col("l_partkey"))
     cond = (
         (F.col("p_brand") == "Brand#1")
         & F.col("p_size").between(1, 15)

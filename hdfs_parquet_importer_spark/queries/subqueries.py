@@ -77,7 +77,8 @@ GROUP BY p_brand ORDER BY p_brand
     doc="TPC-H Q17 shape: correlated scalar subquery (per-part average) "
     "decorrelated into an aggregate + equi-join on the correlation key. "
     "At scale: one shuffle of lineitem on partkey builds the averages, "
-    "the join reuses the same partitioning, and the part dim broadcasts.",
+    "the join reuses the same partitioning; the part join is unhinted "
+    "(sf-proportional dim — AQE broadcasts only when it fits).",
 )
 def subq_scalar_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -88,7 +89,7 @@ def subq_scalar_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("small_lot_revenue"),
@@ -127,7 +128,7 @@ def subq_in_heavy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy = per_order.filter(F.col("sum_qty") > 250)
     return (
         orders.join(heavy, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -228,7 +229,7 @@ def unpivot_brand_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     wide = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),

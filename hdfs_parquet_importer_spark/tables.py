@@ -26,10 +26,18 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at ANY scale factor: they
-# are bounded by the world (regions, nations) or grow ~linearly but
-# stay << fact tables. Joins against these should use F.broadcast.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Dimension tables small enough to broadcast at ANY scale factor:
+# bounded by the world (5 regions, 25 nations), they never grow with
+# sf. Joins against these may use an explicit F.broadcast hint.
+#
+# customer/supplier/part deliberately EXCLUDED: they grow linearly
+# with sf, so a forced broadcast that is fine at sf0.1 OOMs executors
+# at 100x. Joins against them stay unhinted — AQE converts them to
+# broadcast joins at runtime whenever the post-filter size is under
+# spark.sql.autoBroadcastJoinThreshold, and falls back to a shuffle
+# join (with skew splitting) when it isn't. That decision must stay
+# with the runtime, not the query author.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def table_path(sf_dir: str, name: str) -> str:
