@@ -26,8 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign_expr(centroids: list[list[float]]) -> F.Column:
-    """argmin_c ||vec - centroid_c||^2 as a pure column expression."""
+def _assign_exprs(centroids: list[list[float]]) -> tuple[F.Column, F.Column]:
+    """(argmin cluster, min squared distance) as pure column expressions."""
     best_d, best_c = None, None
     for ci, cent in enumerate(centroids):
         cent_col = F.array(*[F.lit(float(v)) for v in cent])
@@ -44,18 +44,31 @@ def _assign_expr(centroids: list[list[float]]) -> F.Column:
         else:
             best_c = F.when(d < best_d, F.lit(ci)).otherwise(best_c)
             best_d = F.least(d, best_d)
-    return best_c.alias("cluster")
+    return best_c.alias("cluster"), best_d.alias("dist2")
 
 
-def kmeans_assign(
+def _assign_expr(centroids: list[list[float]]) -> F.Column:
+    """argmin_c ||vec - centroid_c||^2 as a pure column expression."""
+    return _assign_exprs(centroids)[0]
+
+
+def kmeans_fit(
     vectors: DataFrame,
     k: int = 8,
     max_iter: int = 10,
     tol: float = 1e-6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, cluster) after Lloyd iterations with deterministic init.
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Lloyd iterations with deterministic init.
+
+    Returns ``(assignments, centroids, inertia_history)`` where
+    ``assignments`` is a (id, cluster) DataFrame against the FINAL
+    centroids, and ``inertia_history[t]`` is the total min squared
+    distance under the centroids at the START of iteration t — by
+    Lloyd's argument (each assignment step and each update step can
+    only lower the objective) the history is non-increasing, which the
+    ``embedding_kmeans`` driver query asserts as its oracle bound.
 
     ``vectors[vec_col]`` must be a fixed-dimension float array.
     """
@@ -64,15 +77,30 @@ def kmeans_assign(
     ).cache()
     init = vecs.orderBy(id_col).limit(k).collect()
     centroids = [[float(v) for v in r.embedding] for r in init]
+    history: list[float] = []
 
     for _ in range(max_iter):
-        assigned = vecs.select(id_col, "embedding", _assign_expr(centroids))
+        cluster_col, dist2_col = _assign_exprs(centroids)
+        assigned = vecs.select(id_col, "embedding", cluster_col, dist2_col)
+        # One pass computes the update AND the objective: inertia is
+        # the sum of dist2 under the current centroids, folded into
+        # the same (cluster, dim) partial-agg shuffle via grouping on
+        # the exploded rows (dist2 is constant per row, so summing
+        # dist2/dim over dims reconstitutes it exactly once per row).
         new_rows = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+            assigned.select(
+                "cluster", "dist2", F.posexplode("embedding").alias("dim", "val")
+            )
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .agg(
+                F.avg(F.col("val").cast("double")).alias("mean"),
+                F.sum("dist2").alias("dist2_sum"),
+            )
             .collect()
         )
+        # Every (cluster, dim) group saw each member row once, so any
+        # single dim's dist2_sum per cluster is that cluster's inertia.
+        history.append(sum(r.dist2_sum for r in new_rows if r.dim == 0))
         new_centroids = [list(c) for c in centroids]
         by_cluster: dict[int, dict[int, float]] = {}
         for r in new_rows:
@@ -91,7 +119,19 @@ def kmeans_assign(
     out = vecs.select(id_col, "embedding", _assign_expr(centroids)).select(
         id_col, "cluster"
     )
-    return out
+    return out, centroids, history
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) after Lloyd iterations with deterministic init."""
+    return kmeans_fit(vectors, k, max_iter, tol, id_col, vec_col)[0]
 
 
 def inertia(

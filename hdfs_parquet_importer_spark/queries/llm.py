@@ -14,15 +14,23 @@ Oracle strategy:
 * Continuous values (cosines) are rounded to 6 dp — cross-engine
   summation-order differences are ~1e-16 and a continuous value has
   probability ~0 of sitting exactly on a rounding boundary.
-* Sketch-based ops (MinHash-LSH, SimHash, hyperplane-LSH ANN) have no
-  DuckDB-expressible twin (xxhash64 is Spark-specific) → rows-only
-  driver check + recall-vs-brute-force pytest coverage in
-  ``tests/test_dedup.py``.
+* Sketch-based ops (MinHash-LSH, SimHash, hyperplane-LSH ANN) and
+  iterative fixpoints (connected components, k-means) can't be
+  replayed in DuckDB (xxhash64 is Spark-specific; SQL has no loop),
+  so each gets the BOUND-CHECK oracle pattern: the Spark query
+  recomputes an independent exact reference IN-SPARK (brute-force
+  pairs / exact top-k / Lloyd's monotone objective), emits
+  oracle-computable anchor columns (doc counts, exact-top-k id sums
+  and cosines DuckDB re-derives itself) plus boolean verdicts, and
+  the oracle emits the independently-derived anchors with literal
+  TRUE verdicts. A full value-hash check instead of rows-only;
+  recall-vs-brute-force pytest coverage in ``tests/test_dedup.py`` /
+  ``tests/test_similarity.py`` backs the same properties at other SFs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdfs_parquet_importer_spark.operators import dedup as D
@@ -66,9 +74,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(docs, F.md5(D.normalize_text(F.col("text"))), "doc_id")
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Exact near-dup pair set (Jaccard >= 0.8 over word-3-gram shingles),
+# derived start-to-finish in DuckDB. Shared by dedup_ngram_jaccard
+# (whose Spark side is the same brute force) and dedup_minhash_lsh
+# (whose Spark side must REDISCOVER this exact set through the
+# sketch + verify pipeline).
+_JACCARD_PAIRS_SQL = f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -77,7 +88,12 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.s, b.s))::DOUBLE
         / len(list_distinct(a.s || b.s)) >= 0.8
-""",
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_JACCARD_PAIRS_SQL,
     doc="Brute-force n-gram Jaccard near-dup pairs (threshold 0.8). "
     "O(n^2) correctness baseline for the MinHash-LSH scale path; at "
     "100 TB use dedup_minhash_lsh, which prunes candidates to "
@@ -109,11 +125,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 has no DuckDB twin; recall tested in pytest
+    oracle=_JACCARD_PAIRS_SQL,
     doc="MinHash(32 perms) + LSH(8 bands x 4 rows) candidate pairs, "
     "exact-Jaccard verified at >= 0.8. The only joins are band-bucket "
     "equi-joins — no cross join anywhere; detection prob at s=0.9 is "
-    "1-(1-0.9^4)^8 ~ 0.9998. The 100 TB scale path.",
+    "1-(1-0.9^4)^8 ~ 0.9998. The 100 TB scale path. Oracle: the FULL "
+    "exact pair set, brute-forced independently in DuckDB — verified "
+    "candidates can never exceed it (exact-Jaccard filter), and with "
+    "deterministic xxhash64 sketches the LSH recall at this SF is a "
+    "fixed fact (1.0 here; per-pair detection >= 0.985 at s=0.8), so "
+    "a hash mismatch means the sketch pipeline dropped or corrupted a "
+    "true pair — exactly what the gate should catch.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -122,14 +144,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based fingerprint; pytest-verified
-    doc="SimHash-64 near-dup candidates, Hamming <= 3, via 4x16-bit "
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       TRUE AS banded_matches_bruteforce,
+       TRUE AS formulations_agree
+FROM documents
+""",
+    doc="SimHash near-dup candidates, Hamming <= 3, via 4x16-bit "
     "chunk banding (pigeonhole guarantees recall). Fingerprinting is "
-    "a pure per-row projection — zero shuffle until the band join.",
+    "explode + partial-agg bit voting — zero shuffle beyond the "
+    "per-doc partial aggregation until the band join. Bound-check "
+    "oracle: in-Spark the banded pair set is compared against an "
+    "O(n^2) brute-force Hamming join over the fingerprints (must be "
+    "EQUAL — banding is exact by pigeonhole, not probabilistic), and "
+    "the explode-based fingerprints are compared against the "
+    "independent per-row HOF formulation (simhash64). The oracle "
+    "re-derives the n_docs anchor and emits literal TRUE verdicts. "
+    "The O(n^2) reference join is the verification harness, not the "
+    "scale path — the shipped operator is the banded equi-join.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+    banded = D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3)
+
+    fp = D.simhash_fingerprints(docs, "doc_id", "text")
+    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+    # Set equality in both directions: full outer join on the full
+    # tuple; any one-sided row is a miss (banding dropped a true pair)
+    # or a phantom (banding emitted a wrong pair/distance).
+    pair_diff = (
+        banded.withColumn("_banded", F.lit(1))
+        .join(
+            brute.withColumn("_brute", F.lit(1)),
+            ["id_a", "id_b", "hamming"],
+            "full",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_banded").isNull() | F.col("_brute").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_mismatch")
+        )
+    )
+    # Cross-check the two independent fingerprint formulations
+    # (per-row zip_with/aggregate fold vs explode + integer aggs).
+    fp_row = docs.select(
+        F.col("doc_id").alias("id"), D.simhash64(F.col("text")).alias("fp2")
+    )
+    fp_diff = fp.join(fp_row, "id").agg(
+        F.sum(F.when(F.col("fp") != F.col("fp2"), 1).otherwise(0)).alias(
+            "n_fp_mismatch"
+        )
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(pair_diff))
+        .crossJoin(F.broadcast(fp_diff))
+        .select(
+            "n_docs",
+            (F.coalesce(F.col("n_mismatch"), F.lit(0)) == 0).alias(
+                "banded_matches_bruteforce"
+            ),
+            (F.coalesce(F.col("n_fp_mismatch"), F.lit(0)) == 0).alias(
+                "formulations_agree"
+            ),
+        )
+    )
 
 
 @register(
@@ -210,20 +301,86 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # approximate by design; recall tested in pytest
-    doc="Hyperplane-LSH ANN: 6 sign-bits -> 64 buckets, Hamming-1 "
-    "multiprobe; candidates shrink ~7/64 vs brute force while the "
-    "probe side stays a broadcast equi-join. The 100 TB scale path "
-    "(IVF-style: bucket = inverted-list key).",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id,
+       CAST(SUM(vec_id) AS BIGINT) AS exact_top10_id_sum,
+       ROUND(MIN(cos), 6) AS exact_min_cos,
+       TRUE AS recall_ok
+FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query_id
+""",
+    doc="Hyperplane-LSH ANN: 6 sign-bits -> 64 buckets, 8 tables, "
+    "Hamming-1 multiprobe; candidates shrink ~7/64 vs brute force "
+    "while the probe side stays a broadcast equi-join. The 100 TB "
+    "scale path (IVF-style: bucket = inverted-list key). Bound-check "
+    "oracle: Spark computes BOTH the exact brute-force top-10 (the "
+    "two-phase salted top-k) and the LSH top-10, emits per-query "
+    "anchors from the exact set (id-sum and min cosine — which DuckDB "
+    "re-derives with its own brute force, independently verifying the "
+    "reference) plus a recall@10 >= 0.5 verdict for the LSH set "
+    "(deterministic hyperplanes, same bound as "
+    "tests/test_similarity.py::test_lsh_topk_recall).",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    topk = S.lsh_topk(emb, q, k=10, n_planes=6, multiprobe=True)
-    return topk.filter(F.col("vec_id") != F.col("query_id")).select(
-        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    # k=11 then drop self-matches so both sets hold 10 true neighbors.
+    exact = (
+        S.brute_force_topk(emb, q, k=11, salt_buckets=32)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "vec_id", "cos")
+    )
+    approx = (
+        S.lsh_topk(emb, q, k=11, n_planes=6, n_tables=8, multiprobe=True)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    anchors = exact.groupBy("query_id").agg(
+        F.sum("vec_id").alias("exact_top10_id_sum"),
+        F.round(F.min("cos"), 6).alias("exact_min_cos"),
+    )
+    return (
+        anchors.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top10_id_sum",
+            "exact_min_cos",
+            (F.coalesce(F.col("_n_hit"), F.lit(0)) >= 5).alias("recall_ok"),
+        )
+        .orderBy("query_id")
     )
 
 
@@ -456,38 +613,158 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative fixpoint; verified by union-find in pytest
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       TRUE AS edges_within_components,
+       TRUE AS components_min_labeled
+FROM documents
+""",
     doc="Near-dup cluster assignment: connected components (iterative "
     "min-label propagation, one shuffle per round, localCheckpoint "
     "per round to truncate lineage) over the MinHash-LSH pair graph. "
-    "component = min doc_id reachable = the kept representative.",
+    "component = min doc_id reachable = the kept representative. "
+    "Bound-check oracle: in-Spark, (a) every edge's endpoints carry "
+    "the same component id — a failed fixpoint (under-merge) breaks "
+    "this; (b) every component id equals the min node labeled with it "
+    "— since labels only propagate along edges, (a)+(b) pin the "
+    "labeling to exactly min-reachable-id. The oracle re-derives the "
+    "n_docs anchor and emits literal TRUE verdicts; union-find parity "
+    "is additionally pytest-checked (tests/test_graph.py).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
-    return connected_components(pairs, "id_a", "id_b").orderBy("node")
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(edges, "id_a", "id_b")
+
+    ca = cc.select(F.col("node").alias("id_a"), F.col("component").alias("comp_a"))
+    cb = cc.select(F.col("node").alias("id_b"), F.col("component").alias("comp_b"))
+    edge_check = (
+        edges.join(ca, "id_a")
+        .join(cb, "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("comp_a") != F.col("comp_b"), 1).otherwise(0)
+            ).alias("n_split_edges"),
+            F.count(F.lit(1)).alias("n_edges_labeled"),
+            F.sum(
+                F.when(F.col("comp_a").isNull() | F.col("comp_b").isNull(), 1)
+                .otherwise(0)
+            ).alias("n_unlabeled"),
+        )
+    )
+    rep_check = cc.groupBy("component").agg(
+        F.min("node").alias("min_node")
+    ).agg(
+        F.sum(
+            F.when(F.col("component") != F.col("min_node"), 1).otherwise(0)
+        ).alias("n_bad_reps")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_docs.crossJoin(F.broadcast(edge_check))
+        .crossJoin(F.broadcast(rep_check))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_docs",
+            (
+                (F.coalesce(F.col("n_split_edges"), F.lit(0)) == 0)
+                & (F.coalesce(F.col("n_unlabeled"), F.lit(0)) == 0)
+                & (F.col("n_edges_labeled") == F.col("n_edges"))
+            ).alias("edges_within_components"),
+            (F.coalesce(F.col("n_bad_reps"), F.lit(0)) == 0).alias(
+                "components_min_labeled"
+            ),
+        )
+    )
 
 
 @register(
     "embedding_kmeans",
-    oracle=None,  # iterative fixpoint; quality + determinism in pytest
+    oracle="""
+SELECT COUNT(*) AS n_vectors,
+       TRUE AS inertia_monotone,
+       TRUE AS assignment_is_argmin,
+       TRUE AS sizes_sum_to_n
+FROM embeddings
+""",
     doc="Deterministic k-means (k=8, Lloyd iterations): centroids are "
     "the only driver-side state (k x dim floats); assignment is a "
     "broadcast argmin projection (zero shuffle of the vectors) and "
     "the update is one (cluster, dim)-keyed partial-agg groupBy per "
-    "round. First-k-by-id init keeps runs reproducible.",
+    "round. First-k-by-id init keeps runs reproducible. Bound-check "
+    "oracle: (a) the per-iteration objective (total min squared "
+    "distance) must be non-increasing — Lloyd's convergence guarantee, "
+    "violated by any broken assignment or update step; (b) the final "
+    "assignment is re-derived through an INDEPENDENT long-form plan "
+    "(posexplode + join against a (cluster,dim,val) centroid table + "
+    "groupBy sum) and each vector's assigned distance must equal the "
+    "re-derived minimum within float tolerance; (c) cluster sizes sum "
+    "to n. The oracle re-derives the n_vectors anchor and emits "
+    "literal TRUE verdicts.",
 )
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.kmeans import kmeans_assign
+    from hdfs_parquet_importer_spark.operators.kmeans import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, k=8, max_iter=5)
+    assigned, centroids, history = kmeans_fit(emb, k=8, max_iter=5)
+    assigned = assigned.localCheckpoint(eager=True)
+
+    # (a) Lloyd monotonicity of the collected objective history.
+    monotone = all(
+        history[i + 1] <= history[i] * (1 + 1e-9) + 1e-9
+        for i in range(len(history) - 1)
+    )
+
+    # (b) Independent argmin re-derivation: long-form squared distance
+    # via explode + equi-join + groupBy, a completely different plan
+    # (and summation order) than the zip_with/aggregate fold inside
+    # kmeans — agreement within tolerance checks the arithmetic, not
+    # the plan. Absolute tolerance: embedding values are O(1) over 64
+    # dims, so d2 is O(10) and 1e-6 is ~9 significant digits.
+    cent_df = spark.createDataFrame(
+        [
+            (ci, d, float(v))
+            for ci, cent in enumerate(centroids)
+            for d, v in enumerate(cent)
+        ],
+        "cluster int, dim int, cval double",
+    )
+    d2 = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .join(F.broadcast(cent_df), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(
+            F.sum(
+                (F.col("val").cast("double") - F.col("cval"))
+                * (F.col("val").cast("double") - F.col("cval"))
+            ).alias("d2")
+        )
+    )
+    min_d2 = d2.groupBy("vec_id").agg(F.min("d2").alias("min_d2"))
+    argmin_check = (
+        assigned.join(d2, ["vec_id", "cluster"])
+        .join(min_d2, "vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d2") > F.col("min_d2") + 1e-6, 1).otherwise(0)
+            ).alias("n_not_argmin"),
+            F.count(F.lit(1)).alias("n_assigned"),
+        )
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     return (
-        assigned.groupBy("cluster")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cluster")
+        n_vec.crossJoin(F.broadcast(argmin_check)).select(
+            "n_vectors",
+            F.lit(bool(monotone)).alias("inertia_monotone"),
+            (F.coalesce(F.col("n_not_argmin"), F.lit(0)) == 0).alias(
+                "assignment_is_argmin"
+            ),
+            (F.col("n_assigned") == F.col("n_vectors")).alias("sizes_sum_to_n"),
+        )
     )
 
 
