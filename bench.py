@@ -6,23 +6,26 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 exactly ONE JSON line:
 
     {"metric": "headline_total_sec", "value": N, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1, ...}
 
-Timing methodology: one untimed warmup execution of EACH query first
-(JIT + whole-stage-codegen compile + parquet footer cache are one-time
-costs a long-lived job amortizes away), then each query is timed over
-a full plan-build + execute + collect cycle and the best of two timed
-runs is reported — standard steady-state benchmarking, which also
-damps the ±15% run-to-run noise of a shared machine. The headline
-metric is the sum of per-query times — a throughput proxy that rewards
-minimizing shuffles and keeping work JVM-side, matching how the driver
-compares rounds.
+Timing methodology (round 3, after the round-2 +19% drift proved the
+old best-of-2 harness could not tell environment noise from plan
+regressions): one untimed warmup execution of EACH query first (JIT +
+whole-stage-codegen compile + parquet footer cache are one-time costs
+a long-lived job amortizes away), then each query is timed over
+``RUNS`` (>=3) full plan-build + execute + collect cycles. The
+reported per-query number is the MEDIAN; per-query spread (stdev and
+min) ships alongside under "stdev"/"min" so a round-over-round delta
+can be judged against the measured noise floor instead of guessed.
+The headline metric is the sum of per-query medians — a throughput
+proxy that rewards minimizing shuffles and keeping work JVM-side.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,15 +34,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from hdfs_parquet_importer_spark.queries import registry
 from hdfs_parquet_importer_spark.session import build_session
 
-# Diverse operator coverage: scan+agg, broadcast join, fact-fact join,
-# window, rollup, as-of join, dedup, similarity, text analysis. Names
-# absent from the registry are skipped, so this list can lead the
-# implementation slightly.
+# Diverse operator coverage: scan+agg, dim join, fact-fact join,
+# subquery, set-op, window, rollup, as-of join, dedup, similarity,
+# text analysis, multimodal codec, event windows. Names absent from
+# the registry are skipped, so this list can lead the implementation.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "join_broadcast_dim",
+    "subq_in_heavy_orders",
+    "setop_union_by_name",
     "agg_rollup",
     "window_topk_per_group",
     "asof_join_purchase_view",
@@ -50,6 +55,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "events_tumbling_window",
 ]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> int:
@@ -64,23 +71,30 @@ def main() -> int:
     for name in names:
         reg[name].fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    stdevs: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(max(3, RUNS)):
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        medians[name] = round(statistics.median(samples), 3)
+        stdevs[name] = round(statistics.stdev(samples), 3)
+        mins[name] = round(min(samples), 3)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "stdev": stdevs,
+                "min": mins,
+                "runs": max(3, RUNS),
                 "sf": sf,
             }
         )

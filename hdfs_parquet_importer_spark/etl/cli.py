@@ -59,6 +59,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sort within hash partitions instead of a global pre-shuffle sort")
     p.add_argument("--inferSchema", action="store_true",
                    help="real type inference (the reference documents but never enables this)")
+    p.add_argument("--logLevel", default="WARN",
+                   choices=["ALL", "DEBUG", "INFO", "WARN", "ERROR", "OFF"],
+                   help="Spark log level (runtime twin of the reference's "
+                        "bundled log4j.xml quieting; default WARN)")
     return p
 
 
@@ -71,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         k, _, v = kv.partition("=")
         conf[k.strip()] = v.strip()
-    spark = build_session(threads=args.threads, conf=conf)
+    spark = build_session(threads=args.threads, conf=conf, log_level=args.logLevel)
     opts = PipelineOptions(
         src_file=args.srcFile,
         dest_file=args.destFile,

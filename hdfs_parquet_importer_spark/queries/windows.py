@@ -178,6 +178,11 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-3, Window.currentRow)
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # Spark's `div` truncates toward zero; DuckDB's `//` floors. The
+    # two agree ONLY because _w_sum is non-negative by construction
+    # (prices are positive). Reusing this pattern on signed values
+    # would silently diverge at negative quotients — use
+    # floor(sum*100/cnt) on BOTH sides there instead.
     avg_cc = F.expr(
         "_w_sum * 100 div _w_cnt"
     )

@@ -43,12 +43,17 @@ def build_session(
     threads: int | str | None = None,
     conf: dict[str, str] | None = None,
     shuffle_partitions: int | None = None,
+    log_level: str = "WARN",
 ) -> SparkSession:
     """Build a SparkSession with conf passthrough.
 
     ``threads`` mirrors the reference's ``--threads`` (Config.scala:19,
     default ``*``); an explicit ``master`` wins over ``threads``. On a
     real cluster both are left unset and the cluster manager decides.
+    ``log_level`` is the runtime equivalent of the reference's bundled
+    log4j quieting config (src/main/resources/log4j.xml:10-21, which
+    silences Spark/Hadoop chatter to WARN) — wired to ``--logLevel``
+    on the CLI.
     """
     builder = SparkSession.builder.appName(app_name)
     if master is None:
@@ -65,5 +70,5 @@ def build_session(
     for k, v in (conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(log_level)
     return spark

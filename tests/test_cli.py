@@ -56,3 +56,11 @@ def test_cli_delimiter_spellings():
     a = p.parse_args(["--srcFile", "a", "--destFile", "b", "--delimeter", ";"])
     b = p.parse_args(["--srcFile", "a", "--destFile", "b", "--delimiter", ";"])
     assert a.delimiter == b.delimiter == ";"
+
+
+def test_cli_log_level_flag():
+    p = build_parser()
+    a = p.parse_args(["--srcFile", "a", "--destFile", "b"])
+    assert a.logLevel == "WARN"  # default = reference log4j.xml quieting
+    b = p.parse_args(["--srcFile", "a", "--destFile", "b", "--logLevel", "ERROR"])
+    assert b.logLevel == "ERROR"

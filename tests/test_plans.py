@@ -26,6 +26,19 @@ BRUTE_FORCE_OK = {
     "ann_cosine_topk",       # broadcast(queries) x vectors, no equi key
     "subq_global_avg_anti",      # 1-row scalar broadcast cross join
     "window_quartile_scalable",  # 1-row boundary broadcast cross join
+    "dedup_simhash",         # embeds the O(n^2) brute-force REFERENCE
+                             # join its bound-check oracle compares the
+                             # banded operator against (r3); the shipped
+                             # operator (simhash_candidate_pairs) stays
+                             # equi-join only — asserted separately in
+                             # test_simhash_operator_plan_is_equi_join.
+    "dedup_clusters",        # 1-row verdict/anchor broadcast cross joins
+    "embedding_kmeans",      # 1-row verdict/anchor broadcast cross joins
+    "ann_lsh_bucketed",      # embeds brute_force_topk (broadcast(q) x
+                             # vectors) as its exact recall reference
+                             # (r3); the LSH candidate join itself is
+                             # a (tbl,bucket) equi-join — asserted in
+                             # test_lsh_candidate_join_is_equi_join.
 }
 
 
@@ -128,5 +141,37 @@ def test_minhash_no_cartesian_candidates(plans):
     # The LSH band join must be an equi-join (hash-partitioned on
     # band+bucket), never a cross join over documents.
     plan = plans["dedup_minhash_lsh"]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_operator_plan_is_equi_join(spark, sf_dir):
+    """The registered dedup_simhash QUERY embeds an O(n^2) reference
+    join for its bound-check oracle, so it sits in BRUTE_FORCE_OK —
+    this pins the shipped OPERATOR itself to the banded equi-join plan
+    so a regression there can't hide behind the allowlist."""
+    from hdfs_parquet_importer_spark.operators.dedup import simhash_candidate_pairs
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidate_join_is_equi_join(spark, sf_dir):
+    """ann_lsh_bucketed's QUERY embeds the brute-force exact reference
+    (sanctioned BNLJ); pin the LSH OPERATOR's candidate join to the
+    (tbl, bucket) equi-join so it can't regress behind the allowlist."""
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators.similarity import lsh_topk
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(lsh_topk(emb, q, k=10, n_planes=6, n_tables=8, multiprobe=True))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

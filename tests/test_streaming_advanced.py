@@ -102,7 +102,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
 
-    def run(name: str) -> dict:
+    def run(name: str) -> tuple[dict, int]:
         # foreachBatch sink: the memory sink cannot recover from a
         # checkpoint, and checkpointed watermark recovery is exactly
         # what this test exercises.
@@ -124,11 +124,21 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             .start()
         )
         _drain(q)
+        # Exact drop accounting from the state-store metrics: every
+        # input row behind the watermark increments
+        # numRowsDroppedByWatermark in some micro-batch's progress.
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
         try:
             rows = spark.read.parquet(out).collect()
         except Exception:  # no batch produced rows -> no dir written
-            return {}
-        return {(r.window_start, r.event_type): r.n_events for r in rows}
+            return {}, dropped
+        return {
+            (r.window_start, r.event_type): r.n_events for r in rows
+        }, dropped
 
     # Run 1: three on-time rows in [10:00, 11:00) + one at 13:00. The
     # watermark during this run is 0, so nothing is emitted yet; at
@@ -142,23 +152,27 @@ def test_watermark_drops_late_rows(spark, tmp_path):
             (4, _ns(13, 0), 1, "click", 1.0),
         ],
     )
-    rows1 = run("late_run1")
+    rows1, dropped1 = run("late_run1")
     # The trailing no-data batch advances the watermark to 11:00 and
-    # finalizes the 10:00 window with its 3 on-time rows.
+    # finalizes the 10:00 window with its 3 on-time rows. Nothing was
+    # behind the watermark in run 1 — exactly 0 drops.
     assert rows1.get(("2024-01-01 10:00:00", "click")) == 3
     assert ("2024-01-01 13:00:00", "click") not in rows1  # still open
+    assert dropped1 == 0
 
     # Run 2 (same checkpoint): a straggler behind the watermark.
     time.sleep(1.1)
     _write_events_file(
         str(src / "batch-0002.parquet"), [(5, _ns(10, 30), 1, "late", 9.0)]
     )
-    rows2 = run("late_run2")
+    rows2, dropped2 = run("late_run2")
     # Behind-the-watermark straggler dropped: no 'late' row is ever
     # emitted, and the finalized 10:00 window is NOT re-emitted or
-    # amended (append-mode emit-once).
+    # amended (append-mode emit-once). The state store counted EXACTLY
+    # the one straggler as dropped-by-watermark.
     assert not any(et == "late" for (_, et) in rows2)
     assert ("2024-01-01 10:00:00", "click") not in rows2
+    assert dropped2 == 1
 
 
 def test_stream_stream_interval_join_matches_batch(spark, sf_dir):

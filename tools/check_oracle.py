@@ -15,12 +15,15 @@ from __future__ import annotations
 import argparse
 import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+# Anchor on the repo root (this file's parent's parent) so the tool
+# works from any cwd, not just the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hdfs_parquet_importer_spark.queries import registry
 from hdfs_parquet_importer_spark.session import build_session
@@ -112,7 +115,6 @@ def main() -> int:
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
         elif digest(srows, list(scols)) != digest(orows, ocols):
             problems.append("value digest mismatch")
-            sd = dict(zip(sorted(range(len(scols)), key=lambda i: scols[i]), []))
             # print the first differing row pair for debugging
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
             order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])

@@ -21,12 +21,15 @@ Exit 1 if any query has a risky dtype divergence.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+# Anchor on the repo root (this file's parent's parent) so the tool
+# works from any cwd, not just the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from hdfs_parquet_importer_spark.queries import registry
 from hdfs_parquet_importer_spark.session import build_session
@@ -56,6 +59,10 @@ def main() -> int:
     args = ap.parse_args()
 
     reg = registry()
+    unknown = [n for n in args.names if n not in reg]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     names = args.names or [n for n in reg if reg[n].oracle is not None]
     spark = build_session("dtype-audit", shuffle_partitions=32)
     con = duckdb.connect()
