@@ -267,14 +267,22 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            fp: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming distance <= max_hamming.
 
     Banding: 4 chunks of 16 bits; Hamming<=3 implies at least one chunk
     is identical (pigeonhole), so an equi-join per chunk finds every
     qualifying pair without a cross join.
+
+    Pass a precomputed ``fp`` ((id, fp) from
+    :func:`simhash_fingerprints`) to reuse fingerprints across several
+    consumers — fingerprinting dominates the cost, so a caller that
+    also needs the fingerprints (e.g. a verification harness) should
+    compute them once and ``localCheckpoint``.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
+    if fp is None:
+        fp = simhash_fingerprints(df, id_col, text_col)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
