@@ -169,3 +169,51 @@ def rolling_hash(col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * ROLL_BASE + c) % F.lit(ROLL_MOD),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition (Gopher-rule family) and PII scanning.
+# ---------------------------------------------------------------------------
+# PII patterns deliberately restricted to syntax valid in BOTH Java
+# regex (Spark) and RE2 (DuckDB) — no backreferences, no lookaround —
+# so the DuckDB oracle replays them verbatim.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d{3}[- .]\d{3}[- .]\d{4}\b"
+PII_REDACTED = "[PII]"
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of a PII pattern."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_scrub(col: Column) -> Column:
+    """Replace every email/IPv4/phone match with the redaction token.
+    Order matters: emails first (an email may embed digit runs)."""
+    c = F.regexp_replace(col, PII_EMAIL, PII_REDACTED)
+    c = F.regexp_replace(c, PII_IPV4, PII_REDACTED)
+    return F.regexp_replace(c, PII_PHONE, PII_REDACTED)
+
+
+def duplicate_ngram_fraction(toks: Column, n: int = 3) -> Column:
+    """Fraction of word n-gram OCCURRENCES that are repeats of an
+    earlier occurrence within the document: 1 - distinct/total
+    (0 when fewer than n tokens). The Gopher repetition rule —
+    boilerplate and degenerate text score high.
+
+    Takes a materialized token-array column (see shingles_of_tokens'
+    performance contract in operators/dedup.py).
+    """
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    distinct = F.when(total >= 1, F.size(F.array_distinct(grams))).otherwise(
+        F.lit(0)
+    )
+    return F.when(
+        total > 0,
+        1.0 - distinct.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))

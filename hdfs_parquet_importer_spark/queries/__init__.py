@@ -59,16 +59,25 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tests/test_oracle_gate.py (tools/check_oracle.py over ALL queries),
 # so rotation never leaves an edited query on a stale green.
 #
-# Round 3 rotation: (1) every query whose code changed in round 3 —
-# broadcast-hint removal, the five new bound-check oracles, the upsert
-# tiebreak, the new PNG round-trip; (2) every query whose only green
-# is from round 1 (rotated out of round 2's window). Dropped to fit
-# 50: q1_pricing_summary (green r1+r2, unchanged, still smoke-checked
-# by entry()) and window_ntile_global (labeled single-task demo,
-# unchanged since its r1 green; scalable twin green in r2).
+# Round 3 rotation: (1) queries NEW this round (PNG round-trip,
+# repetition, PII scan, sequence packing, contamination); (2) every
+# query whose code changed in round 3 — broadcast-hint removal, the
+# five new bound-check oracles, the upsert tiebreak; (3) queries whose
+# only green is from round 1 (rotated out of round 2's window).
+# Dropped to fit 50 (all unchanged since their r1 green, all covered
+# by the local full-registry gate): q1_pricing_summary (still
+# smoke-checked by entry()), window_ntile_global (single-task demo;
+# scalable twin green r2), setop_intersect, func_nullsafe_eq,
+# func_date_arith, func_explode_outer, func_map_transform,
+# window_first_last.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Changed in round 3: new query + new oracles ------------------
+    # -- New in round 3 (no prior driver row) -------------------------
     "multimodal_png_roundtrip",
+    "text_repetition",
+    "text_pii_scan",
+    "pack_sequences",
+    "corpus_contamination",
+    # -- Changed in round 3: new bound-check oracles ------------------
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
@@ -101,7 +110,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_stats",
     "topk_orders",
     "setop_union",
-    "setop_intersect",
     "setop_except",
     "setop_union_by_name",
     "etl_date_enrich",
@@ -113,12 +121,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "func_array",
     "func_explode",
     "func_json",
-    "func_nullsafe_eq",
-    "func_date_arith",
     "window_running_sum",
     "window_lag_lead",
     "window_rank_dense",
-    "window_first_last",
     # -- Family representatives (events / pandas surface), so every
     # -- query module keeps a row in the current window. The two
     # -- function demos displaced (func_explode_outer,

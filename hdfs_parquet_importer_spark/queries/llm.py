@@ -844,6 +844,176 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id,
+             [array_to_string(t[i:i+2], ' ')
+              for i in range(1, greatest(len(t)-2, 0)+1)] AS grams,
+             greatest(len(t)-2, 0) AS n_trigrams
+      FROM toks)
+SELECT doc_id,
+       CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(CASE WHEN n_trigrams > 0 THEN len(list_distinct(grams))
+                 ELSE 0 END AS BIGINT) AS n_distinct_trigrams,
+       CASE WHEN n_trigrams > 0
+            THEN 1.0 - len(list_distinct(grams))::DOUBLE / n_trigrams
+            ELSE 0.0 END AS dup_trigram_frac
+FROM g
+""",
+    doc="Within-document repetition (Gopher rule): fraction of word "
+    "trigram occurrences that repeat an earlier occurrence — "
+    "boilerplate and degenerate generations score high and get "
+    "filtered before training. Pure per-row array arithmetic "
+    "(materialized token column per the HOF contract), pipelines into "
+    "the scan, no shuffle. Unrounded ratio: both engines divide "
+    "identical integers.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
+    total = F.greatest(F.size(F.col("_t")) - 2, F.lit(0))
+    return tok.select(
+        "doc_id",
+        total.cast("long").alias("n_trigrams"),
+        F.when(total >= 1, F.size(D.shingles_of_tokens(F.col("_t"), 3)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_distinct_trigrams"),
+        T.duplicate_ngram_fraction(F.col("_t"), 3).alias("dup_trigram_frac"),
+    )
+
+
+_PII_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+            '{email}', '[PII]', 'g'),
+            '{ipv4}', '[PII]', 'g'),
+            '{phone}', '[PII]', 'g')) AS BIGINT) AS scrubbed_len
+FROM documents
+"""
+
+
+@register(
+    "text_pii_scan",
+    oracle=_PII_ORACLE.replace("{email}", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    .replace("{ipv4}", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+    .replace("{phone}", "\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"),
+    doc="PII scan + scrub: count emails / IPv4s / phone-shaped numbers "
+    "per document and report the redacted length. Patterns restricted "
+    "to the Java-regex ∩ RE2 dialect (no lookaround/backreferences) "
+    "so the DuckDB oracle replays them verbatim. Pure per-row regexp "
+    "projections — pipelines into the scan; at 100 TB the scrub runs "
+    "before any payload leaves the ingest stage.",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.pii_count(t, T.PII_EMAIL).cast("long").alias("n_emails"),
+        T.pii_count(t, T.PII_IPV4).cast("long").alias("n_ipv4"),
+        T.pii_count(t, T.PII_PHONE).cast("long").alias("n_phones"),
+        F.length(T.pii_scrub(t)).cast("long").alias("scrubbed_len"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, len({_TOKS_SQL}) AS n_tok FROM documents),
+c AS (SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum - n_tok AS BIGINT) AS "offset",
+       CAST((cum - n_tok) // 2048 AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id
+""",
+    doc="Sequence packing (concat-then-chunk, budget 2048 tokens): "
+    "every document gets its token-stream offset and the chunk its "
+    "first token lands in — how pretraining batches are actually "
+    "packed. The offset is a distributed two-phase prefix sum "
+    "(operators/prefix.py): per-bucket partitioned windows + a "
+    "single-partition window over only the bucket totals, never over "
+    "rows — the naive global-order window funnels the corpus through "
+    "one reducer. Floor-vs-truncate: offsets are non-negative, so "
+    "Spark's div == DuckDB's //.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import pack_sequences as pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", T.ws_token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    packed = pack(
+        t, "doc_id", "n_tok", budget=2048,
+        bucket=F.expr("doc_id div 64"),
+    )
+    return packed.select(
+        "doc_id", "n_tok", F.col("offset").cast("long").alias("offset"), "bin_id"
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_contamination",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS gram FROM toks),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+hits AS (SELECT s.doc_id, COUNT(*) AS n
+         FROM sh s JOIN ev USING (gram)
+         WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_shared_8grams,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id
+""",
+    doc="Train/eval contamination check: flag training documents "
+    "sharing any word 8-gram with a held-out eval slice (docs with "
+    "id % 50 == 0 stand in for the benchmark). The industry-standard "
+    "n-gram-overlap decontamination (GPT-3/PaLM style). Plan shape: "
+    "explode distinct 8-grams once, distinct the eval side, one "
+    "gram-keyed equi-join — no document ever compares to another "
+    "directly, so it scales as O(total grams), and a hot boilerplate "
+    "gram is an AQE-split skew key, not a cross join.",
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
+    grams = tok.select(
+        "doc_id", F.explode(D.shingles_of_tokens(F.col("_t"), 8)).alias("gram")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_shared_8grams"),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "text_rolling_hash",
     oracle=f"""
 SELECT doc_id,

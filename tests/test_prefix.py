@@ -1,0 +1,68 @@
+"""Distributed prefix-sum / sequence-packing tests: parity with the
+naive single-reducer window, bucket-boundary correctness, and the plan
+property that row-level windows are partitioned."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators.prefix import pack_sequences, prefix_sum
+
+
+def _naive_offsets(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return {
+        r.k: r.off
+        for r in df.withColumn("off", F.sum("v").over(w) - F.col("v")).collect()
+    }
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(0, 200, 2)]  # gappy keys
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    got = {
+        r.k: r.offset
+        for r in prefix_sum(df, "k", "v", bucket=F.expr("k div 16")).collect()
+    }
+    assert got == _naive_offsets(spark, rows)
+
+
+def test_prefix_sum_single_bucket_and_single_rows(spark):
+    rows = [(1, 10)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    assert prefix_sum(df, "k", "v", bucket=F.lit(0)).first().offset == 0
+
+
+def test_pack_sequences_bins(spark):
+    # 5 docs x 100 tokens, budget 250: offsets 0,100,...,400 ->
+    # bins 0,0,0(200//250),1(300//250),1.
+    rows = [(i, 100) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.offset, r.bin_id)
+        for r in pack_sequences(
+            df, "doc_id", "n_tok", budget=250, bucket=F.expr("doc_id div 2")
+        ).collect()
+    }
+    assert got == {0: (0, 0), 1: (100, 0), 2: (200, 0), 3: (300, 1), 4: (400, 1)}
+
+
+def test_prefix_sum_row_window_is_partitioned(spark):
+    """The row-count-proportional window must be PARTITIONED (by
+    bucket); only the bucket-totals window (n_buckets rows) may be
+    global. Guard: the physical plan's row-level Window node carries a
+    partition spec."""
+    df = spark.createDataFrame([(i, 1) for i in range(100)], "k long, v long")
+    out = prefix_sum(df, "k", "v", bucket=F.expr("k div 10"))
+    jvm = spark._jvm
+    plan = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    wins = re.findall(r"Arguments: \[sum\(v[^\]]*\], (\[[^\]]*\])", plan)
+    # Two Window nodes: the per-bucket cumsum must have a non-empty
+    # partition spec; the totals window is allowed an empty one.
+    assert any("__psbucket" in w for w in wins), plan
