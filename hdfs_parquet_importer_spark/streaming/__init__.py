@@ -8,6 +8,7 @@ watermarks for late data, tumbling/sliding/session windows, and an
 """
 
 from hdfs_parquet_importer_spark.streaming.pipeline import (  # noqa: F401
+    dedup_stream,
     read_events_stream,
     run_to_memory,
     running_user_totals,

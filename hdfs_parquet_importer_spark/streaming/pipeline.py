@@ -196,6 +196,28 @@ def stream_stream_interval_join(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once dedup: drop any event whose key was
+    already seen within the watermark horizon — the ingest-side dedup
+    every event pipeline needs (at-least-once sources redeliver).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state ONLY until
+    the watermark passes, so state is bounded by (arrival rate x
+    watermark), not by stream lifetime — plain ``dropDuplicates`` on a
+    stream grows state forever and eventually OOMs. Keys collide
+    across micro-batches too (state lives in the checkpoint), which a
+    foreachBatch-side batch dedup cannot do.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_static_enrich(events: DataFrame, dim: DataFrame,
                          stream_key: str, dim_key: str) -> DataFrame:
     """Stream-static join: enrich a stream with a dimension table.

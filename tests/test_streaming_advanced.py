@@ -192,3 +192,64 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     batch = registry()["events_interval_join"].fn(spark, sf_dir)
     expect = {(r.purchase_id, r.view_id, r.gap_s) for r in batch.collect()}
     assert got == expect
+
+
+def test_dedup_stream_across_microbatches(spark, tmp_path):
+    """Exactly-once ingest dedup: a key redelivered in a LATER
+    micro-batch (same checkpoint, within the watermark horizon) must
+    be dropped; a genuinely new key passes. State lives in the
+    checkpoint, so this survives restarts too."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = (
+            spark.readStream.schema(ST.pipeline.EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        deduped = ST.dedup_stream(stream, ["event_id"], "ts", "2 hours")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    # Batch 1: two events, one internal duplicate of event_id 1.
+    _write_events_file(
+        str(src / "b1.parquet"),
+        [
+            (1, _ns(10, 0), 1, "click", 1.0),
+            (1, _ns(10, 1), 1, "click-redelivered", 1.0),
+            (2, _ns(10, 2), 1, "view", 2.0),
+        ],
+    )
+    run()
+    first = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in first) == [1, 2]
+
+    # Batch 2 (new run, same checkpoint): event 1 redelivered AGAIN
+    # within the watermark + a new event 3.
+    time.sleep(1.1)
+    _write_events_file(
+        str(src / "b2.parquet"),
+        [
+            (1, _ns(10, 30), 1, "click-redelivered-2", 1.0),
+            (3, _ns(10, 31), 1, "purchase", 3.0),
+        ],
+    )
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+    # The survivor for key 1 is the FIRST delivery, not a redelivery.
+    kept1 = [r for r in rows if r.event_id == 1]
+    assert len(kept1) == 1 and kept1[0].event_type == "click"
