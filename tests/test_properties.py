@@ -130,3 +130,64 @@ def test_date_enrich_matches_reference_model(spark, vals):
         exp_year = m.group(1) if m else ""
         exp_month = m.group(2) if m else ""
         assert got[i] == (exp_date, exp_year, exp_month), (v, got[i])
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    """Arbitrary pixel content round-trips bit-exactly through the
+    real PNG encoder/decoder (pure Python — no Spark job per example)."""
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+
+    rnd = seed
+    px = bytearray()
+    for _ in range(w * h):
+        rnd = (1103515245 * rnd + 12345) % (1 << 31)
+        px.append(rnd & 0xFF)
+    data = M.encode_png_gray(bytes(px), w, h)
+    gw, gh, got = M.decode_png_gray(data)
+    assert (gw, gh, got) == (w, h, bytes(px))
+
+
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+
+    got_rate, got = M.decode_wav_pcm16(M.encode_wav_pcm16(samples, rate))
+    assert got_rate == rate and got == samples
+
+
+def test_prefix_sum_property(spark):
+    """One batched Spark check over many generated cases: exclusive
+    prefix sums from the two-phase operator equal the naive running
+    sum for gappy, duplicated-value, single-bucket and cross-bucket
+    shapes."""
+    import itertools
+
+    from hdfs_parquet_importer_spark.operators.prefix import prefix_sum
+
+    cases = []
+    for width, n in itertools.product((1, 3, 16, 1000), (1, 2, 17, 100)):
+        keys = sorted({(i * 7919) % (n * 5) for i in range(n)})
+        vals = [(k * 13) % 29 for k in keys]
+        cases.append((width, keys, vals))
+    for width, keys, vals in cases:
+        df = spark.createDataFrame(list(zip(keys, vals)), "k long, v long")
+        got = {
+            r.k: r.offset
+            for r in prefix_sum(
+                df.repartition(5), "k", "v", bucket=F.expr(f"k div {width}")
+            ).collect()
+        }
+        run = 0
+        for k, v in zip(keys, vals):
+            assert got[k] == run, (width, k)
+            run += v
