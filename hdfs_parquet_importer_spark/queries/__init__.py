@@ -69,7 +69,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # smoke-checked by entry()), window_ntile_global (single-task demo;
 # scalable twin green r2), setop_intersect, func_nullsafe_eq,
 # func_date_arith, func_explode_outer, func_map_transform,
-# window_first_last.
+# window_first_last, join_full_outer, join_range.
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- New in round 3 (no prior driver row) -------------------------
     "multimodal_png_roundtrip",
@@ -94,13 +94,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "unpivot_brand_metrics",
     "etl_upsert",
     "join_salted_skew",
+    "agg_approx_percentile",
+    "sample_bernoulli",
     # -- Only round-1 green; unchanged, re-verify under this round's
     # -- session/AQE settings.
     "join_left_outer",
     "join_semi",
     "join_anti",
-    "join_full_outer",
-    "join_range",
     "join_interval_bucketed",
     "agg_salted_two_phase",
     "agg_distinct",

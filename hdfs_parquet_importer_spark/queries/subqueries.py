@@ -280,6 +280,14 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile",
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.23), 4) AS lo_p25,
+       ROUND(quantile_cont(l_extendedprice, 0.27), 4) AS hi_p25,
+       ROUND(quantile_cont(l_extendedprice, 0.48), 4) AS lo_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.52), 4) AS hi_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.73), 4) AS lo_p75,
+       ROUND(quantile_cont(l_extendedprice, 0.77), 4) AS hi_p75,
+       ROUND(quantile_cont(l_extendedprice, 0.97), 4) AS lo_p99,
+       ROUND(quantile_cont(l_extendedprice, 1.0), 4) AS hi_p99,
        TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75, TRUE AS ok_p99
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
@@ -288,9 +296,12 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     "sketch output is engine-specific, so the checkable contract is a "
     "rank bound: each approx quantile q must land inside the exact "
     "[q-0.02, q+0.02] quantile envelope (accuracy=10000 guarantees "
-    "rank error <= n/10000, far inside that band). Spark emits the "
-    "per-quantile verdicts; the oracle emits literal TRUEs — a full "
-    "hash check instead of r1's rows-only `no_oracle`.",
+    "rank error <= n/10000, far inside that band). The ENVELOPE "
+    "itself ships as value columns that DuckDB re-derives with its "
+    "own exact quantile_cont (ADVICE r2: the bound must be "
+    "independently derived, leaving only the engine-specific sketch "
+    "estimate on the Spark side); Spark additionally emits the "
+    "per-quantile verdicts vs literal TRUEs.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -306,6 +317,10 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agged = li.groupBy("l_returnflag").agg(
         approx, lo, hi, F.count(F.lit(1)).alias("n")
     )
+    bounds = []
+    for i, p in enumerate((25, 50, 75, 99)):
+        bounds.append(F.round(F.col("_lo")[i], 4).alias(f"lo_p{p}"))
+        bounds.append(F.round(F.col("_hi")[i], 4).alias(f"hi_p{p}"))
     checks = [
         (
             (F.col("_approx")[i] >= F.col("_lo")[i])
@@ -313,7 +328,9 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"ok_p{p}")
         for i, p in enumerate((25, 50, 75, 99))
     ]
-    return agged.select("l_returnflag", "n", *checks).orderBy("l_returnflag")
+    return agged.select(
+        "l_returnflag", "n", *bounds, *checks
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -338,7 +355,10 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_bernoulli",
     oracle="""
-SELECT o_orderstatus, COUNT(*) AS n_total, TRUE AS within_bounds
+SELECT o_orderstatus, COUNT(*) AS n_total,
+       ROUND(COUNT(*) * 0.1 - 6 * sqrt(COUNT(*) * 0.1 * 0.9), 4) AS lo_bound,
+       ROUND(COUNT(*) * 0.1 + 6 * sqrt(COUNT(*) * 0.1 * 0.9), 4) AS hi_bound,
+       TRUE AS within_bounds
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
     doc="Bernoulli row sampling (df.sample, fixed seed): per-partition "
@@ -346,8 +366,10 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     "layout — but partition layout is NOT stable across engines, so "
     "the checkable contract is statistical: the per-status sample "
     "count must land within 6 binomial sigma of fraction*n_total "
-    "(p=1e-9 false-alarm). Spark emits the exact totals plus the "
-    "bound verdict; the oracle emits exact totals plus literal TRUE.",
+    "(p=1e-9 false-alarm). The [mean-6s, mean+6s] acceptance band "
+    "ships as value columns the oracle re-derives from its own exact "
+    "totals (ADVICE r2: independently-derived bounds); only the "
+    "sampled count itself stays Spark-side, distilled to the verdict.",
 )
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction = 0.1
@@ -367,6 +389,8 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderstatus",
             "n_total",
+            F.round(mean - 6 * sigma, 4).alias("lo_bound"),
+            F.round(mean + 6 * sigma, 4).alias("hi_bound"),
             (
                 F.abs(F.coalesce(F.col("_n_sampled"), F.lit(0)) - mean)
                 <= F.lit(6) * sigma
