@@ -59,19 +59,32 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # tests/test_oracle_gate.py (tools/check_oracle.py over ALL queries),
 # so rotation never leaves an edited query on a stale green.
 #
-# Round 3 rotation: (1) queries NEW this round (PNG round-trip,
-# repetition, PII scan, sequence packing, contamination); (2) every
-# query whose code changed in round 3 — broadcast-hint removal, the
-# five new bound-check oracles, the upsert tiebreak; (3) queries whose
-# only green is from round 1 (rotated out of round 2's window).
-# Dropped to fit 50 (all unchanged since their r1 green, all covered
-# by the local full-registry gate): q1_pricing_summary (still
-# smoke-checked by entry()), window_ntile_global (single-task demo;
-# scalable twin green r2), setop_intersect, func_nullsafe_eq,
-# func_date_arith, func_explode_outer, func_map_transform,
-# window_first_last, join_full_outer, join_range.
+# Round 3 rotation: (1) queries NEW this round (the adapted TPC-H
+# nine, PNG round-trip, repetition, PII scan, sequence packing,
+# contamination); (2) every query whose code changed in round 3 —
+# broadcast-hint removal, the five new bound-check oracles, the
+# upsert tiebreak; (3) queries whose only green is from round 1
+# (rotated out of round 2's window). Dropped to fit 50 (all unchanged
+# since their r1 green, all covered by the local full-registry gate):
+# q1_pricing_summary (still smoke-checked by entry()),
+# window_ntile_global (single-task demo; scalable twin green r2),
+# setop_intersect, func_nullsafe_eq, func_date_arith,
+# func_explode_outer, func_map_transform, window_first_last,
+# join_full_outer, join_range, func_string, func_date, func_math,
+# func_conditional, func_array, func_explode, window_lag_lead,
+# window_rank_dense, agg_distinct (distinct-agg shape re-exercised by
+# q16_supplier_cnt's COUNT DISTINCT this round).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- New in round 3 (no prior driver row) -------------------------
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
     "multimodal_png_roundtrip",
     "text_repetition",
     "text_pii_scan",
@@ -103,7 +116,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_anti",
     "join_interval_bucketed",
     "agg_salted_two_phase",
-    "agg_distinct",
     "agg_cube",
     "agg_grouping_sets",
     "agg_having",
@@ -114,16 +126,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "setop_union_by_name",
     "etl_date_enrich",
     "cdc_latest_per_key",
-    "func_string",
-    "func_date",
-    "func_math",
-    "func_conditional",
-    "func_array",
-    "func_explode",
     "func_json",
     "window_running_sum",
-    "window_lag_lead",
-    "window_rank_dense",
     # -- Family representatives (events / pandas surface), so every
     # -- query module keeps a row in the current window. The two
     # -- function demos displaced (func_explode_outer,
@@ -145,6 +149,7 @@ def registry() -> dict[str, Query]:
     # stays cheap; each module registers at import time.
     from hdfs_parquet_importer_spark.queries import (  # noqa: F401
         relational,
+        tpch,
         etl_parity,
         functions,
         windows,

@@ -58,6 +58,7 @@ def test_driver_window_covers_every_family():
     modules_in_window = {reg[n].fn.__module__.rsplit(".", 1)[-1] for n in names[:50]}
     assert {
         "relational",
+        "tpch",
         "etl_parity",
         "functions",
         "windows",
