@@ -178,6 +178,92 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    train_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means quantization + probed
+    exact re-ranking — the classic FAISS-style IVF layout expressed as
+    a Spark plan.
+
+    * **Train**: ``n_lists`` coarse centroids via the deterministic
+      Lloyd iterations in :mod:`operators.kmeans` (at 100 TB train on
+      a seeded hash-sample; centroids are k x dim driver-side floats
+      either way).
+    * **Assign**: every corpus vector gets its nearest-centroid list
+      id from a broadcast argmin projection — a map-side column
+      expression, zero shuffle of the corpus.
+    * **Probe**: each query (small by definition) picks its
+      ``n_probe`` nearest centroids driver-side; the candidate join is
+      a broadcast equi-join on the list id, so only ~n_probe/n_lists
+      of the corpus is scored per query.
+    * **Re-rank**: exact cosine over candidates with the same
+      two-phase salted top-k as :func:`brute_force_topk` — no reducer
+      ever holds a query's full candidate set.
+
+    Unlike hyperplane LSH (data-independent planes), the partition
+    adapts to the data's cluster structure, which is what makes IVF
+    the scale path for clustered embedding corpora.
+    """
+    from pyspark.sql import Window
+
+    from hdfs_parquet_importer_spark.operators.kmeans import (
+        _assign_expr,
+        kmeans_fit,
+    )
+
+    vecs = vectors.select(F.col(id_col), F.col(vec_col).alias("embedding"))
+    _, centroids, _ = kmeans_fit(
+        vecs, k=n_lists, max_iter=train_iter, id_col=id_col, vec_col="embedding"
+    )
+    cells = ensure_parallelism(vecs).select(
+        id_col, "embedding", _assign_expr(centroids).alias("cell")
+    )
+
+    # Queries are small: pick each one's n_probe nearest lists on the
+    # driver (n_lists x dim floats — same tiny state as the centroids).
+    probe_rows = []
+    for r in queries.collect():
+        qv = [float(x) for x in r[query_vec_col]]
+        d2 = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, c)), ci)
+            for ci, c in enumerate(centroids)
+        )
+        for _, ci in d2[:n_probe]:
+            probe_rows.append((r[query_id_col], qv, ci))
+    probe_df = queries.sparkSession.createDataFrame(
+        probe_rows,
+        f"{query_id_col} long, {query_vec_col} array<double>, cell int",
+    )
+
+    scored = cells.join(F.broadcast(probe_df), "cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(query_vec_col), F.col("embedding")).alias("cos"),
+    )
+    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+    partial_w = Window.partitionBy(query_id_col, salt).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    final_w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("_prn", F.row_number().over(partial_w))
+        .filter(F.col("_prn") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .drop("_prn")
+    )
+
+
 def build_lsh_index(
     vectors: DataFrame,
     path: str,

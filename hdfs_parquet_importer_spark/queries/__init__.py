@@ -73,7 +73,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # join_full_outer, join_range, func_string, func_date, func_math,
 # func_conditional, func_array, func_explode, window_lag_lead,
 # window_rank_dense, agg_distinct (distinct-agg shape re-exercised by
-# q16_supplier_cnt's COUNT DISTINCT this round).
+# q16_supplier_cnt's COUNT DISTINCT this round), setop_union (family
+# still repped by setop_except / setop_union_by_name).
 _DRIVER_WINDOW: tuple[str, ...] = (
     # -- New in round 3 (no prior driver row) -------------------------
     "q6_forecast_revenue",
@@ -85,6 +86,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_cnt",
+    "ann_ivf",
     "multimodal_png_roundtrip",
     "text_repetition",
     "text_pii_scan",
@@ -121,7 +123,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_having",
     "agg_stats",
     "topk_orders",
-    "setop_union",
     "setop_except",
     "setop_union_by_name",
     "etl_date_enrich",

@@ -398,6 +398,88 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id,
+       CAST(SUM(vec_id) AS BIGINT) AS exact_top10_id_sum,
+       ROUND(MIN(cos), 6) AS exact_min_cos,
+       TRUE AS recall_ok
+FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query_id
+""",
+    doc="IVF ANN: 8 coarse k-means lists (deterministic Lloyd init), "
+    "3-list probes, exact cosine re-rank inside probed lists — the "
+    "data-adaptive counterpart to ann_lsh_bucketed; only ~3/8 of the "
+    "corpus is scored per query and the probe side is a broadcast "
+    "equi-join on the list id. Bound-check oracle (same scheme as "
+    "ann_lsh_bucketed): Spark emits the exact brute-force top-10 "
+    "anchors (DuckDB independently re-derives them) plus a "
+    "recall@10 >= 0.7 verdict for the IVF set.",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # k=11 then drop self-matches so both sets hold 10 true neighbors.
+    exact = (
+        S.brute_force_topk(emb, q, k=11, salt_buckets=32)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "vec_id", "cos")
+    )
+    approx = (
+        S.ivf_topk(emb, q, k=11, n_lists=8, n_probe=3)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    anchors = exact.groupBy("query_id").agg(
+        F.sum("vec_id").alias("exact_top10_id_sum"),
+        F.round(F.min("cos"), 6).alias("exact_min_cos"),
+    )
+    return (
+        anchors.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top10_id_sum",
+            "exact_min_cos",
+            (F.coalesce(F.col("_n_hit"), F.lit(0)) >= 7).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -85,6 +85,46 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_topk_recall_and_probe_restriction(spark, sf_dir):
+    """IVF with data-adaptive k-means lists should beat the loose LSH
+    floor on clustered data (recall >= 0.7 at 3/8 lists probed), and
+    every returned neighbor must rank by exact cosine within the
+    probed candidate set (monotone cos per query rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, q, k=10).collect()
+    }
+    got = S.ivf_topk(emb, q, k=10, n_lists=8, n_probe=3).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.7, f"IVF recall too low: {recall:.2f}"
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["cos"]))
+    for ranked in by_query.values():
+        ranked.sort()
+        cosines = [c for _, c in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_topk_deterministic(spark, sf_dir):
+    """Deterministic Lloyd init + driver-side probe selection: two
+    runs return identical (query, rank) -> id mappings."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    run = lambda: {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in S.ivf_topk(emb, q, k=5, n_lists=8, n_probe=3).collect()
+    }
+    assert run() == run()
+
+
 def test_lsh_bucket_is_deterministic(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     planes = S.hyperplanes(64, 6, seed=42)
