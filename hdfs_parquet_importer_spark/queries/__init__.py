@@ -86,6 +86,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_cnt",
+    # Completing the 22 TPC-H shapes (displacing join_left_outer /
+    # join_semi / join_anti / agg_having from the r1-green re-verify
+    # group below: q13 is the left-outer rep already in-window, q20's
+    # semi-join chain + HAVING and q21's semi+anti self-joins
+    # re-exercise those exact shapes under current settings).
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q20_excess_quantity",
+    "q21_waiting_suppliers",
     "ann_ivf",
     "multimodal_png_roundtrip",
     "text_repetition",
@@ -113,14 +122,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sample_bernoulli",
     # -- Only round-1 green; unchanged, re-verify under this round's
     # -- session/AQE settings.
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
     "join_interval_bucketed",
     "agg_salted_two_phase",
     "agg_cube",
     "agg_grouping_sets",
-    "agg_having",
     "agg_stats",
     "topk_orders",
     "setop_except",
