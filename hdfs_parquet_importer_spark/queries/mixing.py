@@ -1,0 +1,239 @@
+"""Corpus mixing, splitting and stratified-sampling operators.
+
+The data-mixing half of a training-data pipeline: once documents are
+deduplicated and quality-scored, the remaining decisions are WHICH
+rows go into the run (stratified sampling, per-domain quotas), HOW the
+corpus splits into train/val/test, and whether sources leak content
+into each other. Everything here is built on one primitive — a
+DETERMINISTIC hash coin, ``substr(md5(key), 1, 4)`` compared against a
+hex threshold — because at 100 TB a sampling decision must be:
+
+* reproducible across runs/retries (no RNG state, no seed plumbing);
+* evaluable per-row in the scan stage (a pure projection + filter —
+  no shuffle, no global pass, trivially parallel on 1000 executors);
+* portable (the SAME predicate runs in any engine, which is also what
+  makes an exact value-level DuckDB oracle possible — Bernoulli
+  ``df.sample`` is only statistically checkable, see
+  ``sample_bernoulli``).
+
+fraction f -> threshold hex(floor(f * 16^4)) zero-padded to 4 chars;
+md5 is uniform on the prefix, so P(prefix < thr) = f up to 2^-16.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators import dedup as D
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.queries.llm import _TOKS_SQL, _shingles_sql
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+def hash_coin(key: Column) -> Column:
+    """First 4 hex chars of md5(key as string) — a uniform [0,1) coin
+    with 2^-16 resolution, identical in Spark and DuckDB."""
+    return F.substring(F.md5(key.cast("string")), 1, 4)
+
+
+def frac_threshold(f: float) -> str:
+    """Hex threshold t with P(hash_coin < t) == round(f * 16^4) / 16^4."""
+    return format(int(f * 0x10000), "04x")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '4000' ELSE '8000' END
+GROUP BY lang ORDER BY lang
+""",
+    doc="Stratified sampling with per-stratum rates (downweight the "
+    "overrepresented language: en 25%, others 50%) via the md5 hash "
+    "coin — deterministic, seedless, reproducible across engines, "
+    "which is why the oracle can check EXACT sampled id/char sums "
+    "rather than statistical bounds. Pure scan-stage projection + "
+    "filter; the only shuffle is the 5-row final agg.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(frac_threshold(0.25))).otherwise(
+        F.lit(frac_threshold(0.5))
+    )
+    return (
+        docs.filter(hash_coin(F.col("doc_id")) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "corpus_train_eval_split",
+    oracle="""
+SELECT CASE WHEN h < 'e666' THEN 'train'
+            WHEN h < 'f333' THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+FROM (SELECT lang, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      FROM documents)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Deterministic 90/5/5 train/val/test split on the md5 hash "
+    "coin: membership is a pure function of doc_id, so any job (or "
+    "engine) re-derives the same split without a membership table — "
+    "the property that keeps a 100 TB split consistent across the "
+    "dozens of jobs that consume it. Output: per (split, lang) doc "
+    "and char counts (also the skew audit: a language's val share "
+    "should track its corpus share).",
+)
+def corpus_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash_coin(F.col("doc_id"))
+    split = (
+        F.when(h < frac_threshold(0.9), "train")
+        .when(h < frac_threshold(0.95), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "mix_domain_quota",
+    oracle="""
+WITH ranked AS (
+  SELECT source, n_chars, doc_id,
+         SUM(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM ranked WHERE cum <= 3000
+GROUP BY source ORDER BY source
+""",
+    doc="Per-domain quota capping (data-mixture weights as char "
+    "budgets): within each source, order docs by the md5 coin (a "
+    "deterministic shuffle, so the kept set is an unbiased sample of "
+    "the source) and keep rows while the running char total stays "
+    "under the quota. One shuffle on the mixing key; the running sum "
+    "is a single window pass. At 100 TB a hot source's rows exceed "
+    "one task — the same two-phase distributed prefix-sum used by "
+    "pack_sequences (operators/prefix.py) computes `cum` with "
+    "per-bucket offsets instead of one ordered partition; the quota "
+    "predicate is unchanged.",
+)
+def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(hash_coin(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("source", "n_chars", "doc_id", F.sum("n_chars").over(w).alias("cum"))
+        .filter(F.col("cum") <= 3000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),
+sg AS (SELECT DISTINCT source, gram
+       FROM (SELECT source, unnest({_shingles_sql(8)}) AS gram FROM toks))
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Cross-source leakage matrix: source pairs sharing word "
+    "8-grams (mirror-site / syndicated-content detection — such pairs "
+    "defeat per-source dedup sharding). Plan: distinct (source, gram) "
+    "FIRST — the join operates on one row per source per gram, so a "
+    "boilerplate gram fans out at most n_sources^2, never n_docs^2 — "
+    "then a gram-keyed equi-join (AQE splits residual hot grams). "
+    "Scales as O(total distinct grams), like corpus_contamination.",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", D.tokens(F.col("text")).alias("_t"))
+    sg = (
+        toks.select(
+            "source", F.explode(D.shingles_of_tokens(F.col("_t"), 8)).alias("gram")
+        )
+        .distinct()
+    )
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "text_df_top_terms",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+dt AS (SELECT DISTINCT doc_id, term
+       FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+       WHERE length(term) >= 3)
+SELECT term, COUNT(*) AS df
+FROM dt GROUP BY term ORDER BY df DESC, term LIMIT 10
+""",
+    doc="Corpus document frequency: top-10 terms (>=3 chars, shared "
+    "normalization with the dedup stack) by number of containing "
+    "docs — the DF side of TF-IDF and the vocabulary-pruning input. "
+    "array_distinct BEFORE explode bounds the shuffle at one row per "
+    "doc-term; partial aggregation reduces each partition to its "
+    "local term counts before the exchange. Total order (df DESC, "
+    "term) makes the LIMIT boundary deterministic.",
+)
+def text_df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(
+                F.array_distinct(D.tokens(F.col("text"))),
+                lambda t: F.length(t) >= 3,
+            )
+        ).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(10)
+    )

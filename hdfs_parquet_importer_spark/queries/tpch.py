@@ -328,10 +328,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -515,8 +515,8 @@ WHERE p_partkey = ps.l_partkey
       AND s2.s_nationkey = n2.n_nationkey
       AND n2.n_regionkey = r2.r_regionkey
       AND r2.r_name = 'ASIA')
-ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-LIMIT 100
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+LIMIT 40
 """,
     doc="TPC-H Q2 adapted (lineitem unit price for partsupp cost): "
     "cheapest ASIA supplier(s) per small ECONOMY part; correlated MIN "
@@ -563,9 +563,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             # differently across engines; floor of the identical double
             # is bit-deterministic.
             (F.floor(F.col("supplycost") * 10000) / 10000.0).alias("supplycost"),
+            "s_suppkey",
         )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
-        .limit(100)
+        # s_suppkey is a key of (part, supplier) candidate rows, so the
+        # sort is a TOTAL order — the limit boundary never depends on
+        # name uniqueness. The limit binds at sf0.01 (62 candidates),
+        # so the boundary tie-break is actually exercised by the gate.
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey")
+        .limit(40)
+        .drop("s_suppkey")
     )
 
 
@@ -584,7 +590,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT l_partkey AS partkey,
          SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-             * CAST(l_quantity AS BIGINT)) AS val_cp
+             * CAST(ROUND(l_quantity) AS BIGINT)) AS val_cp
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -606,8 +612,11 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
-    val_cp = F.round(F.col("l_extendedprice") * 100).cast("long") * F.col(
-        "l_quantity"
+    # ROUND before every double->bigint cast: Spark's cast truncates
+    # while DuckDB's rounds-to-nearest, so an un-rounded cast only
+    # agrees while the generator keeps quantities integral.
+    val_cp = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        F.col("l_quantity")
     ).cast("long")
     v = (
         li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -645,7 +654,7 @@ WHERE s_suppkey IN (
     AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
   GROUP BY l_suppkey, l_partkey
-  HAVING SUM(CAST(l_quantity AS BIGINT)) > 40)
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 40)
 ORDER BY s_name
 """,
     doc="TPC-H Q20 adapted (shipped quantity for availqty): suppliers "
@@ -665,7 +674,8 @@ def q20_excess_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy_supps = (
         li.join(red_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__qty"))
+        # ROUND before the cast — see q11 note on truncate-vs-round.
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("__qty"))
         .filter(F.col("__qty") > 40)
         .select("l_suppkey")
     )

@@ -376,3 +376,40 @@ def window_quartile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", quartile.cast("long").alias("quartile"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "window_forward_fill",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS last_purchase
+FROM events WHERE user_id < 10 ORDER BY user_id, event_id
+""",
+    doc="Forward-fill (LOCF) — carry each user's most recent purchase "
+    "amount onto every subsequent event, NULL before the first: "
+    "last(col, ignorenulls) over an unbounded-preceding row frame, "
+    "the standard gap-fill for feature pipelines. Partitioned by "
+    "user_id, so the window never globally orders; (ts, event_id) "
+    "ordering is a total order within a user, making the fill "
+    "deterministic under ties.",
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 2).alias(
+            "last_purchase"
+        ),
+    ).orderBy("user_id", "event_id")

@@ -54,17 +54,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # through our session factory).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects
-        # (PARQUET_TYPE_ILLEGAL). Read nanos as long (runtime-settable
-        # legacy conf — works on any session, including the driver's)
-        # and truncate to microseconds, Spark's native precision.
-        # Integer division: ns values (~1.7e18) overflow double's 53
-        # bits, so `div`, never `/`.
+        # events.ts has shipped as two physical layouts across
+        # testdata generations: parquet TIMESTAMP(NANOS) — which
+        # Spark rejects (PARQUET_TYPE_ILLEGAL) unless read as long —
+        # and plain timestamp[us]. Adapt to whichever is on disk so a
+        # regenerated dataset never breaks every event query at once.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # Nanos read as long: truncate to micros, Spark's native
+            # precision. Integer division: ns values (~1.7e18)
+            # overflow double's 53 bits, so `div`, never `/`.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Align with the instant-typed TIMESTAMP the rest of the
+            # code expects; wall-clock identical under the UTC session
+            # zone pinned above.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -25,6 +25,10 @@ BRUTE_FORCE_OK = {
     "dedup_embedding_cosine",
     "ann_cosine_topk",       # broadcast(queries) x vectors, no equi key
     "subq_global_avg_anti",      # 1-row scalar broadcast cross join
+    "q11_important_value",   # 1-row grand-total broadcast cross join;
+                             # the > threshold filter can't become a
+                             # hash-join key (q15's = filter can, so
+                             # q15 needs no entry here)
     "window_quartile_scalable",  # 1-row boundary broadcast cross join
     "dedup_simhash",         # embeds the O(n^2) brute-force REFERENCE
                              # join its bound-check oracle compares the
@@ -36,6 +40,7 @@ BRUTE_FORCE_OK = {
     "embedding_kmeans",      # 1-row verdict/anchor broadcast cross joins
     "ann_lsh_bucketed",      # embeds brute_force_topk (broadcast(q) x
                              # vectors) as its exact recall reference
+    "ann_ivf",               # same: brute_force_topk exact anchors
                              # (r3); the LSH candidate join itself is
                              # a (tbl,bucket) equi-join — asserted in
                              # test_lsh_candidate_join_is_equi_join.

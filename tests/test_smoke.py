@@ -64,6 +64,7 @@ def test_driver_window_covers_every_family():
         "windows",
         "events",
         "llm",
+        "mixing",
         "subqueries",
         "pandas_surface",
     } <= modules_in_window
