@@ -54,6 +54,8 @@ HEADLINE = [
     "text_quality",
     "ann_cosine_topk",
     "events_tumbling_window",
+    "mix_domain_quota",
+    "corpus_source_overlap",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -1,0 +1,117 @@
+"""Invariant tests for the corpus mixing/splitting operators.
+
+The oracle gate already checks exact values against DuckDB; these
+tests pin the SEMANTIC invariants that a value hash can't express —
+splits partition the corpus, quotas are never exceeded, stratified
+sampling is a subset-respecting filter — on the smoke-scale testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.queries.mixing import (
+    corpus_train_eval_split,
+    frac_threshold,
+    hash_coin,
+    mix_domain_quota,
+    sample_stratified,
+)
+from hdfs_parquet_importer_spark.tables import load_table
+
+
+def test_frac_threshold_encoding():
+    assert frac_threshold(0.25) == "4000"
+    assert frac_threshold(0.5) == "8000"
+    assert frac_threshold(0.9) == "e666"
+    assert frac_threshold(0.95) == "f333"
+    assert frac_threshold(1.0) == "10000"  # nothing sorts above it
+    assert frac_threshold(0.0) == "0000"  # nothing sorts below it
+
+
+def test_hash_coin_deterministic_and_uniform(spark):
+    df = spark.range(2000).select(hash_coin(F.col("id")).alias("h"))
+    rows = [r["h"] for r in df.collect()]
+    # Deterministic: re-evaluating yields the identical stream.
+    assert rows == [r["h"] for r in df.collect()]
+    # Roughly uniform: fraction below 0.5 threshold within 5 sigma of
+    # Binomial(2000, 0.5) — 0.5 +/- 0.056.
+    frac = sum(1 for h in rows if h < "8000") / len(rows)
+    assert 0.444 < frac < 0.556
+
+
+def test_split_partitions_corpus(spark, sf_dir):
+    """Every document lands in exactly one split; totals add up."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_train_eval_split(spark, sf_dir)
+    agg = out.groupBy().agg(
+        F.sum("n_docs").alias("docs"), F.sum("n_chars_total").alias("chars")
+    ).first()
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars")
+    ).first()
+    assert agg["docs"] == tot["docs"]
+    assert agg["chars"] == tot["chars"]
+    # train holds the bulk at the 90/5/5 rates.
+    per_split = {r["split"]: r["n"] for r in
+                 out.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()}
+    assert per_split["train"] > per_split.get("val", 0)
+    assert per_split["train"] > per_split.get("test", 0)
+
+
+def test_stratified_is_subset_with_lower_en_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["lang"]: r for r in sample_stratified(spark, sf_dir).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, row in out.items():
+        assert 0 < row["n_sampled"] <= tot[lang]
+    # en is downsampled at half the rate of the others: its retained
+    # fraction must be strictly below every other language's.
+    en_frac = out["en"]["n_sampled"] / tot["en"]
+    for lang in out:
+        if lang != "en":
+            assert en_frac < out[lang]["n_sampled"] / tot[lang]
+
+
+def test_quota_never_exceeded_and_maximal(spark, sf_dir):
+    out = mix_domain_quota(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    for r in out:
+        assert r["chars_kept"] <= 3000
+        # Maximality: the next doc (> max possible size under the cum
+        # rule) could not have fit, i.e. the kept set isn't trivially
+        # small. Weak bound: budget minus one max-size doc.
+        assert r["chars_kept"] > 3000 - max_doc
+
+
+def test_forward_fill_known_answer(spark):
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view", 5.0),
+        (1, 2, "2024-01-01 00:01:00", "purchase", 10.0),
+        (1, 3, "2024-01-01 00:02:00", "click", 7.0),
+        (1, 4, "2024-01-01 00:03:00", "purchase", 20.0),
+        (1, 5, "2024-01-01 00:04:00", "view", 1.0),
+        (2, 6, "2024-01-01 00:00:30", "click", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_s", "event_type", "value"]
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = df.select(
+        "event_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w).alias("lp"),
+    )
+    got = {r["event_id"]: r["lp"] for r in filled.collect()}
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: None}
