@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hdfs_parquet_importer_spark.operators import dedup as D
+from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 from hdfs_parquet_importer_spark.queries import register
 from hdfs_parquet_importer_spark.queries.llm import _TOKS_SQL, _shingles_sql
 from hdfs_parquet_importer_spark.tables import load_table
@@ -184,7 +185,9 @@ GROUP BY 1, 2 ORDER BY 1, 2
     "Scales as O(total distinct grams), like corpus_contamination.",
 )
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # Tokenize + shingle is the compute-heavy stage; a small input
+    # arriving as one partition would pin it to one core.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", D.tokens(F.col("text")).alias("_t"))
     sg = (
         toks.select(
@@ -222,7 +225,7 @@ FROM dt GROUP BY term ORDER BY df DESC, term LIMIT 10
     "term) makes the LIMIT boundary deterministic.",
 )
 def text_df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     terms = docs.select(
         F.explode(
             F.filter(

@@ -821,3 +821,42 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "agg_freq_items",
+    oracle="""
+SELECT event_type, COUNT(*) AS exact_cnt, TRUE AS in_sketch
+FROM events GROUP BY event_type
+HAVING COUNT(*) > 0.1 * (SELECT COUNT(*) FROM events)
+ORDER BY event_type
+""",
+    doc="Heavy hitters via the freqItems sketch (single-pass "
+    "per-partition Misra-Gries-style counters merged at the driver, "
+    "state bounded by 1/support items — no shuffle of the raw rows) "
+    "cross-checked against the exact groupBy counts. The sketch's "
+    "contract is a superset guarantee: every value with frequency > "
+    "support MUST appear, so `in_sketch` is provably TRUE for each "
+    "exact heavy hitter and the oracle re-derives the exact side. "
+    "Completes the sketch family next to approx_count_distinct (HLL) "
+    "and approx_percentile (t-digest).",
+)
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Sketch side: one row, <= 1/support values — a bounded collect.
+    [fi_row] = ev.select("event_type").stat.freqItems(
+        ["event_type"], support=0.1
+    ).collect()
+    sketch_items = list(fi_row[0])
+    total = ev.count()
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .filter(F.col("exact_cnt") > 0.1 * F.lit(total))
+        .select(
+            "event_type",
+            "exact_cnt",
+            F.col("event_type").isin(sketch_items).alias("in_sketch"),
+        )
+        .orderBy("event_type")
+    )

@@ -413,3 +413,44 @@ def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_purchase"
         ),
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "window_ewma",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
+  FROM events WHERE user_id < 10)
+SELECT user_id, event_id,
+       ROUND(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+FROM seq ORDER BY user_id, event_id
+""",
+    doc="Exponential moving average (alpha=0.3) over each user's "
+    "trailing 16 events — the recursive smoother Spark has no native "
+    "window function for, expressed as collect_list over a bounded "
+    "row frame + an aggregate() fold seeded with the oldest element. "
+    "Truncating the frame bounds both memory (16 doubles/row) and "
+    "the dropped tail's weight (0.7^15 < 0.5%). Both engines fold "
+    "the same doubles in the same order, so results are "
+    "bit-identical before the display rounding. Unbounded-history "
+    "EWMA over a stream belongs to applyInPandasWithState "
+    "(streaming/), where per-key state carries the accumulator.",
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    xs = F.collect_list("value").over(w)
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.element_at(xs, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return ev.select(
+        "user_id", "event_id", F.round(ewma, 6).alias("ewma")
+    ).orderBy("user_id", "event_id")
