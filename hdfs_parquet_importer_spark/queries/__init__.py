@@ -98,6 +98,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_forward_fill",
     "window_ewma",
     "agg_freq_items",
+    "zorder_curve",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -126,10 +127,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (6) Benched / flagship representatives so every query module
     # keeps a row in the current window (the rest of the registry is
     # re-gated locally by tests/test_oracle_gate.py every round).
-    # (dedup_exact / text_quality displaced to fit: unchanged since
-    # their r2 green, still benched + full-registry-gated locally.)
+    # (dedup_exact / text_quality / agg_rollup displaced to fit:
+    # unchanged since their r2 green, still benched +
+    # full-registry-gated locally.)
     "q1_pricing_summary",
-    "agg_rollup",
     "window_topk_per_group",
     "ann_cosine_topk",
     "pandas_udf_log_price",

@@ -860,3 +860,47 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# DuckDB twin of operators.zorder: same quantize (explicit bounds, so
+# both sides run the identical IEEE double ops) and the same unrolled
+# Morton interleave, term by term.
+_ZORDER_ORACLE = """
+SELECT o_orderkey,
+  (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 0) & 1) << 0) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 0) & 1) << 1)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 1) & 1) << 2) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 1) & 1) << 3)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 2) & 1) << 4) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 2) & 1) << 5)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 3) & 1) << 6) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 3) & 1) << 7)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 4) & 1) << 8) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 4) & 1) << 9)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 5) & 1) << 10) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 5) & 1) << 11)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 6) & 1) << 12) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 6) & 1) << 13)
+  + (((CAST(floor(least(greatest((o_totalprice - 0.0) / 600000.0, 0.0), 1.0) * 255) AS BIGINT) >> 7) & 1) << 14) + (((CAST(floor(least(greatest((o_custkey - 0.0) / 2000.0, 0.0), 1.0) * 255) AS BIGINT) >> 7) & 1) << 15)
+  AS z
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+@register(
+    "zorder_curve",
+    oracle=_ZORDER_ORACLE,
+    doc="Z-order (Morton) curve value over (o_totalprice, o_custkey) "
+    "with explicit bounds — the multi-dimensional layout key behind "
+    "operators/zorder.zorder_write, where range-partitioning on this "
+    "value yields parquet files whose min/max boxes are tight in "
+    "EVERY indexed dimension, so predicates on any of them prune "
+    "files and row groups (tests/test_zorder.py measures the boxes "
+    "from real footers). Pure unrolled shift/mask projection, no "
+    "shuffle, whole-stage codegen; the oracle re-derives the curve "
+    "bit-by-bit in SQL.",
+)
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.zorder import quantize, z_value
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    qs = [
+        quantize(F.col("o_totalprice"), 0.0, 600000.0, 8),
+        quantize(F.col("o_custkey"), 0.0, 2000.0, 8),
+    ]
+    return orders.select(
+        "o_orderkey", z_value(qs, 8).alias("z")
+    ).orderBy("o_orderkey")
