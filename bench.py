@@ -56,6 +56,7 @@ HEADLINE = [
     "events_tumbling_window",
     "mix_domain_quota",
     "corpus_source_overlap",
+    "pipeline_corpus_prep",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

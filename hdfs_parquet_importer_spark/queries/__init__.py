@@ -99,6 +99,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_ewma",
     "agg_freq_items",
     "zorder_curve",
+    "pipeline_corpus_prep",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -127,10 +128,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (6) Benched / flagship representatives so every query module
     # keeps a row in the current window (the rest of the registry is
     # re-gated locally by tests/test_oracle_gate.py every round).
-    # (dedup_exact / text_quality / agg_rollup displaced to fit:
-    # unchanged since their r2 green, still benched +
-    # full-registry-gated locally.)
-    "q1_pricing_summary",
+    # (dedup_exact / text_quality / agg_rollup / q1_pricing_summary
+    # displaced to fit: unchanged since their r2 green, still benched
+    # + full-registry-gated locally; q1 additionally stays
+    # smoke-checked every round via entry().)
     "window_topk_per_group",
     "ann_cosine_topk",
     "pandas_udf_log_price",

@@ -28,7 +28,11 @@ from pyspark.sql import functions as F
 from hdfs_parquet_importer_spark.operators import dedup as D
 from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 from hdfs_parquet_importer_spark.queries import register
-from hdfs_parquet_importer_spark.queries.llm import _TOKS_SQL, _shingles_sql
+from hdfs_parquet_importer_spark.queries.llm import (
+    _NORM_SQL,
+    _TOKS_SQL,
+    _shingles_sql,
+)
 from hdfs_parquet_importer_spark.tables import load_table
 
 
@@ -239,4 +243,88 @@ def text_df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), "term")
         .limit(10)
+    )
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+WITH quality AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5({_NORM_SQL}) AS fp,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+  FROM documents
+  WHERE n_chars BETWEEN 100 AND 2000
+    AND len({_TOKS_SQL}) >= 20),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM quality) WHERE rn = 1),
+train AS (SELECT * FROM deduped WHERE h < 'e666'),
+sampled AS (
+  SELECT * FROM train
+  WHERE h < CASE WHEN lang = 'en' THEN '8000' ELSE 'ffff' END),
+quota AS (
+  SELECT * FROM (
+    SELECT *, SUM(n_chars) OVER (
+        PARTITION BY source
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM sampled) WHERE cum <= 2000)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM quota GROUP BY lang ORDER BY lang
+""",
+    doc="End-to-end corpus preparation — the whole training-data "
+    "flow as ONE composed lazy plan: quality gate (length bounds + "
+    "min token count) -> exact dedup keeping the first doc per "
+    "normalized fingerprint -> train-split membership -> stratified "
+    "downsampling of the dominant language -> per-source char-budget "
+    "quota. Every stage is deterministic (md5 coin), so the oracle "
+    "replays the identical five-stage CTE chain and checks exact "
+    "per-language outputs. Plan: the quality filter and all three "
+    "hash predicates evaluate scan-side; the only shuffles are the "
+    "dedup window on fp and the quota window on source — both "
+    "natural keys, both AQE-skew-splittable. No stage materializes: "
+    "Catalyst pipelines the filters into one pass.",
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(
+        F.col("n_chars").between(100, 2000)
+        & (F.size(D.tokens(F.col("text"))) >= 20)
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(D.normalize_text(F.col("text"))).alias("fp"),
+        hash_coin(F.col("doc_id")).alias("h"),
+    )
+    dedup_w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(dedup_w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    train = deduped.filter(F.col("h") < frac_threshold(0.9))
+    keep_rate = F.when(F.col("lang") == "en", F.lit("8000")).otherwise(F.lit("ffff"))
+    sampled = train.filter(F.col("h") < keep_rate)
+    quota_w = (
+        Window.partitionBy("source")
+        .orderBy(hash_coin(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = sampled.withColumn("cum", F.sum("n_chars").over(quota_w)).filter(
+        F.col("cum") <= 2000
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("lang")
     )
