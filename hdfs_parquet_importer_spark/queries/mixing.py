@@ -43,8 +43,18 @@ def hash_coin(key: Column) -> Column:
 
 
 def frac_threshold(f: float) -> str:
-    """Hex threshold t with P(hash_coin < t) == round(f * 16^4) / 16^4."""
-    return format(int(f * 0x10000), "04x")
+    """Hex threshold t with P(hash_coin < t) == round(f * 16^4) / 16^4.
+
+    The comparison is LEXICOGRAPHIC on 4-char lowercase hex, so the
+    threshold must stay 4 chars: f == 1.0 would format to the 5-char
+    '10000', which sorts BELOW almost every hash ('4abc' > '10000')
+    and would silently select nothing. 'g' sorts above every hex
+    digit, so it is the keep-everything sentinel.
+    """
+    n = int(f * 0x10000)
+    if n >= 0x10000:
+        return "g"
+    return format(n, "04x")
 
 
 @register(

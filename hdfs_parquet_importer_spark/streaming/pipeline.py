@@ -27,16 +27,26 @@ from pyspark.sql import types as T
 # spark.sql.legacy.parquet.nanosAsLong=true (set by the session
 # factory) it surfaces as long and is converted below — same contract
 # as tables.load_table.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Legacy fixed-layout schema (ts = int64 nanos). Kept for callers and
+# tests that synthesize their own nano-long event files; the live
+# testdata path probes the footer instead (read_events_stream).
+EVENTS_SCHEMA: T.StructType
+
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_SCHEMA = _events_schema(T.LongType())
 
 
 def read_events_stream(
@@ -49,15 +59,33 @@ def read_events_stream(
     micro-batch (``maxFilesPerTrigger`` bounds per-batch work).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # A stream source needs an explicit schema, and events.ts has
+    # shipped as two physical layouts across testdata generations
+    # (TIMESTAMP(NANOS) read as long vs plain timestamp[us] read as
+    # TIMESTAMP_NTZ) — probe the footer with a batch read once and
+    # adapt, mirroring tables.load_table.
+    import os
+
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_name = probed.schema["ts"].dataType.typeName()
+    if ts_name in ("long", "bigint"):
+        schema = _events_schema(T.LongType())
+        convert = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_name == "timestamp_ntz":
+        schema = _events_schema(T.TimestampNTZType())
+        convert = F.col("ts").cast("timestamp")
+    else:
+        schema = _events_schema(T.TimestampType())
+        convert = F.col("ts")
     # The file-stream source needs a DIRECTORY basePath; the testdata
     # table is a single file, so scan the sf dir with a glob filter.
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+    reader = spark.readStream.schema(schema).option(
         "pathGlobFilter", "events.parquet"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", convert)
 
 
 def tumbling_counts(

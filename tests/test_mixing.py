@@ -26,8 +26,16 @@ def test_frac_threshold_encoding():
     assert frac_threshold(0.5) == "8000"
     assert frac_threshold(0.9) == "e666"
     assert frac_threshold(0.95) == "f333"
-    assert frac_threshold(1.0) == "10000"  # nothing sorts above it
+    # f=1.0 must NOT be '10000': lexicographically '4abc' > '10000',
+    # so a 5-char threshold would select almost nothing. 'g' sorts
+    # above every 4-char hex string -> keep everything.
+    assert frac_threshold(1.0) == "g"
     assert frac_threshold(0.0) == "0000"  # nothing sorts below it
+
+
+def test_keep_all_threshold_keeps_everything(spark):
+    df = spark.range(500).select(hash_coin(F.col("id")).alias("h"))
+    assert df.filter(F.col("h") < frac_threshold(1.0)).count() == 500
 
 
 def test_hash_coin_deterministic_and_uniform(spark):

@@ -135,3 +135,23 @@ def test_zorder_by_explicit_bounds_is_projection_only(spark, sf_dir):
     )
     plan = zdf._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_z_value_roundtrip_bijection(spark):
+    """Deinterleaving the curve value in plain Python recovers the
+    quantized coordinates exactly — the interleave is a bijection on
+    the full 2^bits x 2^bits grid."""
+    bits = 5
+    df = spark.createDataFrame(
+        [(a, b) for a in range(1 << bits) for b in range(1 << bits)],
+        ["qa", "qb"],
+    )
+    out = df.select(
+        "qa", "qb",
+        z_value([F.col("qa").cast("long"), F.col("qb").cast("long")], bits).alias("z"),
+    ).collect()
+    for r in out:
+        a = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(bits))
+        b = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(bits))
+        assert (a, b) == (r["qa"], r["qb"])
+    assert len({r["z"] for r in out}) == 1 << (2 * bits)
