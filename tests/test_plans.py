@@ -180,3 +180,20 @@ def test_lsh_candidate_join_is_equi_join(spark, sf_dir):
     plan = plan_of(lsh_topk(emb, q, k=10, n_planes=6, n_tables=8, multiprobe=True))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_corpus_prep_scan_side_quality_gate(plans):
+    """The quality gate's n_chars bounds reach the parquet scan as
+    pushed filters — at 100 TB the gate prunes row groups before any
+    dedup/quota shuffle sees a byte."""
+    plan = plans["pipeline_corpus_prep"]
+    assert re.search(r"PushedFilters: \[[^\]]*n_chars", plan)
+
+
+def test_zorder_curve_is_single_stage_projection(plans):
+    """The Morton interleave stays one codegen projection over the
+    scan: no Exchange before the final presentation sort."""
+    plan = plans["zorder_curve"]
+    body = plan.split("AdaptiveSparkPlan")[0]
+    # exactly the top-level ordering exchange, nothing mid-plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
