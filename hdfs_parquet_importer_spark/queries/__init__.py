@@ -100,6 +100,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_freq_items",
     "zorder_curve",
     "pipeline_corpus_prep",
+    "vocab_coverage",
+    "text_mean_token_df",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -124,15 +126,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "window_lag_lead",
     "window_rank_dense",
     "window_first_last",
-    "window_ntile_global",
+    # (window_ntile_global dropped from the stale re-verify set: a
+    # labeled single-task demo whose scalable twin is green; local
+    # full-registry gate still covers it.)
     # (6) Benched / flagship representatives so every query module
     # keeps a row in the current window (the rest of the registry is
     # re-gated locally by tests/test_oracle_gate.py every round).
-    # (dedup_exact / text_quality / agg_rollup / q1_pricing_summary
-    # displaced to fit: unchanged since their r2 green, still benched
-    # + full-registry-gated locally; q1 additionally stays
-    # smoke-checked every round via entry().)
-    "window_topk_per_group",
+    # (dedup_exact / text_quality / agg_rollup / q1_pricing_summary /
+    # window_topk_per_group displaced to fit: unchanged since their
+    # r2 green, still benched + full-registry-gated locally; q1
+    # additionally stays smoke-checked every round via entry().)
     "ann_cosine_topk",
     "pandas_udf_log_price",
 )

@@ -338,3 +338,97 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOKS_SQL}) AS term FROM documents),
+cnt AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY term),
+ranked AS (
+  SELECT term, n,
+         SUM(n) OVER (ORDER BY n DESC, term
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(n) OVER () AS total
+  FROM cnt)
+SELECT term, CAST(n AS BIGINT) AS n_occurrences,
+       ROUND(cum / total, 6) AS cum_coverage
+FROM ranked ORDER BY n_occurrences DESC, term LIMIT 20
+""",
+    doc="Vocabulary construction: top terms by corpus occurrence with "
+    "the cumulative token-coverage curve (the Zipf plot every "
+    "tokenizer build starts from — pick vocab size where coverage "
+    "flattens). Counts are exact integers and coverage is one "
+    "division of exact ints, so cross-engine FP accumulation order "
+    "can't bite. The global-order window runs over the VOCAB table "
+    "(vocabulary-bounded, not corpus-bounded — ~1M tiny rows at web "
+    "scale), not over tokens; the token-level work is one partial-agg "
+    "groupBy. Total order (n DESC, term) pins the LIMIT boundary.",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("term"))
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.orderBy(F.desc("n"), "term")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy()
+    ranked = cnt.select(
+        "term",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    return (
+        ranked.select(
+            "term",
+            F.col("n").alias("n_occurrences"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_coverage"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(20)
+    )
+
+
+@register(
+    "text_mean_token_df",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term)
+SELECT t.doc_id, COUNT(*) AS n_toks,
+       CAST(SUM(df) AS BIGINT) AS sum_df,
+       ROUND(CAST(SUM(df) AS BIGINT) / COUNT(*), 6) AS mean_df
+FROM tok t JOIN dfreq USING (term)
+WHERE t.doc_id < 50 GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    doc="Commonness quality proxy: per-document mean document-"
+    "frequency of its tokens — the integer-exact cousin of unigram "
+    "log-probability scoring (low mean-DF = rare-token-heavy = "
+    "gibberish candidate; FP log sums would hash-diverge across "
+    "engines on accumulation order, integer DF sums cannot). Corpus "
+    "DF is computed over ALL docs, then joined to only the scored "
+    "docs' tokens on the vocab-bounded term key; both aggs partial-"
+    "combine before their shuffles.",
+)
+def text_mean_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(D.tokens(F.col("text"))).alias("term"))
+    dfreq = tok.groupBy("term").agg(
+        F.count_distinct(F.col("doc_id")).alias("df")
+    )
+    scored = tok.filter(F.col("doc_id") < 50).join(dfreq, "term")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("df").alias("sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "sum_df",
+            F.round(F.col("sum_df") / F.col("n_toks"), 6).alias("mean_df"),
+        )
+        .orderBy("doc_id")
+    )
