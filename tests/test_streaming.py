@@ -110,3 +110,30 @@ def test_running_user_totals_state(spark, sf_dir, events_stream):
     for uid, (n, tv) in want.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(tv, abs=0.05)
+
+
+def test_stream_hash_coin_sampling_matches_batch(spark, sf_dir, events_stream):
+    """The mixing module's deterministic md5 coin is stateless, so the
+    SAME predicate partitions a stream and a batch identically —
+    sampling decisions survive reprocessing, retries, and
+    batch/stream boundary moves (the property that makes it safe at
+    scale, unlike rand()-based sampling whose per-partition RNG
+    stream differs between the two modes)."""
+    from hdfs_parquet_importer_spark.queries.mixing import (
+        frac_threshold,
+        hash_coin,
+    )
+
+    keep = hash_coin(F.col("event_id")) < frac_threshold(0.3)
+    q = ST.run_to_memory(
+        events_stream.filter(keep).select("event_id"),
+        "t_coin_sample",
+        output_mode="append",
+    )
+    _drain(q)
+    got = {r["event_id"] for r in spark.sql("SELECT * FROM t_coin_sample").collect()}
+    want = {
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").filter(keep).collect()
+    }
+    assert got == want and len(got) > 0
