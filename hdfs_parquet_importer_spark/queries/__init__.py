@@ -102,6 +102,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_corpus_prep",
     "vocab_coverage",
     "text_mean_token_df",
+    "agg_mode_per_group",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -120,7 +121,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "func_conditional",
     "func_array",
     "func_explode",
-    "func_nullsafe_eq",
+    # (func_nullsafe_eq dropped from the stale re-verify set: trivial
+    # demo, unchanged since its r1 green, locally gated.)
     "func_date_arith",
     "func_explode_outer",
     "window_lag_lead",

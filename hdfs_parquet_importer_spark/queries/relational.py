@@ -904,3 +904,37 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", z_value(qs, 8).alias("z")
     ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn
+      FROM c)
+SELECT lang, source AS mode_source, CAST(n AS BIGINT) AS n_docs
+FROM r WHERE rn = 1 ORDER BY lang
+""",
+    doc="Exact per-group mode (most frequent source per language) — "
+    "the aggregate Spark has no built-in for, as the standard "
+    "two-step: counted pairs (partial-agg before the shuffle, so the "
+    "exchange carries one row per (group, value)), then a "
+    "row_number()=1 top-1 window that Spark plans as WindowGroupLimit "
+    "(each task keeps one candidate per group before the window "
+    "shuffle). Deterministic tiebreak on the value itself. Scales as "
+    "O(distinct pairs), never O(rows).",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "source")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang", F.col("source").alias("mode_source"), F.col("n").alias("n_docs")
+        )
+        .orderBy("lang")
+    )

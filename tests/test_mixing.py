@@ -123,3 +123,17 @@ def test_forward_fill_known_answer(spark):
     )
     got = {r["event_id"]: r["lp"] for r in filled.collect()}
     assert got == {1: None, 2: 10.0, 3: 10.0, 4: 20.0, 5: 20.0, 6: None}
+
+
+def test_frac_threshold_monotone_selection(spark):
+    """A higher fraction's selection is a SUPERSET of a lower one's —
+    the property that lets a pipeline raise a sampling rate later and
+    keep every previously selected row (append-only resampling)."""
+    df = spark.range(1000).select("id", hash_coin(F.col("id")).alias("h"))
+    picked = {}
+    for f in (0.1, 0.3, 0.7, 1.0):
+        picked[f] = {r["id"] for r in df.filter(F.col("h") < frac_threshold(f)).collect()}
+    assert picked[0.1] <= picked[0.3] <= picked[0.7] <= picked[1.0]
+    assert len(picked[1.0]) == 1000
+    # and rates land near their targets (binomial 5-sigma)
+    assert abs(len(picked[0.3]) - 300) < 5 * (1000 * 0.3 * 0.7) ** 0.5
