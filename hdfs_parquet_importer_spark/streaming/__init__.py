@@ -15,6 +15,7 @@ from hdfs_parquet_importer_spark.streaming.pipeline import (  # noqa: F401
     sessionized_counts,
     sliding_counts,
     stream_static_enrich,
+    streaming_ewma,
     stream_stream_interval_join,
     tumbling_counts,
     write_stream_parquet,

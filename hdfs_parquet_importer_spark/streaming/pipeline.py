@@ -185,6 +185,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Unbounded-history EWMA per user — the stateful streaming twin
+    of the batch ``window_ewma`` query (which truncates to a bounded
+    frame precisely because batch windows must hold their frame in
+    memory). Here the accumulator IS the state: one (ewma, n) pair
+    per key, folded forward each micro-batch, so history length never
+    matters. State is partitioned by user_id and scales horizontally.
+
+    Ordering contract: rows are folded in (ts, event_id) order WITHIN
+    each micro-batch, and batches arrive in file order — the in-order
+    per-key log assumption. True event-time disorder across batches
+    needs watermarked buffering in front (compose with
+    ``tumbling_counts``-style watermarking), which no engine's EWMA
+    can avoid: the recursion is order-defined.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, ewma double, n_events long"
+    state_schema = "ewma double, n long"
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = None, 0
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            ewma = float(v) if ewma is None else alpha * float(v) + (1 - alpha) * ewma
+        n += len(batch)
+        state.update((float(ewma), n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "ewma": [round(ewma, 6)], "n_events": [n]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_stream_interval_join(
     purchases: DataFrame,
     views: DataFrame,

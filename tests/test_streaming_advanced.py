@@ -253,3 +253,35 @@ def test_dedup_stream_across_microbatches(spark, tmp_path):
     # The survivor for key 1 is the FIRST delivery, not a redelivery.
     kept1 = [r for r in rows if r.event_id == 1]
     assert len(kept1) == 1 and kept1[0].event_type == "click"
+
+
+def test_streaming_ewma_folds_state_across_microbatches(spark, tmp_path):
+    """Two files -> two micro-batches: the second batch's fold must
+    SEED from the first batch's persisted state, and the final value
+    must equal the single-pass fold over the full ordered history."""
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    f1 = [(1, _ns(0, 0), 7, "view", 10.0), (2, _ns(0, 1), 7, "view", 20.0)]
+    f2 = [(3, _ns(0, 2), 7, "view", 30.0), (4, _ns(0, 3), 7, "view", 40.0)]
+    _write_events_file(str(src / "a_events.parquet"), f1)
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes -> deterministic file order
+    _write_events_file(str(src / "b_events.parquet"), f2)
+
+    stream = (
+        spark.readStream.schema(ST.pipeline.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = ST.run_to_memory(
+        ST.pipeline.streaming_ewma(stream, alpha=0.5), "t_ewma", output_mode="update"
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    rows = spark.sql("SELECT * FROM t_ewma ORDER BY n_events").collect()
+    # batch 1: 10 -> .5*20+.5*10 = 15 ; batch 2 seeds from 15:
+    # .5*30+.5*15 = 22.5 -> .5*40+.5*22.5 = 31.25
+    assert [(r["n_events"], r["ewma"]) for r in rows] == [(2, 15.0), (4, 31.25)]
