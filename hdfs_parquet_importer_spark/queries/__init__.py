@@ -103,6 +103,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "vocab_coverage",
     "text_mean_token_df",
     "agg_mode_per_group",
+    "udtf_text_chunks",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -113,7 +114,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_range",
     "agg_distinct",
     "agg_having",
-    "setop_union",
+    # (setop_union dropped from the stale re-verify set: unchanged
+    # since r1, the set-op family keeps setop_intersect below plus
+    # r2-green setop_except / setop_union_by_name.)
     "setop_intersect",
     "func_string",
     "func_date",

@@ -108,3 +108,47 @@ def pandas_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_fit_group, schema=out_schema)
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "udtf_text_chunks",
+    oracle="""
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(least(100, length(text) - i*100) AS INT) AS chunk_len
+FROM documents,
+     unnest(range(CAST(ceil(length(text)/100.0) AS BIGINT))) AS t(i)
+WHERE doc_id < 20 ORDER BY doc_id, chunk_idx
+""",
+    doc="Python UDTF surface (Spark 3.5+): a table function LATERAL-"
+    "joined per input row — here fixed-size char chunking of "
+    "documents (the row-explosion shape behind context-window "
+    "splitting). One input row fans out to ceil(len/100) output "
+    "rows; the lateral join keeps the expansion partition-local (no "
+    "shuffle). UDTFs are the row-at-a-time slow path — this demo "
+    "completes the UDF/UDAF/UDTF API surface (SURVEY §2.2); the "
+    "production chunker for a hot path is the equivalent Catalyst "
+    "sequence()+explode() projection.",
+)
+def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_len int")
+    class Chunker:
+        def eval(self, text: str):
+            if not text:
+                return
+            n = len(text)
+            for i in range((n + 99) // 100):
+                yield i, min(100, n - i * 100)
+
+    spark.udtf.register("chunker", Chunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "__udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk_len
+        FROM __udtf_docs, LATERAL chunker(text) AS c
+        WHERE doc_id < 20 ORDER BY doc_id, chunk_idx
+        """
+    )

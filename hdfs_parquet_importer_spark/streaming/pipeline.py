@@ -23,13 +23,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Parquet streaming sources need an explicit schema (no inference at
-# stream start). ``ts`` is TIMESTAMP(NANOS) in the testdata; with
-# spark.sql.legacy.parquet.nanosAsLong=true (set by the session
-# factory) it surfaces as long and is converted below — same contract
-# as tables.load_table.
-# Legacy fixed-layout schema (ts = int64 nanos). Kept for callers and
-# tests that synthesize their own nano-long event files; the live
-# testdata path probes the footer instead (read_events_stream).
+# stream start). Legacy fixed-layout schema (ts = int64 nanos), kept
+# for callers and tests that synthesize their own nano-long event
+# files; the live testdata path probes the footer instead
+# (read_events_stream) because the generator has shipped both
+# TIMESTAMP(NANOS) and timestamp[us] layouts across rounds.
 EVENTS_SCHEMA: T.StructType
 
 
