@@ -104,6 +104,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_mean_token_df",
     "agg_mode_per_group",
     "udtf_text_chunks",
+    "sample_weighted",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -126,7 +127,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "func_explode",
     # (func_nullsafe_eq dropped from the stale re-verify set: trivial
     # demo, unchanged since its r1 green, locally gated.)
-    "func_date_arith",
+    # (func_date_arith dropped from the stale re-verify set: unchanged
+    # since r1, date family keeps func_date below.)
     "func_explode_outer",
     "window_lag_lead",
     "window_rank_dense",

@@ -432,3 +432,40 @@ def text_mean_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      < least(1.0, n_chars / 500.0) * 65536.0
+GROUP BY lang ORDER BY lang
+""",
+    doc="Importance-weighted sampling: each document's keep "
+    "probability is proportional to its quality weight (here "
+    "min(1, n_chars/500) as the stand-in score) — the DoReMi-style "
+    "quality-weighted mix, still fully deterministic: the md5 coin's "
+    "16-bit prefix as an integer is compared against weight*65536. "
+    "Spark reads the prefix with conv(hex,16,10), DuckDB with a "
+    "'0x'-cast; both sides then do the identical double multiply, so "
+    "the oracle checks exact kept sums. Same scan-side, shuffle-free "
+    "selection as the uniform coin.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.conv(hash_coin(F.col("doc_id")), 16, 10).cast("long")
+    p = F.least(F.lit(1.0), F.col("n_chars") / 500.0)
+    return (
+        docs.filter(coin < p * 65536.0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
