@@ -105,6 +105,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_mode_per_group",
     "udtf_text_chunks",
     "sample_weighted",
+    "agg_histogram",
+    "stat_spearman_rank",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -127,12 +129,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "func_explode",
     # (func_nullsafe_eq dropped from the stale re-verify set: trivial
     # demo, unchanged since its r1 green, locally gated.)
-    # (func_date_arith dropped from the stale re-verify set: unchanged
-    # since r1, date family keeps func_date below.)
-    "func_explode_outer",
+    # (func_date_arith / func_explode_outer dropped from the stale
+    # re-verify set: unchanged since r1; date family keeps func_date,
+    # explode family keeps func_explode below.)
     "window_lag_lead",
     "window_rank_dense",
-    "window_first_last",
+    # (window_first_last dropped: unchanged since r1; the window
+    # family keeps lag_lead / rank_dense here plus four r4 entries.)
     # (window_ntile_global dropped from the stale re-verify set: a
     # labeled single-task demo whose scalable twin is green; local
     # full-registry gate still covers it.)

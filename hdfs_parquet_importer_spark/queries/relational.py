@@ -938,3 +938,86 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+    doc="Fixed-width value histogram (50k buckets over order totals) "
+    "with per-bucket extrema — the one-pass distribution profile "
+    "behind skew diagnosis and range-partition boundary picking. "
+    "Bucketing is a scan-side projection; the agg partial-combines "
+    "to one row per bucket per partition before the (bucket-keyed, "
+    "bounded-cardinality) shuffle.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "stat_spearman_rank",
+    oracle=f"""
+WITH m AS (SELECT doc_id, n_chars,
+                  len({{toks}}) AS n_toks FROM documents),
+r AS (SELECT doc_id,
+        row_number() OVER (ORDER BY n_chars, doc_id) AS ra,
+        row_number() OVER (ORDER BY n_toks, doc_id) AS rb
+      FROM m)
+SELECT COUNT(*) AS n,
+       CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       ROUND(1.0 - 6.0 * CAST(SUM((ra-rb)*(ra-rb)) AS BIGINT)
+             / (COUNT(*) * (CAST(COUNT(*) AS BIGINT)*COUNT(*) - 1)), 6) AS rho
+FROM r
+""".format(toks="string_split(trim(regexp_replace(regexp_replace(lower(text),"
+           " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')"),
+    doc="Spearman rank correlation between document length and token "
+    "count — computed entirely in exact integer arithmetic (rank "
+    "differences squared and summed as bigints; the only double op "
+    "is the final 1 - 6*S/(n(n^2-1)) formula, identical on both "
+    "engines), where Pearson's FP sum-of-products would hash-diverge "
+    "on accumulation order. Ranks use row_number with a doc_id "
+    "tiebreak (deterministic). The global-order rank window is "
+    "single-task here; at scale ranks come from the same two-phase "
+    "distributed prefix machinery as pack_sequences "
+    "(operators/prefix.py) — the rho formula is unchanged.",
+)
+def stat_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hdfs_parquet_importer_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id", "n_chars", F.size(D.tokens(F.col("text"))).alias("n_toks")
+    )
+    ra = F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    rb = F.row_number().over(Window.orderBy("n_toks", "doc_id"))
+    r = m.select(ra.alias("ra"), rb.alias("rb"))
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d2).alias("sum_d2")
+    )
+    n = F.col("n")
+    return agg.select(
+        "n",
+        "sum_d2",
+        F.round(
+            F.lit(1.0) - 6.0 * F.col("sum_d2") / (n * (n * n - 1)), 6
+        ).alias("rho"),
+    )
