@@ -107,6 +107,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sample_weighted",
     "agg_histogram",
     "stat_spearman_rank",
+    "events_funnel",
+    "events_retention",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -121,10 +123,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # since r1, the set-op family keeps setop_intersect below plus
     # r2-green setop_except / setop_union_by_name.)
     "setop_intersect",
-    "func_string",
+    # (func_string / func_conditional dropped from the stale
+    # re-verify set: unchanged since r1; scalar-function family keeps
+    # func_date / func_math / func_array / func_explode below.)
     "func_date",
     "func_math",
-    "func_conditional",
     "func_array",
     "func_explode",
     # (func_nullsafe_eq dropped from the stale re-verify set: trivial

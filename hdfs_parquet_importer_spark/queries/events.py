@@ -211,3 +211,97 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
     ).orderBy("purchase_id", "view_id")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH su AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+conv AS (SELECT DISTINCT e.user_id FROM events e JOIN su USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > su.s_ts
+           AND e.ts <= su.s_ts + INTERVAL 7 DAY)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM su) AS n_signed_up,
+       (SELECT COUNT(*) FROM conv) AS n_converted_7d,
+       ROUND((SELECT COUNT(*) FROM conv) * 100.0
+             / (SELECT COUNT(*) FROM su), 4) AS conv_pct
+""",
+    doc="Funnel conversion: users whose first signup is followed by a "
+    "purchase within 7 days. One pass: a per-user window pins the "
+    "first signup time onto every row, a per-row flag marks "
+    "qualifying purchases, and a user-level agg collapses to "
+    "(signed_up, converted) bits — a single user-keyed shuffle, no "
+    "self-join, so the shape survives any event volume (users "
+    "partition cleanly; a power user is one hot key for AQE). All "
+    "counts exact ints; the one division is identical cross-engine.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s_ts = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    flagged = ev.select("user_id", "event_type", "ts", s_ts.alias("s_ts"))
+    conv_row = (
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") > F.col("s_ts"))
+        & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAY"))
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(F.col("s_ts").isNotNull().cast("int")).alias("signed"),
+        F.max(conv_row.cast("int")).alias("conv"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("signed").alias("n_signed_up"),
+        F.sum("conv").alias("n_converted_7d"),
+        F.round(F.sum("conv") * 100.0 / F.sum("signed"), 4).alias("conv_pct"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH f AS (SELECT user_id, MIN(ts) AS f_ts FROM events GROUP BY user_id),
+act AS (SELECT DISTINCT e.user_id,
+               CAST(floor(date_diff('day', CAST(f.f_ts AS DATE),
+                                    CAST(e.ts AS DATE)) / 7.0) AS BIGINT)
+                   AS week_offset,
+               strftime(date_trunc('week', f.f_ts), '%Y-%m-%d') AS cohort_week
+        FROM events e JOIN f USING (user_id))
+SELECT cohort_week, week_offset, COUNT(*) AS n_active
+FROM act GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="Cohort retention matrix: users grouped by first-activity "
+    "week, counted per whole-week offset of later activity — the "
+    "standard growth-analytics triangle. Explicit floor() before the "
+    "int cast (DuckDB CAST rounds-to-nearest, Spark truncates — the "
+    "Q11 lesson applied to date math) and calendar-day diffs on both "
+    "sides. Two user-keyed shuffles (first-activity agg, then the "
+    "distinct), both partial-combined; cohort cardinality is "
+    "weeks x weeks — tiny.",
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("f_ts"))
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.to_date("f_ts")) / 7.0
+            ).cast("long").alias("week_offset"),
+            F.date_format(F.date_trunc("week", F.col("f_ts")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
