@@ -34,14 +34,24 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the payload columns of the
-    latest right row with ``right[right_ts] <= left[left_ts]`` and the
-    same ``on`` key (null payload when no such row exists).
+    nearest right row on the chosen side and the same ``on`` key (null
+    payload when no such row exists).
+
+    ``direction="backward"`` (default) matches the LATEST right row
+    with ``right_ts <= left_ts`` (pandas merge_asof semantics);
+    ``"forward"`` matches the EARLIEST right row with
+    ``right_ts >= left_ts`` — the same union + ordered-window carry,
+    just scanned from the other end, so both directions cost one
+    key-partitioned window pass (no range self-join).
 
     Payload columns appear as ``{prefix}{col}``; ``{prefix}ts`` carries
     the matched right timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(
         F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in right_payload]
     )
@@ -64,10 +74,14 @@ def asof_join(
     unioned = left_tagged.unionByName(right_tagged)
 
     # Right rows sort BEFORE left rows at equal ts so the match is
-    # inclusive (right_ts == left_ts counts), matching ASOF >= .
+    # inclusive (right_ts == left_ts counts) in either direction.
+    # Forward = the same carry scanned from the high end: descending
+    # timestamp order turns last-non-null-before into
+    # first-non-null-after.
+    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .orderBy(ts_order, F.col("_is_right").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -109,10 +109,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stat_spearman_rank",
     "events_funnel",
     "events_retention",
+    "asof_join_next_purchase",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
-    "join_left_outer",
+    # (join_left_outer dropped from the stale re-verify set:
+    # unchanged since r1; the left-outer shape holds an r3 green via
+    # q13_customer_distribution.)
     "join_semi",
     "join_anti",
     "join_full_outer",

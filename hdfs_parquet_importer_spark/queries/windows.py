@@ -454,3 +454,54 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", F.round(ewma, 6).alias("ewma")
     ).orderBy("user_id", "event_id")
+
+
+@register(
+    "asof_join_next_purchase",
+    oracle="""
+WITH s AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'signup'),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+j AS (SELECT s.event_id, p.ts AS p_ts, p.value,
+             row_number() OVER (PARTITION BY s.event_id ORDER BY p.ts) AS rn
+      FROM s JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts)
+SELECT s.event_id, s.user_id,
+       strftime(j.p_ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts,
+       ROUND(j.value, 2) AS next_purchase_value
+FROM s LEFT JOIN j ON s.event_id = j.event_id AND j.rn = 1
+ORDER BY s.event_id
+""",
+    doc="Forward as-of join: each signup matched to the user's "
+    "EARLIEST purchase at-or-after it (time-to-convert attribution). "
+    "Same union + ordered-window carry as the backward as-of — "
+    "scanned from the high end — so it stays one user-partitioned "
+    "window pass with no range self-join; the oracle's "
+    "row_number-over-range-join formulation is the O(n*m)-per-key "
+    "correctness reference.",
+)
+def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["value"],
+        prefix="next_",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "next_purchase_ts"
+        ),
+        F.round("next_value", 2).alias("next_purchase_value"),
+    ).orderBy("event_id")

@@ -63,3 +63,21 @@ def test_asof_preserves_left_rowcount(spark):
         left, right, on="k", left_ts="ts", right_ts="ts", right_payload=["rid"]
     )
     assert out.count() == 30
+
+
+def test_asof_forward_direction(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 10)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "early"), (1, 20, "mid"), (1, 50, "exact")], ["k", "t", "tag"]
+    )
+    out = {
+        (r["k"], r["t"]): r["asof_tag"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_payload=["tag"], direction="forward",
+        ).collect()
+    }
+    # earliest right with right_t >= left_t; ties inclusive; no match -> null
+    assert out == {(1, 10): "mid", (1, 50): "exact", (2, 10): None}
