@@ -110,6 +110,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_funnel",
     "events_retention",
     "asof_join_next_purchase",
+    "window_share_of_total",
+    "events_longest_streak",
     # (5) Only round-1 green, never re-verified since (rotated out of
     # the r2/r3 windows); unchanged code, re-verify under current
     # session/AQE settings and the regenerated testdata.
@@ -120,7 +122,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_anti",
     "join_full_outer",
     "join_range",
-    "agg_distinct",
+    # (agg_distinct dropped from the stale re-verify set: unchanged
+    # since r1; the distinct-agg shape holds an r3 green via
+    # q16_supplier_cnt's COUNT DISTINCT.)
     "agg_having",
     # (setop_union dropped from the stale re-verify set: unchanged
     # since r1, the set-op family keeps setop_intersect below plus
@@ -139,7 +143,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # re-verify set: unchanged since r1; date family keeps func_date,
     # explode family keeps func_explode below.)
     "window_lag_lead",
-    "window_rank_dense",
+    # (window_rank_dense dropped: unchanged since r1; rank shapes
+    # also exercised by window_topk_per_group's r2 green and q2's
+    # boundary sort.)
     # (window_first_last dropped: unchanged since r1; the window
     # family keeps lag_lead / rank_dense here plus four r4 entries.)
     # (window_ntile_global dropped from the stale re-verify set: a

@@ -505,3 +505,84 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("next_value", 2).alias("next_purchase_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "window_share_of_total",
+    oracle="""
+WITH rev AS (
+  SELECT n_name, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cp
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name, CAST(rev_cp AS BIGINT) AS rev_cp,
+       ROUND(rev_cp / SUM(rev_cp) OVER (), 6) AS share
+FROM rev ORDER BY n_name
+""",
+    doc="Ratio-to-report: each nation's share of total order revenue "
+    "— the percent-of-total window pattern. Revenue accumulates in "
+    "exact integer cents (the Q11 technique), so the only double op "
+    "is the final share division, identical cross-engine. The "
+    "grand-total window runs over the 25-row nation aggregate, never "
+    "the fact table; the heavy lifting is one partial-combined "
+    "groupBy over the join.",
+)
+def window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("rev_cp"))
+    )
+    total = F.sum("rev_cp").over(Window.partitionBy())
+    return rev.select(
+        "n_name",
+        "rev_cp",
+        F.round(F.col("rev_cp") / total, 6).alias("share"),
+    ).orderBy("n_name")
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+grp AS (SELECT user_id, d,
+               CAST(d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS DATE) AS anchor
+        FROM days),
+streaks AS (SELECT user_id, COUNT(*) AS len
+            FROM grp GROUP BY user_id, anchor)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks WHERE user_id < 30 GROUP BY user_id ORDER BY user_id
+""",
+    doc="Gaps-and-islands: longest run of consecutive active days per "
+    "user via the date-minus-row_number anchor trick — consecutive "
+    "days share an anchor, so streaks fall out of a plain groupBy "
+    "with no self-join or recursive CTE. All integer/date exact "
+    "arithmetic. The row_number window partitions by user (parallel), "
+    "and the distinct bounds the row count at users x days.",
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    grp = days.select("user_id", "d", F.date_sub(F.col("d"), rn).alias("anchor"))
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.filter(F.col("user_id") < 30)
+        .groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
