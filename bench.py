@@ -57,6 +57,8 @@ HEADLINE = [
     "mix_domain_quota",
     "corpus_source_overlap",
     "pipeline_corpus_prep",
+    "zorder_curve",
+    "events_funnel",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
