@@ -23,33 +23,40 @@ The only serialized work is over bucket count, not row count; at
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKET = "__psbucket"
 _LOCAL = "__pslocal"
 _BASE = "__psbase"
+_ONE = "__psone"
 
 
 def prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     bucket: Column,
     out_col: str = "offset",
 ) -> DataFrame:
     """Append the EXCLUSIVE prefix sum of ``value_col`` in
-    ``order_col`` order as ``out_col``.
+    ``order_col`` order (a column name or a list of names — composite
+    orders break ties, e.g. ``["n_chars", "doc_id"]``) as ``out_col``.
 
-    ``bucket`` must be a monotone function of ``order_col`` (bucket
-    ids ascend with the order key and group contiguous ranges) — e.g.
-    ``F.col("doc_id") % ... no; use floor(doc_id / K)``. Monotonicity
-    is what lets per-bucket sums compose into a global prefix.
+    ``bucket`` must be a monotone function of the PRIMARY order column
+    (bucket ids ascend with the order key and group contiguous
+    ranges) — e.g. ``F.floor(F.col("n_chars") / K)``. Rows tied on
+    the primary column share its bucket, so a composite order stays
+    consistent with bucketing. Monotonicity is what lets per-bucket
+    sums compose into a global prefix.
     """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     b = df.withColumn(_BUCKET, bucket.cast("long"))
     local_w = (
         Window.partitionBy(_BUCKET)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     b = b.withColumn(_LOCAL, F.sum(value_col).over(local_w))
@@ -70,6 +77,32 @@ def prefix_sum(
         .withColumn(out_col, F.col(_BASE) + F.col(_LOCAL) - F.col(value_col))
         .drop(_BUCKET, _LOCAL, _BASE)
     )
+
+
+def dist_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    bucket: Column,
+    out_col: str = "rank",
+) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)``.
+
+    A global rank is the exclusive prefix sum of 1s plus one — so the
+    naive single-reducer ``Window.orderBy`` becomes the same two-phase
+    bucketed machinery as :func:`prefix_sum`: per-bucket partitioned
+    count windows in parallel, one tiny bucket-total pass, broadcast
+    bases. ``order_cols`` must totally order the rows (add a unique
+    tiebreak column) for the rank to be deterministic; ``bucket``
+    follows the same monotone-in-primary-column contract.
+    """
+    ranked = prefix_sum(
+        df.withColumn(_ONE, F.lit(1).cast("long")),
+        order_cols,
+        _ONE,
+        bucket,
+        out_col=out_col,
+    )
+    return ranked.withColumn(out_col, F.col(out_col) + F.lit(1)).drop(_ONE)
 
 
 def pack_sequences(

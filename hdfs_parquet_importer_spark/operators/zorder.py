@@ -31,7 +31,19 @@ def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     computes min/max in one cheap agg (see :func:`zorder_by`).
     Clipping (not erroring) on out-of-bounds keeps late-arriving
     outliers writable — they land in the edge cells.
+
+    Degenerate bounds (``hi <= lo``, e.g. a constant column flowing
+    through ``zorder_by``'s auto min/max) are an error: the division
+    by span would yield NaN, and NaN-is-largest ordering would
+    silently clip EVERY row to the top cell — garbage curve bits with
+    no signal that the dimension is dead (ADVICE r4). A constant
+    column carries no layout information; drop it from ``cols``.
     """
+    if float(hi) <= float(lo):
+        raise ValueError(
+            f"degenerate quantize bounds: hi ({hi!r}) <= lo ({lo!r}); "
+            "constant columns carry no Z-order information"
+        )
     span = float(hi) - float(lo)
     scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(span)
     clipped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0))

@@ -154,9 +154,13 @@ GROUP BY source ORDER BY source
     "deterministic shuffle, so the kept set is an unbiased sample of "
     "the source) and keep rows while the running char total stays "
     "under the quota. One shuffle on the mixing key; the running sum "
-    "is a single window pass. At 100 TB a hot source's rows exceed "
-    "one task — the same two-phase distributed prefix-sum used by "
-    "pack_sequences (operators/prefix.py) computes `cum` with "
+    "is a single window pass. The window orders by the FULL md5 (not "
+    "the 4-hex coin prefix): prefix collisions within a source would "
+    "let the two engines order collided rows differently and diverge "
+    "the running sum right at the quota boundary — sf0.1 already has "
+    "7 such diverging groups (ADVICE r4). At 100 TB a hot source's "
+    "rows exceed one task — the same two-phase distributed prefix-sum "
+    "used by pack_sequences (operators/prefix.py) computes `cum` with "
     "per-bucket offsets instead of one ordered partition; the quota "
     "predicate is unchanged.",
 )
@@ -164,7 +168,7 @@ def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = (
         Window.partitionBy("source")
-        .orderBy(hash_coin(F.col("doc_id")), "doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -321,9 +325,12 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = deduped.filter(F.col("h") < frac_threshold(0.9))
     keep_rate = F.when(F.col("lang") == "en", F.lit("8000")).otherwise(F.lit("ffff"))
     sampled = train.filter(F.col("h") < keep_rate)
+    # Full-md5 order (not the 4-hex coin prefix): keeps the running
+    # sum's row order identical across engines even on prefix
+    # collisions — same parity fix as mix_domain_quota.
     quota_w = (
         Window.partitionBy("source")
-        .orderBy(hash_coin(F.col("doc_id")), "doc_id")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     kept = sampled.withColumn("cum", F.sum("n_chars").over(quota_w)).filter(
@@ -360,34 +367,35 @@ FROM ranked ORDER BY n_occurrences DESC, term LIMIT 20
     "tokenizer build starts from — pick vocab size where coverage "
     "flattens). Counts are exact integers and coverage is one "
     "division of exact ints, so cross-engine FP accumulation order "
-    "can't bite. The global-order window runs over the VOCAB table "
-    "(vocabulary-bounded, not corpus-bounded — ~1M tiny rows at web "
-    "scale), not over tokens; the token-level work is one partial-agg "
-    "groupBy. Total order (n DESC, term) pins the LIMIT boundary.",
+    "can't bite. Scale shape: NO window ever sees the full term "
+    "table (raw web-scale token vocabularies hit 1e8-1e9 distinct "
+    "strings) — the top-20 is a TakeOrderedAndProject over the "
+    "partial-agg term counts, the grand total is one scalar agg "
+    "broadcast in as a 1-row join, and the cumulative sum runs over "
+    "only the 20 surviving rows (limit-bounded single task). AQE "
+    "exchange reuse dedupes the shared term-count subplan. Total "
+    "order (n DESC, term) pins the LIMIT boundary.",
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(D.tokens(F.col("text"))).alias("term"))
     cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = cnt.orderBy(F.desc("n"), "term").limit(20)
+    total = cnt.agg(F.sum("n").alias("_total"))
+    # Cumulative sum over the 20 post-limit survivors only.
     w_cum = (
         Window.orderBy(F.desc("n"), "term")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_tot = Window.partitionBy()
-    ranked = cnt.select(
-        "term",
-        "n",
-        F.sum("n").over(w_cum).alias("cum"),
-        F.sum("n").over(w_tot).alias("total"),
-    )
     return (
-        ranked.select(
+        top.withColumn("cum", F.sum("n").over(w_cum))
+        .crossJoin(F.broadcast(total))
+        .select(
             "term",
             F.col("n").alias("n_occurrences"),
-            F.round(F.col("cum") / F.col("total"), 6).alias("cum_coverage"),
+            F.round(F.col("cum") / F.col("_total"), 6).alias("cum_coverage"),
         )
         .orderBy(F.desc("n_occurrences"), "term")
-        .limit(20)
     )
 
 

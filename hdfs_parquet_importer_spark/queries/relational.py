@@ -839,20 +839,27 @@ ORDER BY event_type
     "support MUST appear, so `in_sketch` is provably TRUE for each "
     "exact heavy hitter and the oracle re-derives the exact side. "
     "Completes the sketch family next to approx_count_distinct (HLL) "
-    "and approx_percentile (t-digest).",
+    "and approx_percentile (t-digest). NOTE: freqItems() is Spark's "
+    "eager sketch API, so ONE bounded job runs at plan-construction "
+    "time (its result is a <=1/support-item literal in the returned "
+    "plan); the exact side — including the grand total, a 1-row "
+    "broadcast scalar subplan — is fully lazy, so the returned "
+    "DataFrame captures all row-proportional work.",
 )
 def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # Sketch side: one row, <= 1/support values — a bounded collect.
+    # This is the only eager step (freqItems has no lazy form).
     [fi_row] = ev.select("event_type").stat.freqItems(
         ["event_type"], support=0.1
     ).collect()
     sketch_items = list(fi_row[0])
-    total = ev.count()
+    total = ev.agg(F.count(F.lit(1)).alias("_total"))
     return (
         ev.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .filter(F.col("exact_cnt") > 0.1 * F.lit(total))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("exact_cnt") > 0.1 * F.col("_total"))
         .select(
             "event_type",
             "exact_cnt",
@@ -992,23 +999,32 @@ FROM r
     "is the final 1 - 6*S/(n(n^2-1)) formula, identical on both "
     "engines), where Pearson's FP sum-of-products would hash-diverge "
     "on accumulation order. Ranks use row_number with a doc_id "
-    "tiebreak (deterministic). The global-order rank window is "
-    "single-task here; at scale ranks come from the same two-phase "
-    "distributed prefix machinery as pack_sequences "
-    "(operators/prefix.py) — the rho formula is unchanged.",
+    "tiebreak (deterministic), computed by operators/prefix.dist_rank "
+    "— the two-phase bucketed prefix-sum (rank = exclusive prefix "
+    "count of 1s + 1), NOT a global-order window: each rank pass is "
+    "a range-bucket-partitioned window plus one bucket-count pass, "
+    "so no task ever sees more than one bucket's rows. The oracle "
+    "keeps the naive row_number formulation as the correctness "
+    "reference; the rho formula is unchanged.",
 )
 def stat_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from hdfs_parquet_importer_spark.operators import dedup as D
+    from hdfs_parquet_importer_spark.operators.prefix import dist_rank
 
     docs = load_table(spark, sf_dir, "documents")
     m = docs.select(
         "doc_id", "n_chars", F.size(D.tokens(F.col("text"))).alias("n_toks")
     )
-    ra = F.row_number().over(Window.orderBy("n_chars", "doc_id"))
-    rb = F.row_number().over(Window.orderBy("n_toks", "doc_id"))
-    r = m.select(ra.alias("ra"), rb.alias("rb"))
+    # Range buckets over each measure: monotone in the primary order
+    # column, ~32-char / ~8-token wide cells; at scale widths come
+    # from table stats (quantiles) instead of constants.
+    m = dist_rank(
+        m, ["n_chars", "doc_id"], F.floor(F.col("n_chars") / 32), out_col="ra"
+    )
+    m = dist_rank(
+        m, ["n_toks", "doc_id"], F.floor(F.col("n_toks") / 8), out_col="rb"
+    )
+    r = m.select("ra", "rb")
     d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
     agg = r.agg(
         F.count(F.lit(1)).alias("n"), F.sum(d2).alias("sum_d2")

@@ -422,7 +422,7 @@ WITH seq AS (
   SELECT user_id, event_id,
          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS xs
-  FROM events WHERE user_id < 10)
+  FROM events WHERE user_id < 10 AND value IS NOT NULL)
 SELECT user_id, event_id,
        ROUND(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
 FROM seq ORDER BY user_id, event_id
@@ -434,12 +434,20 @@ FROM seq ORDER BY user_id, event_id
     "Truncating the frame bounds both memory (16 doubles/row) and "
     "the dropped tail's weight (0.7^15 < 0.5%). Both engines fold "
     "the same doubles in the same order, so results are "
-    "bit-identical before the display rounding. Unbounded-history "
-    "EWMA over a stream belongs to applyInPandasWithState "
-    "(streaming/), where per-key state carries the accumulator.",
+    "bit-identical before the display rounding — which requires the "
+    "explicit value-IS-NOT-NULL filter on BOTH sides: Spark's "
+    "collect_list silently drops NULLs while DuckDB's list() keeps "
+    "them, so parity must not depend on the generator never emitting "
+    "nulls (ADVICE r4). Unbounded-history EWMA over a stream belongs "
+    "to applyInPandasWithState (streaming/), where per-key state "
+    "carries the accumulator.",
 )
 def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .filter(F.col("value").isNotNull())
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

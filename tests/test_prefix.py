@@ -9,7 +9,11 @@ import re
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hdfs_parquet_importer_spark.operators.prefix import pack_sequences, prefix_sum
+from hdfs_parquet_importer_spark.operators.prefix import (
+    dist_rank,
+    pack_sequences,
+    prefix_sum,
+)
 
 
 def _naive_offsets(spark, rows):
@@ -49,6 +53,40 @@ def test_pack_sequences_bins(spark):
         ).collect()
     }
     assert got == {0: (0, 0), 1: (100, 0), 2: (200, 0), 3: (300, 1), 4: (400, 1)}
+
+
+def test_dist_rank_matches_row_number(spark):
+    """dist_rank == row_number over the same composite order,
+    including ties on the primary column (broken by the tiebreak) and
+    values that straddle bucket borders."""
+    rows = [(i, (i * 3) % 7) for i in range(60)]  # heavy ties in v
+    df = spark.createDataFrame(rows, "id long, v long").repartition(6)
+    got = {
+        r.id: r.rank
+        for r in dist_rank(
+            df, ["v", "id"], bucket=F.expr("v div 2"), out_col="rank"
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: r.rank
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_prefix_sum_composite_order_tiebreak(spark):
+    """With ties on the order column the composite tiebreak pins the
+    exclusive prefix deterministically."""
+    rows = [(0, 5, 1), (1, 5, 2), (2, 5, 4), (3, 6, 8)]
+    df = spark.createDataFrame(rows, "id long, k long, v long")
+    got = {
+        r.id: r.offset
+        for r in prefix_sum(
+            df, ["k", "id"], "v", bucket=F.expr("k div 2")
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 3, 3: 7}
 
 
 def test_prefix_sum_row_window_is_partitioned(spark):

@@ -53,6 +53,18 @@ def test_quantize_clips_out_of_bounds(spark):
     assert got == [0, 7, 15]
 
 
+def test_quantize_rejects_degenerate_bounds(spark):
+    """hi <= lo would NaN the scale and silently clip every row into
+    the top cell — must raise instead (constant column via
+    zorder_by's auto min/max is the real-world trigger)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="degenerate"):
+        quantize(F.col("v"), 3.0, 3.0, 4)
+    with pytest.raises(ValueError, match="degenerate"):
+        quantize(F.col("v"), 5.0, 2.0, 4)
+
+
 def _file_boxes(path: str, cols: list[str]):
     """Per-file (min, max) for each col, straight from parquet footers."""
     boxes = []
