@@ -105,6 +105,55 @@ def dist_rank(
     return ranked.withColumn(out_col, F.col(out_col) + F.lit(1)).drop(_ONE)
 
 
+def banded_range_agg(
+    df: DataFrame,
+    order_col: str,
+    width: float,
+    aggs,
+) -> DataFrame:
+    """Trailing RANGE-frame window aggregates (frame = [v - width, v])
+    without a global-order window.
+
+    The naive form — ``Window.orderBy(v).rangeBetween(-width, 0)`` with
+    no partition — serializes the whole table through one task. But a
+    trailing frame of width ``w`` only ever reaches one ``w``-sized
+    cell back: bucket rows into cells ``floor(v / w)``, mirror every
+    row into its own and the NEXT cell, and the frame of any home row
+    in cell ``c`` (values in ``[v - w, v]``, all ``>= c*w - w``) lies
+    entirely inside cell ``c``'s partition. So a cell-PARTITIONED
+    range window computes the exact same aggregate, each cell in
+    parallel, each value present exactly once per partition. Output
+    keeps home rows only.
+
+    Cost: 2x row duplication through one hash shuffle on the cell id —
+    versus 1x rows through ONE reducer. ``aggs`` is a callable
+    ``window_spec -> [aliased Column, ...]`` so any window aggregate
+    (count/sum/avg/min/max) rides the same machinery. ``width`` must
+    be a whole number (PySpark ``rangeBetween`` boundaries are longs);
+    scale fractional units into integers upstream.
+    """
+    if not float(width).is_integer():
+        raise ValueError(
+            f"width must be a whole number (rangeBetween takes long "
+            f"boundaries); scale the order column instead: {width!r}"
+        )
+    home = F.floor(F.col(order_col) / F.lit(float(width))).cast("long")
+    dup = df.withColumn("__brhome", home).withColumn(
+        "__brcell",
+        F.explode(F.array(F.col("__brhome"), F.col("__brhome") + 1)),
+    )
+    w = (
+        Window.partitionBy("__brcell")
+        .orderBy(order_col)
+        .rangeBetween(-int(width), Window.currentRow)
+    )
+    return (
+        dup.select("*", *aggs(w))
+        .filter(F.col("__brcell") == F.col("__brhome"))
+        .drop("__brhome", "__brcell")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     order_col: str,

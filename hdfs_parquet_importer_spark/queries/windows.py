@@ -314,23 +314,32 @@ ORDER BY total, o_orderkey
     doc="RANGE frame (value-based, not row-based): how many orders "
     "fall within $10k below each order's price. Range frames bound "
     "the frame by the ORDER BY value — ties and gaps behave unlike "
-    "ROWS frames. Systematic 10% pre-filter keeps the demo bounded.",
+    "ROWS frames. Computed by operators/prefix.banded_range_agg (r5): "
+    "a trailing $10k frame can only reach one $10k price cell back, "
+    "so rows are mirrored into their own and the next cell and a "
+    "cell-PARTITIONED range window aggregates — exact, parallel per "
+    "cell, 2x duplication through one hash shuffle instead of the "
+    "whole table through one global-order task. The oracle keeps the "
+    "naive unpartitioned-window formulation as the correctness "
+    "reference.",
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from hdfs_parquet_importer_spark.operators.prefix import banded_range_agg
 
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 10 == 0
     )
-    w = (
-        Window.orderBy("o_totalprice")
-        .rangeBetween(-10000, Window.currentRow)
+    banded = banded_range_agg(
+        orders,
+        "o_totalprice",
+        10000.0,
+        lambda w: [F.count(F.lit(1)).over(w).alias("n_within_10k")],
     )
     return (
-        orders.select(
+        banded.select(
             "o_orderkey",
             F.round("o_totalprice", 2).alias("total"),
-            F.count(F.lit(1)).over(w).alias("n_within_10k"),
+            "n_within_10k",
         )
         .orderBy("total", "o_orderkey")
     )

@@ -44,6 +44,24 @@ BRUTE_FORCE_OK = {
                              # (r3); the LSH candidate join itself is
                              # a (tbl,bucket) equi-join — asserted in
                              # test_lsh_candidate_join_is_equi_join.
+    "vocab_coverage",        # 1-row grand-total broadcast cross join
+                             # (r5 scale fix: total no longer comes
+                             # from a full-vocab global window)
+    "agg_freq_items",        # 1-row grand-total broadcast cross join
+                             # (r5: replaced the eager ev.count())
+}
+
+# Queries allowed an unpartitioned Window whose input is NOT already
+# bounded by an Aggregate/Limit below it (see
+# test_no_unbounded_global_windows). Everything else must either
+# partition its windows or feed them aggregate-/limit-bounded inputs
+# — the stat_spearman_rank r4 anti-pattern (global row_number over the
+# full table) can never come back silently.
+GLOBAL_WINDOW_OK = {
+    "window_ntile_global",   # the labeled single-task demo: its doc
+                             # names the scalable twin
+                             # (window_quartile_scalable) as the one
+                             # to reach for at scale
 }
 
 
@@ -59,11 +77,51 @@ def ops_of(plan: str) -> set[str]:
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    out = {}
-    for name, q in registry().items():
-        out[name] = plan_of(q.fn(spark, sf_dir))
-    return out
+def dfs(spark, sf_dir):
+    return {name: q.fn(spark, sf_dir) for name, q in registry().items()}
+
+
+@pytest.fixture(scope="module")
+def plans(dfs):
+    return {name: plan_of(df) for name, df in dfs.items()}
+
+
+def _logical_nodes(node):
+    """Depth-first walk of a Catalyst logical plan via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _logical_nodes(children.apply(i))
+
+
+def test_no_unbounded_global_windows(dfs):
+    """An unpartitioned Window moves ALL its input through one task —
+    fine over an aggregate's group rows or a limit's survivors (both
+    bounded far below row count), death over a raw table at 100 TB.
+    Every unpartitioned Window in every registered query must have an
+    Aggregate or Limit strictly below it in the optimized logical
+    plan, except the explicitly-labeled single-task demos."""
+    offenders = []
+    for name, df in dfs.items():
+        if name in GLOBAL_WINDOW_OK:
+            continue
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _logical_nodes(plan):
+            if node.nodeName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            subtree = list(_logical_nodes(node))[1:]
+            bounded = any(
+                n.nodeName() in ("Aggregate", "GlobalLimit", "LocalLimit")
+                for n in subtree
+            )
+            if not bounded:
+                offenders.append(name)
+                break
+    assert not offenders, (
+        f"unpartitioned windows over unbounded input in: {offenders}"
+    )
 
 
 def test_no_accidental_cartesian(plans):
@@ -194,6 +252,6 @@ def test_zorder_curve_is_single_stage_projection(plans):
     """The Morton interleave stays one codegen projection over the
     scan: no Exchange before the final presentation sort."""
     plan = plans["zorder_curve"]
-    body = plan.split("AdaptiveSparkPlan")[0]
-    # exactly the top-level ordering exchange, nothing mid-plan
+    # At most the one ordering exchange anywhere in the plan — the
+    # interleave itself adds none.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1

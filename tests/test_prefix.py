@@ -10,6 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hdfs_parquet_importer_spark.operators.prefix import (
+    banded_range_agg,
     dist_rank,
     pack_sequences,
     prefix_sum,
@@ -87,6 +88,56 @@ def test_prefix_sum_composite_order_tiebreak(spark):
         ).collect()
     }
     assert got == {0: 0, 1: 1, 2: 3, 3: 7}
+
+
+def test_banded_range_agg_matches_global_window(spark):
+    """Banded trailing-range aggregates == the naive unpartitioned
+    RANGE window, including ties, cell-border values, and sums."""
+    vals = [float((i * 37) % 100) for i in range(80)] + [10.0, 10.0, 30.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    ).repartition(7)
+    got = {
+        (r.id): (r.n_in, r.s_in)
+        for r in banded_range_agg(
+            df,
+            "v",
+            10.0,
+            lambda w: [
+                F.count(F.lit(1)).over(w).alias("n_in"),
+                F.sum("v").over(w).alias("s_in"),
+            ],
+        ).collect()
+    }
+    w = Window.orderBy("v").rangeBetween(-10, Window.currentRow)
+    want = {
+        r.id: (r.n_in, r.s_in)
+        for r in df.select(
+            "id",
+            F.count(F.lit(1)).over(w).alias("n_in"),
+            F.sum("v").over(w).alias("s_in"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_banded_range_agg_windows_are_partitioned(spark):
+    """Every Window node in the banded plan carries a partition spec
+    — the whole point of the operator."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], "id long, v double")
+    out = banded_range_agg(
+        df, "v", 5.0, lambda w: [F.count(F.lit(1)).over(w).alias("n")]
+    )
+    plan = out._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    wins = [n for n in walk(plan) if n.nodeName() == "Window"]
+    assert wins and all(not n.partitionSpec().isEmpty() for n in wins)
 
 
 def test_prefix_sum_row_window_is_partitioned(spark):
