@@ -59,6 +59,12 @@ HEADLINE = [
     "pipeline_corpus_prep",
     "zorder_curve",
     "events_funnel",
+    # r5: the two r4 perf-weak queries after their single-task-window
+    # -> distributed rewrite, plus the banded range-frame — benched so
+    # the scale fixes show up as measured deltas.
+    "stat_spearman_rank",
+    "vocab_coverage",
+    "window_range_frame",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

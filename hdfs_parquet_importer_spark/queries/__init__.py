@@ -60,106 +60,93 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # so rotation never leaves an edited query on a stale green.
 #
 # Everything NOT in this round's window holds its green from the
-# round its code last changed (r2 or r3; see the groups below for
-# what rotated in and why).
+# round its code last changed (every r4-window query is r4-green and
+# unchanged this round unless listed below; see the groups for what
+# rotated in and why).
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 4 rotation.
-    # (1) Queries that FAILED or ERRED in CORRECTNESS_r03 and were
-    # fixed this round: the regenerated testdata shipped events.ts as
-    # timestamp[us] where the old generator wrote TIMESTAMP(NANOS),
-    # which broke tables.load_table for every events consumer (fixed
-    # schema-adaptively); q12's oracle needed the DuckDB
-    # HUGEINT->float64 BIGINT cast.
-    "q12_priority_shipping",
-    "cdc_latest_per_key",
-    "func_json",
-    "events_tumbling_window",
-    # (2) Every OTHER query that reads the events table — all share
-    # the load_table code path that changed this round.
-    "events_sliding_window",
-    "events_session_window",
-    "events_user_activity",
-    "events_hourly_rollup",
-    "events_interval_join",
-    "asof_join_purchase_view",
-    "func_map_props",
-    "func_map_transform",
-    # (3) Changed in round 4 per ADVICE r3: ROUND-before-bigint-cast
-    # on l_quantity (Q11/Q20), Q2 total-order sort + binding limit.
-    "q2_min_cost_supplier",
-    "q11_important_value",
-    "q20_excess_quantity",
-    # (4) NEW in round 4 (mixing/splitting/sampling module + LOCF).
-    "sample_stratified",
-    "corpus_train_eval_split",
+    # -- Round 5 rotation.
+    # (1) Code changed in round 5 — scale-plan rewrites (VERDICT r4
+    # findings 1/2 plus one the new plan gate caught itself) and
+    # ADVICE r4 parity fixes: stat_spearman_rank ranks via the
+    # distributed prefix machinery, vocab_coverage's cum-sum runs
+    # over the 20 TakeOrdered survivors, window_range_frame moved to
+    # the banded cell-partitioned range window, the two quota windows
+    # order by FULL md5 (prefix-collision parity), window_ewma
+    # filters NULL values on both sides, agg_freq_items' grand total
+    # became a lazy broadcast scalar, zorder_curve flows through the
+    # degenerate-bounds quantize guard.
+    "stat_spearman_rank",
+    "vocab_coverage",
+    "window_range_frame",
     "mix_domain_quota",
-    "corpus_source_overlap",
-    "text_df_top_terms",
-    "window_forward_fill",
+    "pipeline_corpus_prep",
     "window_ewma",
     "agg_freq_items",
     "zorder_curve",
-    "pipeline_corpus_prep",
-    "vocab_coverage",
-    "text_mean_token_df",
-    "agg_mode_per_group",
-    "udtf_text_chunks",
-    "sample_weighted",
-    "agg_histogram",
-    "stat_spearman_rank",
-    "events_funnel",
-    "events_retention",
-    "asof_join_next_purchase",
-    "window_share_of_total",
-    "events_longest_streak",
-    # (5) Only round-1 green, never re-verified since (rotated out of
-    # the r2/r3 windows); unchanged code, re-verify under current
-    # session/AQE settings and the regenerated testdata.
-    # (join_left_outer dropped from the stale re-verify set:
-    # unchanged since r1; the left-outer shape holds an r3 green via
-    # q13_customer_distribution.)
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_range",
-    # (agg_distinct dropped from the stale re-verify set: unchanged
-    # since r1; the distinct-agg shape holds an r3 green via
-    # q16_supplier_cnt's COUNT DISTINCT.)
-    "agg_having",
-    # (setop_union dropped from the stale re-verify set: unchanged
-    # since r1, the set-op family keeps setop_intersect below plus
-    # r2-green setop_except / setop_union_by_name.)
-    "setop_intersect",
-    # (func_string / func_conditional dropped from the stale
-    # re-verify set: unchanged since r1; scalar-function family keeps
-    # func_date / func_math / func_array / func_explode below.)
-    "func_date",
-    "func_math",
-    "func_array",
-    "func_explode",
-    # (func_nullsafe_eq dropped from the stale re-verify set: trivial
-    # demo, unchanged since its r1 green, locally gated.)
-    # (func_date_arith / func_explode_outer dropped from the stale
-    # re-verify set: unchanged since r1; date family keeps func_date,
-    # explode family keeps func_explode below.)
-    "window_lag_lead",
-    # (window_rank_dense dropped: unchanged since r1; rank shapes
-    # also exercised by window_topk_per_group's r2 green and q2's
-    # boundary sort.)
-    # (window_first_last dropped: unchanged since r1; the window
-    # family keeps lag_lead / rank_dense here plus four r4 entries.)
-    # (window_ntile_global dropped from the stale re-verify set: a
-    # labeled single-task demo whose scalable twin is green; local
-    # full-registry gate still covers it.)
-    # (6) Benched / flagship representatives so every query module
-    # keeps a row in the current window (the rest of the registry is
-    # re-gated locally by tests/test_oracle_gate.py every round).
-    # (dedup_exact / text_quality / agg_rollup / q1_pricing_summary /
-    # window_topk_per_group displaced to fit: unchanged since their
-    # r2 green, still benched + full-registry-gated locally; q1
-    # additionally stays smoke-checked every round via entry().)
+    # (2) NEW in round 5 — the write path finally gets driver rows:
+    # the CSV reader on the committed tweets parity fixture (O1, via
+    # a DuckDB read_csv oracle) and both parquet sinks as
+    # write->read-back roundtrips (O8/O9).
+    "etl_csv_roundtrip",
+    "sink_roundtrip_partitioned",
+    "sink_roundtrip_plain",
+    # (3) Every query whose plan flows through ensure_parallelism,
+    # whose narrowness probe changed this round (df.rdd ->
+    # df.inputFiles(), ADVICE r4 / VERDICT item 7) — value-neutral
+    # (a repartition cannot change results) but the rotation contract
+    # is code-changed => fresh row.
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
-    "pandas_udf_log_price",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "text_fingerprint",
+    "multimodal_png_roundtrip",
+    "corpus_source_overlap",
+    "text_df_top_terms",
+    "text_mean_token_df",
+    # (4) The last r1-green-never-reverified queries (VERDICT item
+    # 6): unchanged code, re-verify under current session/AQE
+    # settings and the current testdata generation. After this round
+    # NO query's latest green predates r2.
+    "func_string",
+    "func_conditional",
+    "func_nullsafe_eq",
+    "func_date_arith",
+    "func_explode_outer",
+    "window_rank_dense",
+    "window_first_last",
+    "window_ntile_global",
+    "agg_distinct",
+    "setop_union",
+    "join_left_outer",
+    # (5) Oldest remaining r2 greens, chosen for family spread so
+    # every module keeps a fresh row (test_smoke gates module
+    # coverage of the window): flagship + parity ops + text/sketch/
+    # window families + one tpch/events/pandas representative each.
+    # (Still r2-green and deferred to r6: agg_rollup,
+    # func_higher_order, pivot_status_by_year, sample_systematic,
+    # subq_exists_priority, subq_global_avg_anti,
+    # window_topk_per_group, window_quartile_scalable — unchanged,
+    # benched or locally full-registry-gated every round.)
+    "q1_pricing_summary",
+    "etl_cleanse",
+    "etl_array_parse",
+    "dedup_exact",
+    "text_quality",
+    "text_langid",
+    "text_tokens",
+    "text_rolling_hash",
+    "text_top_ngrams",
+    "multimodal_decode_stats",
+    "q6_forecast_revenue",
+    "agg_approx_distinct",
+    "agg_percentiles",
+    "window_moving_avg",
+    "events_funnel",
+    "pandas_grouped_regression",
 )
 
 

@@ -9,6 +9,9 @@ operator expressions are applied identically in Spark and DuckDB SQL.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -160,6 +163,160 @@ def etl_array_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("tags", "|").alias("tags_str"),
         F.size("tags").cast("long").alias("n_tags"),
     ).orderBy("p_partkey")
+
+
+# Committed copy of the tweets parity fixture (FIXTURES.md §1,
+# generated once by tests/tweets_fixture.write_fixture) so the CSV
+# READER itself — the reference's primary input, package.scala:110-127
+# — holds a driver-green oracle row: testdata is parquet, so no other
+# registered query ever exercises it.
+_FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures"
+_TWEETS_CSV = str(_FIXTURE_DIR / "tweets.csv")
+_TWEETS_SCHEMA = str(_FIXTURE_DIR / "tweets.schema")
+
+# Spark simpleString -> DuckDB type, for read_csv's explicit columns
+# map — both sides derive from the SAME name=Type schema file (O2).
+_DUCK_TYPES = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "boolean": "BOOLEAN",
+    "string": "VARCHAR",
+}
+
+
+def _tweets_duck_columns() -> str:
+    from hdfs_parquet_importer_spark.schema import parse_schema_file
+
+    struct = parse_schema_file(_TWEETS_SCHEMA)
+    pairs = ", ".join(
+        f"'{f.name}': '{_DUCK_TYPES[f.dataType.simpleString()]}'"
+        for f in struct.fields
+    )
+    return "{" + pairs + "}"
+
+
+@register(
+    "etl_csv_roundtrip",
+    oracle=f"""
+SELECT tweetid, userid, tweet_language, tweet_text,
+       follower_count, is_retweet, like_count,
+       in_reply_to_tweetid, user_profile_url
+FROM read_csv('{_TWEETS_CSV}', header=true,
+              columns={_tweets_duck_columns()})
+ORDER BY tweetid
+""",
+    doc="O1 CSV scan under the driver's value-level gate: the tweets "
+    "parity fixture (31 quoted columns, Cyrillic text, embedded "
+    "''-escaped quotes, commas inside fields, empty-string nulls) "
+    "read via etl/csv_source.read_csv with the reference's five "
+    "reader options and the name=Type schema file (O2), row-level "
+    "projection of the parser-edge columns. Both engines agree "
+    "empirically that a quoted empty field is NULL for every type. "
+    "At scale the CSV scan splits by file/offset exactly like the "
+    "parquet scans; DROPMALFORMED drops physically corrupt rows "
+    "scan-side (none here — this fixture's corruption is by CONTENT, "
+    "handled by the cleanse operator, per SURVEY §4.3).",
+)
+def etl_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.etl.csv_source import read_csv
+    from hdfs_parquet_importer_spark.schema import parse_schema_file
+
+    schema = parse_schema_file(_TWEETS_SCHEMA)
+    df = read_csv(spark, _TWEETS_CSV, schema=schema)
+    return df.select(
+        "tweetid",
+        "userid",
+        "tweet_language",
+        "tweet_text",
+        "follower_count",
+        "is_retweet",
+        "like_count",
+        "in_reply_to_tweetid",
+        "user_profile_url",
+    ).orderBy("tweetid")
+
+
+@register(
+    "sink_roundtrip_partitioned",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="O8 partitioned parquet sink under the driver's gate: orders "
+    "(keys + exact integer cents) written via etl/pipeline.py's "
+    "write_parquet partitioned by o_orderpriority — the reference's "
+    "only output shape, package.scala:157 — then read back from the "
+    "Hive partition tree and aggregated; the oracle computes the "
+    "same aggregate over the source table directly, so any row lost, "
+    "duplicated, or type-mangled by the write->read roundtrip (incl. "
+    "partition-value encoding of the space in '4-NOT SPECIFIED') "
+    "hash-fails. NOTE: the write is one eager job at plan-"
+    "construction time (a sink cannot be lazy); the returned "
+    "DataFrame is the lazy read-back aggregate.",
+)
+def sink_roundtrip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.etl.pipeline import write_parquet
+
+    dest = f"/tmp/spark_graft_sink_part_{os.getpid()}"
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    write_parquet(src, dest, partition_cols=["o_orderpriority"])
+    back = spark.read.parquet(dest)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "sink_roundtrip_plain",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="O9 plain parquet sink under the driver's gate: a lineitem "
+    "projection written via etl/pipeline.py write_parquet with no "
+    "partitioning (package.scala:161), read back, aggregated by "
+    "return flag; oracle = the same aggregate over the source table "
+    "(roundtrip is identity). Same eager-write note as the "
+    "partitioned twin.",
+)
+def sink_roundtrip_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.etl.pipeline import write_parquet
+
+    dest = f"/tmp/spark_graft_sink_plain_{os.getpid()}"
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    write_parquet(src, dest)
+    back = spark.read.parquet(dest)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @register(

@@ -68,3 +68,21 @@ def test_driver_window_covers_every_family():
         "subqueries",
         "pandas_surface",
     } <= modules_in_window
+
+
+def test_no_rdd_api_in_package():
+    """The DataFrame API is the contract: `.rdd` forces an RDD
+    lineage materialization per call and breaks under Spark Connect.
+    Grep-gate the whole package (code, not prose) so it can't creep
+    back (ADVICE r4 found it in ensure_parallelism)."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "hdfs_parquet_importer_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for lineno, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code) and '``' not in line:
+                offenders.append(f"{py.name}:{lineno}")
+    assert not offenders, offenders
