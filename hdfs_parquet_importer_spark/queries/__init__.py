@@ -122,14 +122,26 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_distinct",
     "setop_union",
     "join_left_outer",
-    # (5) Oldest remaining r2 greens, chosen for family spread so
+    # (5) NEW in round 5, second batch: the four remaining TPC-H
+    # literal adaptations (the suite is now all 22) and two new
+    # operators — mergeable HLL rollup and temperature (alpha=0.5)
+    # source sampling.
+    "q4_priority_check",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q22_sales_opportunity",
+    "agg_hll_mergeable",
+    "mix_temperature_sampling",
+    # (6) Oldest remaining r2 greens, chosen for family spread so
     # every module keeps a fresh row (test_smoke gates module
-    # coverage of the window): flagship + parity ops + text/sketch/
-    # window families + one tpch/events/pandas representative each.
+    # coverage of the window): flagship + parity ops + text family +
+    # one subqueries/events/pandas representative each.
     # (Still r2-green and deferred to r6: agg_rollup,
-    # func_higher_order, pivot_status_by_year, sample_systematic,
-    # subq_exists_priority, subq_global_avg_anti,
-    # window_topk_per_group, window_quartile_scalable — unchanged,
+    # agg_approx_distinct, func_higher_order, pivot_status_by_year,
+    # sample_systematic, subq_exists_priority, subq_global_avg_anti,
+    # window_topk_per_group, window_quartile_scalable,
+    # window_moving_avg, text_rolling_hash, text_top_ngrams,
+    # multimodal_decode_stats, q6_forecast_revenue — unchanged,
     # benched or locally full-registry-gated every round.)
     "q1_pricing_summary",
     "etl_cleanse",
@@ -138,13 +150,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality",
     "text_langid",
     "text_tokens",
-    "text_rolling_hash",
-    "text_top_ngrams",
-    "multimodal_decode_stats",
-    "q6_forecast_revenue",
-    "agg_approx_distinct",
     "agg_percentiles",
-    "window_moving_avg",
     "events_funnel",
     "pandas_grouped_regression",
 )

@@ -185,6 +185,63 @@ def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_temperature_sampling",
+    oracle="""
+WITH shares AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+  FROM documents GROUP BY source),
+rates AS (
+  SELECT source, chars_total,
+         sqrt(CAST((SELECT MIN(chars_total) FROM shares) AS DOUBLE)
+              / chars_total) AS rate
+  FROM shares)
+SELECT d.source, r.chars_total AS chars_before,
+       COUNT(*) AS n_kept,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept,
+       CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+      < r.rate * 65536.0
+GROUP BY d.source, r.chars_total ORDER BY d.source
+""",
+    doc="Temperature (alpha=0.5) source sampling — the multilingual-"
+    "pretraining mix rule (XLM-R-style alpha sampling): keep rate "
+    "per source = sqrt(smallest_source_chars / source_chars), so "
+    "expected kept chars scale with sqrt(share) — overrepresented "
+    "sources are damped, the smallest keeps everything, relative "
+    "order is preserved. Every arithmetic step on the parity path "
+    "is IEEE-correctly-rounded (int sums exact; one divide, one "
+    "sqrt, one multiply), so both engines derive bit-identical "
+    "rates and the md5 integer coin picks IDENTICAL rows — an exact "
+    "oracle, not a bound check. Plan: per-source totals are one "
+    "partial-agg shuffle into a tiny rates dim, broadcast back; the "
+    "keep decision is a scan-side filter; no row-proportional state "
+    "anywhere.",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shares = docs.groupBy("source").agg(F.sum("n_chars").alias("chars_total"))
+    mn = shares.agg(F.min("chars_total").alias("_mn"))
+    rates = shares.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "chars_total",
+        F.sqrt(F.col("_mn").cast("double") / F.col("chars_total")).alias("rate"),
+    )
+    coin = F.conv(hash_coin(F.col("doc_id")), 16, 10).cast("long")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(coin < F.col("rate") * 65536.0)
+        .groupBy("source", F.col("chars_total").alias("chars_before"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "corpus_source_overlap",
     oracle=f"""
 WITH toks AS (SELECT source, {_TOKS_SQL} AS t FROM documents),

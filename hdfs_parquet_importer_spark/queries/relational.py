@@ -455,6 +455,53 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_mergeable",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events, TRUE AS merged_within_bounds
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="MERGEABLE distinct sketches (DataSketches HLL via "
+    "hll_sketch_agg / hll_union_agg): per-(type, day) sketch "
+    "partials are unioned up to per-type estimates WITHOUT re-"
+    "scanning raw rows — the property that makes continuous "
+    "aggregates work at 100 TB (a day's new partial merges into "
+    "yesterday's materialized sketches; approx_count_distinct alone "
+    "cannot re-aggregate because it finalizes to a number). Checked "
+    "like agg_approx_distinct: the merged estimate must land within "
+    "5% of the exact distinct; Spark outputs the exact side plus the "
+    "bound verdict, the oracle re-derives the exact side plus "
+    "literal TRUE — a full value-level hash check.",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.sum("n").alias("n_events"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("_est") - F.col("exact_users")) / F.col("exact_users")
+                < F.lit(0.05)
+            ).alias("merged_within_bounds"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "agg_rollup",
     oracle="""
 WITH o AS (

@@ -49,6 +49,10 @@ BRUTE_FORCE_OK = {
                              # from a full-vocab global window)
     "agg_freq_items",        # 1-row grand-total broadcast cross join
                              # (r5: replaced the eager ev.count())
+    "mix_temperature_sampling",  # 1-row min-share broadcast cross join
+                             # feeding the tiny per-source rates dim
+    "q22_sales_opportunity",  # 1-row avg-balance broadcast cross join
+                             # (the spec's uncorrelated scalar)
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
