@@ -191,3 +191,63 @@ def test_prefix_sum_property(spark):
         for k, v in zip(keys, vals):
             assert got[k] == run, (width, k)
             run += v
+
+
+def test_dist_rank_property(spark):
+    """Distributed ranks equal row_number over (v, id) for shapes
+    with heavy ties, bucket-border values, negatives and single
+    rows — across several bucket widths."""
+    import itertools
+
+    from hdfs_parquet_importer_spark.operators.prefix import dist_rank
+
+    for width, n, mod in itertools.product((1, 2, 16), (1, 3, 50), (1, 7)):
+        rows = [(i, ((i * 31) % mod) - mod // 2) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long").repartition(4)
+        got = {
+            r.id: r.rk
+            for r in dist_rank(
+                df, ["v", "id"], bucket=F.expr(f"v div {width}"), out_col="rk"
+            ).collect()
+        }
+        want = {
+            i: rank + 1
+            for rank, (i, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want, (width, n, mod)
+
+
+def test_banded_range_agg_property(spark):
+    """Banded trailing-range count/sum equal the naive global RANGE
+    window across widths, tie densities and negative values."""
+    import itertools
+
+    from pyspark.sql import Window
+
+    from hdfs_parquet_importer_spark.operators.prefix import banded_range_agg
+
+    for width, n, mod in itertools.product((1, 5, 100), (1, 4, 60), (3, 23)):
+        rows = [(i, float(((i * 37) % mod) - mod // 2)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double").repartition(5)
+        got = {
+            r.id: (r.n_in, r.s_in)
+            for r in banded_range_agg(
+                df,
+                "v",
+                float(width),
+                lambda w: [
+                    F.count(F.lit(1)).over(w).alias("n_in"),
+                    F.sum("v").over(w).alias("s_in"),
+                ],
+            ).collect()
+        }
+        w = Window.orderBy("v").rangeBetween(-width, Window.currentRow)
+        want = {
+            r.id: (r.n_in, r.s_in)
+            for r in df.select(
+                "id",
+                F.count(F.lit(1)).over(w).alias("n_in"),
+                F.sum("v").over(w).alias("s_in"),
+            ).collect()
+        }
+        assert got == want, (width, n, mod)
