@@ -75,3 +75,81 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Weighted PageRank with uniform dangling-mass redistribution,
+    run for a FIXED ``n_iter`` power iterations (no convergence
+    action, so the whole computation stays one lazy plan and an
+    oracle can unroll the identical iterations):
+
+        r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v)/out_w(u)
+                               + dangling_mass / N)
+
+    Per-iteration cost is ONE equi-join of the rank vector to the
+    normalized edge list plus a groupBy-sum on the destination — the
+    standard distributed formulation; every scalar (node count,
+    dangling mass) reaches the plan as a broadcast 1-row aggregate,
+    never a ``collect``. At web scale, partition ``edges`` by ``src``
+    once upfront so every iteration's join reuses the layout, and set
+    ``checkpoint_every`` (e.g. 5) so lineage stays bounded — with it
+    at 0 the plan grows linearly in ``n_iter``, which Catalyst
+    handles fine for the single-digit iteration counts fixed-point
+    analytics use.
+    """
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("_w"),
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    outw = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    en = e.join(outw, "_src").select(
+        "_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_p")
+    )
+
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for i in range(n_iter):
+        contrib = (
+            ranks.join(en, ranks.node == en._src)
+            .groupBy("_dst")
+            .agg(F.sum(F.col("rank") * F.col("_p")).alias("_contrib"))
+        )
+        dangling = (
+            ranks.join(outw, ranks.node == outw._src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib._dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("_n")
+                    + damping
+                    * (
+                        F.coalesce("_contrib", F.lit(0.0))
+                        + F.col("_dmass") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -305,3 +305,127 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition graph: Markov transitions + PageRank.
+# ---------------------------------------------------------------------------
+# Shared edge derivation: consecutive events per user (ordered by ts
+# with event_id tiebreak — timestamps can collide) become directed
+# (src, dst) transitions, aggregated to a weighted edge list. The
+# lead() window is PARTITIONED by user_id — parallel, bounded state.
+_EDGES_SQL = """
+seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT src, dst, COUNT(*) AS n_trans
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst)
+"""
+
+
+def _transition_edges(ev: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT src, dst, n_trans,
+       n_trans::DOUBLE / SUM(n_trans) OVER (PARTITION BY src) AS prob
+FROM e
+""",
+    doc="First-order Markov transition matrix over event types: "
+    "per-user lead() (partitioned window), edge counts, and row-"
+    "normalized probabilities via a window PARTITIONED by src — the "
+    "post-agg input is |types|^2 rows, so every shuffle is tiny. "
+    "Integer/integer division left unrounded: identical integers "
+    "divide to bit-identical doubles in both engines.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = _transition_edges(ev)
+    w = Window.partitionBy("src")
+    return edges.select(
+        "src",
+        "dst",
+        "n_trans",
+        (F.col("n_trans") / F.sum("n_trans").over(w)).alias("prob"),
+    )
+
+
+def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
+    """Unroll the exact power iterations pagerank() runs, one CTE
+    trio (contributions, dangling mass, new ranks) per iteration.
+    Damping constants are emitted as repr'd doubles so both engines
+    parse the identical IEEE-754 values Python handed Spark."""
+    base = (1.0 - d) / 1.0  # (1-d) as the same double Spark uses
+    sql = [
+        f"""
+WITH {_EDGES_SQL},
+we AS (SELECT src, dst, n_trans::DOUBLE AS w FROM e),
+nodes AS (SELECT src AS node FROM we UNION SELECT dst FROM we),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM we GROUP BY src),
+en AS (SELECT src, dst, w / ow AS p FROM we JOIN outw USING (src)),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        sql.append(
+            f""",
+c{i} AS (SELECT en.dst AS node, SUM(r.rank * en.p) AS contrib
+        FROM r{i - 1} r JOIN en ON r.node = en.src GROUP BY en.dst),
+d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dmass FROM r{i - 1}
+        WHERE node NOT IN (SELECT src FROM outw)),
+r{i} AS (SELECT nodes.node,
+        CAST({base!r} AS DOUBLE) / nn.n
+        + CAST({d!r} AS DOUBLE)
+          * (COALESCE(c{i}.contrib, 0.0) + d{i}.dmass / nn.n) AS rank
+        FROM nodes LEFT JOIN c{i} USING (node), d{i}, nn)"""
+        )
+    sql.append(
+        f"""
+SELECT node AS event_type, ROUND(rank, 6) AS pagerank FROM r{n_iter}"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(n_iter=5, d=0.85),
+    doc="Weighted PageRank (damping 0.85, 5 fixed power iterations, "
+    "uniform dangling-mass redistribution) over the event-type "
+    "transition graph. Each iteration is ONE rank-to-edges equi-join "
+    "+ groupBy(dst) partial-agg sum; node count and dangling mass "
+    "enter as broadcast 1-row aggregates (never a collect), so the "
+    "whole 5-iteration computation is a single lazy plan the oracle "
+    "unrolls CTE-for-CTE. At web scale: pre-partition edges by src "
+    "so every iteration reuses the layout, and checkpoint_every=5 "
+    "bounds lineage (operators/graph.py:pagerank).",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = _transition_edges(ev)
+    pr = pagerank(edges, "src", "dst", weight="n_trans", damping=0.85, n_iter=5)
+    return pr.select(
+        F.col("node").alias("event_type"),
+        F.round("rank", 6).alias("pagerank"),
+    )

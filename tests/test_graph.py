@@ -65,3 +65,73 @@ def test_matches_union_find_on_minhash_pairs(spark, sf_dir):
     expect = {n: find(n) for n in parent}
     got = _components(spark, pairs)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+def _pagerank_numpy(edges, damping, n_iter):
+    """Dense power-iteration reference (driver-side, tiny graphs)."""
+    nodes = sorted({u for u, v, _ in edges} | {v for u, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    r = [1.0 / n] * n
+    for _ in range(n_iter):
+        contrib = [0.0] * n
+        for u, v, w in edges:
+            contrib[idx[v]] += r[idx[u]] * (w / outw[u])
+        dangling = sum(r[idx[x]] for x in nodes if x not in outw)
+        r = [
+            (1.0 - damping) / n + damping * (c + dangling / n)
+            for c in contrib
+        ]
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _pagerank_spark(spark, edges, **kw):
+    from hdfs_parquet_importer_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    return {
+        r.node: r.rank
+        for r in pagerank(df, "src", "dst", weight="w", **kw).collect()
+    }
+
+
+def test_pagerank_matches_reference_with_dangling_node(spark):
+    # d is a sink (no out-edges): its mass must be redistributed, not
+    # lost — ranks still sum to 1.
+    edges = [
+        ("a", "b", 1.0),
+        ("a", "c", 2.0),
+        ("b", "c", 1.0),
+        ("c", "d", 1.0),
+    ]
+    got = _pagerank_spark(spark, edges, damping=0.85, n_iter=8)
+    want = _pagerank_numpy(edges, 0.85, 8)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # A directed cycle is perfectly symmetric: every node 1/n exactly,
+    # at every iteration count.
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    got = _pagerank_spark(spark, edges, damping=0.85, n_iter=3)
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+
+
+def test_pagerank_checkpointed_equals_unchckpointed(spark):
+    edges = [("a", "b", 1.0), ("b", "a", 3.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    lazy = _pagerank_spark(spark, edges, damping=0.85, n_iter=6)
+    ckpt = _pagerank_spark(
+        spark, edges, damping=0.85, n_iter=6, checkpoint_every=2
+    )
+    for k in lazy:
+        assert abs(lazy[k] - ckpt[k]) < 1e-15

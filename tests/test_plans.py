@@ -53,6 +53,10 @@ BRUTE_FORCE_OK = {
                              # feeding the tiny per-source rates dim
     "q22_sales_opportunity",  # 1-row avg-balance broadcast cross join
                              # (the spec's uncorrelated scalar)
+    "graph_pagerank",        # 1-row node-count + dangling-mass
+                             # broadcast cross joins, one per power
+                             # iteration; the rank<->edge joins are
+                             # equi-joins
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
