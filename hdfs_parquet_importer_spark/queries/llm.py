@@ -1113,3 +1113,47 @@ FROM documents
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", T.rolling_hash(F.col("text")).alias("roll_hash"))
+
+
+# --------------------------------------------------------------------------
+# Sparse (tf-idf) document similarity — the inverted-index counterpart
+# of the dense-embedding ANN family above.
+# --------------------------------------------------------------------------
+@register(
+    "doc_tfidf_cosine_topk",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+       FROM toks WHERE term <> '' GROUP BY doc_id, term),
+n AS (SELECT COUNT(DISTINCT doc_id)::DOUBLE AS n_docs FROM tf),
+df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+w AS (SELECT doc_id, term, tf * ln(n_docs / df) AS w
+      FROM tf JOIN df USING (term), n
+      WHERE df <= 0.79 * n_docs),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b,
+       ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN nrm na ON na.doc_id = id_a
+JOIN nrm nb ON nb.doc_id = id_b
+ORDER BY cosine DESC, id_a, id_b
+LIMIT 20
+""",
+    doc="Top-20 most-similar document pairs by tf-idf cosine through "
+    "a term-keyed self-equi-join (inverted-index formulation): pair "
+    "fanout is sum(df^2) over terms, never n_docs^2, and stopword-"
+    "grade terms (df > 0.79N) are pruned — they cost quadratic fanout "
+    "for near-zero idf weight. The final top-k plans as "
+    "TakeOrderedAndProject on the ROUNDED cosine with id tiebreaks, "
+    "so the cutoff is deterministic across engines. At 100 TB stack "
+    "the df-prune with cap_postings (operators/tfidf.py) to bound "
+    "fanout at cap^2 per term.",
+)
+def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.tfidf import tfidf_topk_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk_pairs(docs, "doc_id", "text", k=20, max_df_frac=0.79)

@@ -57,6 +57,10 @@ BRUTE_FORCE_OK = {
                              # broadcast cross joins, one per power
                              # iteration; the rank<->edge joins are
                              # equi-joins
+    "doc_tfidf_cosine_topk",  # 1-row corpus-size broadcast cross join
+                             # feeding idf; the similarity join itself
+                             # is the term equi-join — asserted in
+                             # test_tfidf_pair_join_is_term_equi_join
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
