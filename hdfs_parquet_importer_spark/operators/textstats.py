@@ -196,6 +196,21 @@ def pii_scrub(col: Column) -> Column:
     return F.regexp_replace(c, PII_PHONE, PII_REDACTED)
 
 
+def token_blocks(toks: Column, size: int = 10) -> Column:
+    """Non-overlapping FULL ``size``-token block strings (the
+    remainder tail is dropped) — the C4-style unit for cross-document
+    boilerplate detection when documents carry no line structure.
+    NULL (which ``explode`` skips) when the document has no full
+    block. Takes a materialized token-array column (HOF contract,
+    see shingles_of_tokens)."""
+    nblk = F.floor(F.size(toks) / F.lit(size)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.greatest(nblk, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * size + 1, size), " "),
+    )
+    return F.when(nblk >= 1, blocks)
+
+
 def duplicate_ngram_fraction(toks: Column, n: int = 3) -> Column:
     """Fraction of word n-gram OCCURRENCES that are repeats of an
     earlier occurrence within the document: 1 - distinct/total

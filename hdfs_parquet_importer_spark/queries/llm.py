@@ -1157,3 +1157,155 @@ def doc_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_topk_pairs(docs, "doc_id", "text", k=20, max_df_frac=0.79)
+
+
+# --------------------------------------------------------------------------
+# Cross-document boilerplate blocks + Gopher rule-level quality gate.
+# --------------------------------------------------------------------------
+@register(
+    "text_boilerplate_blocks",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS_SQL} AS t FROM documents),
+blocks AS (SELECT doc_id, source,
+                  unnest([md5(array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' '))
+                          for i in range(1, greatest(len(t)//10, 0)+1)]) AS h
+           FROM toks),
+bdf AS (SELECT h, COUNT(DISTINCT doc_id) AS blk_df FROM blocks GROUP BY h)
+SELECT source,
+       COUNT(*) AS total_blocks,
+       COUNT(*) FILTER (WHERE blk_df >= 2) AS boilerplate_blocks,
+       COUNT(*) FILTER (WHERE blk_df >= 2)::DOUBLE / COUNT(*)
+         AS boilerplate_frac
+FROM blocks JOIN bdf USING (h)
+GROUP BY source
+""",
+    doc="C4-style boilerplate removal statistics: documents are cut "
+    "into non-overlapping 10-token blocks; a block whose distinct-"
+    "document frequency is >= 2 is boilerplate (navigation chrome, "
+    "license headers, templated text). Blocks travel as md5 hashes so "
+    "the block-df shuffle carries 32-byte keys, not raw text; the df "
+    "groupBy and the df join-back are both block-hash equi-joins with "
+    "map-side partial agg — O(distinct blocks) network, the scalable "
+    "shape at 100 TB. Unrounded count ratio: identical integers "
+    "divide identically in both engines.",
+)
+def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    blocks = (
+        docs.select(
+            "doc_id", "source", D.tokens(F.col("text")).alias("_t")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(T.token_blocks(F.col("_t"), 10)).alias("blk"),
+        )
+        .select("doc_id", "source", F.md5(F.col("blk")).alias("h"))
+    )
+    bdf = blocks.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("blk_df")
+    )
+    dup = F.when(F.col("blk_df") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (
+        blocks.join(bdf, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_blocks"),
+            F.sum(dup).alias("boilerplate_blocks"),
+            (F.sum(dup) / F.count(F.lit(1))).alias("boilerplate_frac"),
+        )
+    )
+
+
+_MWL_SQL = (
+    "coalesce(list_sum(list_transform(t, x -> length(x))), 0)::DOUBLE"
+    " / len(t)"
+)
+_DUP3_SQL = """
+CASE WHEN greatest(len(t)-2, 0) > 0
+     THEN 1.0 - len(list_distinct([array_to_string(t[i:i+2], ' ')
+                                   for i in range(1, greatest(len(t)-2, 0)+1)]))::DOUBLE
+                / greatest(len(t)-2, 0)
+     ELSE 0.0 END
+"""
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, text, {_TOKS_SQL} AS t FROM documents),
+r AS (SELECT source,
+        (len(t) BETWEEN 10 AND 300) AS r_len,
+        ({_MWL_SQL} >= 2.0 AND {_MWL_SQL} <= 12.0) AS r_mwl,
+        ({_DUP3_SQL} <= 0.4) AS r_rep,
+        ({_SW} >= 1) AS r_stop,
+        ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+           / nullif(length(text), 0) <= 0.1) AS r_sym
+      FROM toks)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE r_len AND r_mwl AND r_rep AND r_stop AND r_sym)
+         AS n_pass,
+       COUNT(*) FILTER (WHERE NOT r_len) AS fail_len,
+       COUNT(*) FILTER (WHERE NOT r_mwl) AS fail_mean_word_len,
+       COUNT(*) FILTER (WHERE NOT r_rep) AS fail_repetition,
+       COUNT(*) FILTER (WHERE NOT r_stop) AS fail_stopword,
+       COUNT(*) FILTER (WHERE NOT r_sym) AS fail_symbol
+FROM r
+GROUP BY source
+""",
+    doc="Gopher-style rule-level quality gate, reported as per-source "
+    "pass/fail counts so curators see WHICH rule rejects a source: "
+    "token count in [10, 300], mean word length in [2, 12], duplicate "
+    "word-trigram fraction <= 0.4, >= 1 English stopword, symbol "
+    "ratio <= 0.1. Every rule is a pure-Catalyst per-row projection "
+    "(regexp + array HOFs, identical arithmetic to the DuckDB twin); "
+    "the only shuffle is the final per-source partial-combined agg. "
+    "Complements text_quality's continuous composite score with the "
+    "hard-threshold form used for corpus admission.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("_t")
+    n_tok = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = sum_len.cast("double") / n_tok
+    tok = docs.select(
+        "source", "text", D.tokens(F.col("text")).alias("_t")
+    )
+    flags = tok.select(
+        "source",
+        ((n_tok >= 10) & (n_tok <= 300)).alias("r_len"),
+        ((mwl >= 2.0) & (mwl <= 12.0)).alias("r_mwl"),
+        (T.duplicate_ngram_fraction(t, 3) <= 0.4).alias("r_rep"),
+        (T.marker_hits(F.col("text"), T.STOPWORDS_EN) >= 1).alias("r_stop"),
+        (T.punct_ratio(F.col("text")) <= 0.1).alias("r_sym"),
+    )
+
+    def fails(c: str):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0))
+
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("r_len")
+                & F.col("r_mwl")
+                & F.col("r_rep")
+                & F.col("r_stop")
+                & F.col("r_sym"),
+                1,
+            ).otherwise(0)
+        ).alias("n_pass"),
+        fails("r_len").alias("fail_len"),
+        fails("r_mwl").alias("fail_mean_word_len"),
+        fails("r_rep").alias("fail_repetition"),
+        fails("r_stop").alias("fail_stopword"),
+        fails("r_sym").alias("fail_symbol"),
+    )

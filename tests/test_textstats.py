@@ -112,3 +112,32 @@ def test_rolling_hash_deterministic_and_normalized(spark):
     # ...different content does not, and empty text hashes to 0.
     assert got[3] != got[1]
     assert got[4] == 0
+
+
+def test_token_blocks_units(spark):
+    from hdfs_parquet_importer_spark.operators.dedup import tokens
+
+    rows = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(25))),  # 2 blocks + tail
+            (2, " ".join(f"w{i}" for i in range(10))),  # exactly 1 block
+            (3, "short doc only"),                      # no full block
+        ],
+        ["doc_id", "text"],
+    )
+    tok = rows.select("doc_id", tokens(F.col("text")).alias("_t"))
+    got = {
+        r.doc_id: r.blocks
+        for r in tok.select(
+            "doc_id", T.token_blocks(F.col("_t"), 10).alias("blocks")
+        ).collect()
+    }
+    assert got[3] is None  # explode() will drop it
+    assert len(got[2]) == 1 and got[2][0].split() == [f"w{i}" for i in range(10)]
+    assert len(got[1]) == 2  # the 5-token remainder tail is dropped
+    assert got[1][1].split() == [f"w{i}" for i in range(10, 20)]
+    # explode drops the NULL row entirely
+    n = tok.select(
+        "doc_id", F.explode(T.token_blocks(F.col("_t"), 10)).alias("b")
+    ).count()
+    assert n == 3
