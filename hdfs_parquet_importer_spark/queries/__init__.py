@@ -132,24 +132,30 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q22_sales_opportunity",
     "agg_hll_mergeable",
     "mix_temperature_sampling",
-    # (6) Oldest remaining r2 greens, chosen for family spread so
-    # every module keeps a fresh row (test_smoke gates module
-    # coverage of the window): flagship + parity ops + text family +
-    # one subqueries/events/pandas representative each.
-    # (Still r2-green and deferred to r6: agg_rollup,
-    # agg_approx_distinct, func_higher_order, pivot_status_by_year,
-    # sample_systematic, subq_exists_priority, subq_global_avg_anti,
+    # (6) NEW in round 5, third batch — the graph/sparse-similarity/
+    # curation operators added this session: weighted PageRank +
+    # Markov transitions over the event-type graph, tf-idf inverted-
+    # index cosine top-k, C4-style boilerplate blocks, Gopher rule
+    # gate, cluster canonicalization (recursive-CTE closure oracle),
+    # and MAD robust outliers.
+    "graph_pagerank",
+    "events_markov_transitions",
+    "doc_tfidf_cosine_topk",
+    "text_boilerplate_blocks",
+    "quality_gopher_rules",
+    "dedup_cluster_canonical",
+    "stat_mad_outliers",
+    # (7) Oldest remaining r2 greens, family-spread representatives.
+    # (Still r2-green and deferred to r6: q1_pricing_summary,
+    # etl_cleanse, etl_array_parse, dedup_exact, text_quality,
+    # text_langid, text_tokens, agg_rollup, agg_approx_distinct,
+    # func_higher_order, pivot_status_by_year, sample_systematic,
+    # subq_exists_priority, subq_global_avg_anti,
     # window_topk_per_group, window_quartile_scalable,
     # window_moving_avg, text_rolling_hash, text_top_ngrams,
-    # multimodal_decode_stats, q6_forecast_revenue — unchanged,
-    # benched or locally full-registry-gated every round.)
-    "q1_pricing_summary",
-    "etl_cleanse",
-    "etl_array_parse",
-    "dedup_exact",
-    "text_quality",
-    "text_langid",
-    "text_tokens",
+    # multimodal_decode_stats, q6_forecast_revenue — unchanged;
+    # q1/dedup_exact/text_quality are additionally benched every
+    # round, and ALL are locally full-registry-gated every test run.)
     "agg_percentiles",
     "events_funnel",
     "pandas_grouped_regression",

@@ -1309,3 +1309,91 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         fails("r_stop").alias("fail_stopword"),
         fails("r_sym").alias("fail_symbol"),
     )
+
+
+# DuckDB twin of operators.textstats.quality_score over a `text` col.
+_QUALITY_EXPR_SQL = f"""
+0.35 * (CASE WHEN len({_TOKS_SQL}) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END)
++ 0.25 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+          / nullif(length(text), 0))
++ 0.25 * least(({_SW}::DOUBLE / nullif(len({_TOKS_SQL}), 0)) * 5, 1.0)
++ 0.15 * (1.0 - least(((length(text) - length(regexp_replace(text,
+          '[^a-zA-Z0-9\\s]', '', 'g')))::DOUBLE
+          / nullif(length(text), 0)) * 4, 1.0))
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.8),
+sym AS (SELECT id_a AS u, id_b AS v FROM p
+        UNION SELECT id_b, id_a FROM p),
+reach AS (SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u),
+q AS (SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents),
+m AS (SELECT component, node, quality
+      FROM comp JOIN q ON q.doc_id = comp.node),
+s AS (SELECT component, MAX(quality) AS qmax,
+             COUNT(*) AS n_members
+      FROM m GROUP BY component)
+SELECT s.component, s.n_members,
+       MIN(m.node) AS keep_id,
+       ROUND(s.qmax, 6) AS keep_quality
+FROM m JOIN s USING (component)
+WHERE m.quality = s.qmax
+GROUP BY s.component, s.n_members, s.qmax
+""",
+    doc="Canonical-document selection: MinHash-LSH pair graph -> "
+    "connected components (iterative min-label propagation) -> keep "
+    "the HIGHEST-quality member per cluster (min doc_id among exact "
+    "quality ties — exact duplicates tie by construction). This is "
+    "the full end-to-end dedup decision a corpus pipeline applies: "
+    "not just finding near-dup pairs but choosing which copy "
+    "survives. FULL value-level oracle: DuckDB rebuilds the clusters "
+    "via a recursive-CTE transitive closure over the independently "
+    "brute-forced exact Jaccard pair set and applies the identical "
+    "quality argmax — a strictly stronger check than dedup_clusters' "
+    "bound-check anchors. Quality equality joins are safe cross-"
+    "engine: both sides compute the identical double from identical "
+    "integers.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    cc = connected_components(edges, "id_a", "id_b")
+
+    quality = docs.select(
+        F.col("doc_id"), T.quality_score(F.col("text")).alias("quality")
+    )
+    members = cc.join(quality, cc.node == quality.doc_id).select(
+        "component", "node", "quality"
+    )
+    stats = members.groupBy("component").agg(
+        F.max("quality").alias("qmax"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        members.join(stats, "component")
+        .filter(F.col("quality") == F.col("qmax"))
+        .groupBy("component", "n_members", "qmax")
+        .agg(F.min("node").alias("keep_id"))
+        .select(
+            "component",
+            "n_members",
+            "keep_id",
+            F.round("qmax", 6).alias("keep_quality"),
+        )
+    )

@@ -1084,3 +1084,59 @@ def stat_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - 6.0 * F.col("sum_d2") / (n * (n * n - 1)), 6
         ).alias("rho"),
     )
+
+
+@register(
+    "stat_mad_outliers",
+    oracle="""
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, e.value, med,
+               abs(e.value - med) AS adev
+        FROM events e JOIN med USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+SELECT event_type,
+       COUNT(*) AS n_values,
+       ROUND(ANY_VALUE(med), 6) AS median,
+       ROUND(ANY_VALUE(mad), 6) AS mad,
+       SUM(CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END) AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY event_type
+""",
+    doc="Robust outlier detection: per-group median absolute "
+    "deviation, flagging |x - median| > 3*MAD — the robust-statistics "
+    "analogue of the z-score, immune to the outliers it hunts. Two "
+    "exact-percentile group aggs + one counting agg, all partial-"
+    "combined shuffles on event_type; the group medians re-enter "
+    "through equi-joins on the (tiny) group key, broadcast by AQE. "
+    "Both engines interpolate the same R-7 quantile (Spark percentile "
+    "= DuckDB quantile_cont); at 100 TB swap the exact percentiles "
+    "for approx_percentile's mergeable t-digest (agg_approx_"
+    "percentile shows the bounded-error contract).",
+)
+def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
