@@ -26,14 +26,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign_exprs(centroids: list[list[float]]) -> tuple[F.Column, F.Column]:
-    """(argmin cluster, min squared distance) as pure column expressions."""
+def _assign_exprs(
+    centroids: list[list[float]], vec: F.Column | None = None
+) -> tuple[F.Column, F.Column]:
+    """(argmin cluster, min squared distance) as pure column
+    expressions over ``vec`` (default: the ``embedding`` column)."""
+    vec = F.col("embedding") if vec is None else vec
     best_d, best_c = None, None
     for ci, cent in enumerate(centroids):
         cent_col = F.array(*[F.lit(float(v)) for v in cent])
         d = F.aggregate(
             F.zip_with(
-                F.col("embedding"), cent_col,
+                vec, cent_col,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
             ),
             F.lit(0.0),

@@ -362,3 +362,146 @@ def query_lsh_index(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_train_encode(
+    vectors: DataFrame,
+    m: int = 4,
+    codebook_k: int = 16,
+    train_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization: train ``m`` per-subspace codebooks
+    (deterministic Lloyd, :mod:`operators.kmeans`) and encode every
+    vector as ``m`` small codes.
+
+    Returns ``(enc_long, codebooks)`` where ``enc_long`` is the
+    (id, sub, code) long form — the compressed representation that
+    costs ``m * log2(codebook_k)`` bits per vector instead of
+    ``dim * 32`` — and ``codebooks[s][c]`` is the centroid for code
+    ``c`` of subspace ``s`` (m * k * (dim/m) driver-side floats; the
+    one place driver state is acceptable). Encoding is a single
+    map-side projection: all ``m`` argmins evaluate in one pass over
+    the corpus, zero shuffle.
+    """
+    from hdfs_parquet_importer_spark.operators.kmeans import (
+        _assign_exprs,
+        kmeans_fit,
+    )
+
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+
+    codebooks: list[list[list[float]]] = []
+    for mi in range(m):
+        sv = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), mi * sub + 1, sub).alias("embedding"),
+        )
+        _, cents, _ = kmeans_fit(
+            sv, k=codebook_k, max_iter=train_iter, id_col=id_col,
+            vec_col="embedding",
+        )
+        codebooks.append(cents)
+
+    code_cols = [
+        _assign_exprs(
+            codebooks[mi], F.slice(F.col(vec_col), mi * sub + 1, sub)
+        )[0]
+        for mi in range(m)
+    ]
+    enc_long = ensure_parallelism(vectors).select(
+        F.col(id_col), F.posexplode(F.array(*code_cols)).alias("sub", "code")
+    )
+    return enc_long, codebooks
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    codebook_k: int = 16,
+    refine: int = 50,
+    train_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) and exact
+    re-ranking — the FAISS-style memory-bound scale path, as a Spark
+    plan:
+
+    * **Train + encode** (:func:`pq_train_encode`): corpus becomes
+      (id, sub, code) — at 100 TB this is the representation that
+      KEEPS THE INDEX IN MEMORY (8 bytes/vector here vs 256).
+    * **ADC**: each query precomputes its distance to every codebook
+      centroid (m * codebook_k rows per query — driver-tiny, same
+      bounded-collect contract as ivf_topk's probes); approximate
+      distance is then a (sub, code) BROADCAST EQUI-JOIN + groupBy
+      sum — the corpus never shuffles, candidates never pair with
+      queries except through the m-row code join.
+    * **Refine**: the ``refine`` best ADC candidates per query (two-
+      phase salted top-R, no single-reducer window) re-rank by EXACT
+      cosine via an id equi-join back to the raw vectors.
+    """
+    from pyspark.sql import Window
+
+    enc_long, codebooks = pq_train_encode(
+        vectors, m=m, codebook_k=codebook_k, train_iter=train_iter,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sub = len(codebooks[0][0])
+
+    dtab_rows = []
+    for r in queries.collect():
+        qv = [float(x) for x in r[query_vec_col]]
+        for mi in range(m):
+            qs = qv[mi * sub : (mi + 1) * sub]
+            for ci, cent in enumerate(codebooks[mi]):
+                d2 = sum((a - b) * (a - b) for a, b in zip(qs, cent))
+                dtab_rows.append((r[query_id_col], mi, ci, d2))
+    dtab = queries.sparkSession.createDataFrame(
+        dtab_rows, f"{query_id_col} long, sub int, code int, d2 double"
+    )
+
+    adc = (
+        enc_long.join(F.broadcast(dtab), ["sub", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+    partial_w = Window.partitionBy(query_id_col, salt).orderBy(
+        F.asc("adc_d2"), F.asc(id_col)
+    )
+    final_w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("adc_d2"), F.asc(id_col)
+    )
+    cand = (
+        adc.withColumn("_prn", F.row_number().over(partial_w))
+        .filter(F.col("_prn") <= refine)
+        .withColumn("_rn", F.row_number().over(final_w))
+        .filter(F.col("_rn") <= refine)
+        .select(query_id_col, id_col)
+    )
+
+    rerank_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos"), F.asc(id_col)
+    )
+    return (
+        cand.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(F.broadcast(queries), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
+        )
+        .withColumn("_rn", F.row_number().over(rerank_w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cos")
+    )

@@ -145,6 +145,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "quality_gopher_rules",
     "dedup_cluster_canonical",
     "stat_mad_outliers",
+    "ann_pq_adc",
     # (7) Oldest remaining r2 greens, family-spread representatives.
     # (Still r2-green and deferred to r6: q1_pricing_summary,
     # etl_cleanse, etl_array_parse, dedup_exact, text_quality,
@@ -155,8 +156,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # window_moving_avg, text_rolling_hash, text_top_ngrams,
     # multimodal_decode_stats, q6_forecast_revenue — unchanged;
     # q1/dedup_exact/text_quality are additionally benched every
-    # round, and ALL are locally full-registry-gated every test run.)
-    "agg_percentiles",
+    # round, agg_percentiles deferred alongside, and ALL are locally
+    # full-registry-gated every test run.)
     "events_funnel",
     "pandas_grouped_regression",
 )

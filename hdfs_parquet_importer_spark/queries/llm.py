@@ -1397,3 +1397,86 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("qmax", 6).alias("keep_quality"),
         )
     )
+
+
+@register(
+    "ann_pq_adc",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id,
+       CAST(SUM(vec_id) AS BIGINT) AS exact_top10_id_sum,
+       ROUND(MIN(cos), 6) AS exact_min_cos,
+       TRUE AS recall_ok
+FROM r WHERE rank <= 10 GROUP BY query_id ORDER BY query_id
+""",
+    doc="Product-quantization ANN with asymmetric distance "
+    "computation, completing the ANN family (brute / LSH / IVF / "
+    "PQ): 4 per-subspace 16-code codebooks compress each vector to "
+    "4 bytes (vs 256) — the MEMORY-bound scale path; ADC scoring is "
+    "a (sub, code) broadcast equi-join + groupBy sum (the corpus "
+    "never shuffles), then the top-150 ADC candidates re-rank by "
+    "exact cosine through an id equi-join. Bound-check oracle (same "
+    "scheme as ann_ivf): Spark emits the exact brute-force top-10 "
+    "anchors DuckDB independently re-derives, plus a recall@10 >= "
+    "0.7 verdict for the PQ set.",
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = (
+        S.brute_force_topk(emb, q, k=11, salt_buckets=32)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "vec_id", "cos")
+    )
+    approx = (
+        S.pq_topk(emb, q, k=11, m=4, codebook_k=16, refine=150)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("vec_id")
+                )
+            ),
+        )
+        .filter(F.col("_r") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_n_hit"))
+    )
+    anchors = exact.groupBy("query_id").agg(
+        F.sum("vec_id").alias("exact_top10_id_sum"),
+        F.round(F.min("cos"), 6).alias("exact_min_cos"),
+    )
+    return (
+        anchors.join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top10_id_sum",
+            "exact_min_cos",
+            (F.coalesce(F.col("_n_hit"), F.lit(0)) >= 7).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )

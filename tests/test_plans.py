@@ -61,6 +61,11 @@ BRUTE_FORCE_OK = {
                              # feeding idf; the similarity join itself
                              # is the term equi-join — asserted in
                              # test_tfidf_pair_join_is_term_equi_join
+    "ann_pq_adc",            # embeds brute_force_topk (broadcast(q) x
+                             # vectors) as its exact recall reference;
+                             # the ADC scoring join is a (sub, code)
+                             # equi-join — asserted in
+                             # test_pq_adc_join_is_equi_join
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already

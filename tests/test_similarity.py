@@ -173,3 +173,77 @@ def test_persisted_lsh_index_matches_inmemory_lsh(spark, sf_dir, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), plan  # probes prune directories
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+def test_pq_encode_shape_and_code_range(spark, sf_dir):
+    from hdfs_parquet_importer_spark.operators.similarity import pq_train_encode
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    enc, codebooks = pq_train_encode(emb, m=4, codebook_k=16)
+    assert len(codebooks) == 4
+    assert all(len(cb) == 16 for cb in codebooks)
+    assert all(len(c) == 16 for cb in codebooks for c in cb)  # 64/4 dims
+    rows = enc.collect()
+    assert len(rows) == n * 4  # m codes per vector
+    assert all(0 <= r.code < 16 and 0 <= r.sub < 4 for r in rows)
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+    def top10(df):
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            df.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("_r", F.row_number().over(w))
+            .filter("_r <= 10")
+            .select("query_id", "vec_id")
+        )
+
+    exact = top10(brute_force_topk(emb, q, k=11))
+    approx = top10(pq_topk(emb, q, k=11, m=4, codebook_k=16, refine=150))
+    hits = {
+        r.query_id: r.n
+        for r in exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(hits) == 5
+    assert all(n >= 7 for n in hits.values()), hits
+
+
+def test_pq_adc_join_is_equi_join(spark, sf_dir):
+    """ann_pq_adc sits in BRUTE_FORCE_OK for its embedded exact
+    reference; pin the PQ OPERATOR itself to the (sub, code)
+    equi-join so a cartesian can't regress behind the allowlist."""
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators.similarity import pq_topk
+    from hdfs_parquet_importer_spark.tables import load_table
+    from tests.test_plans import plan_of
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = plan_of(pq_topk(emb, q, k=5, refine=20))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
