@@ -156,9 +156,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # window_moving_avg, text_rolling_hash, text_top_ngrams,
     # multimodal_decode_stats, q6_forecast_revenue — unchanged;
     # q1/dedup_exact/text_quality are additionally benched every
-    # round, agg_percentiles deferred alongside, and ALL are locally
+    # round, events_funnel deferred alongside (the events module's
+    # window representatives are now graph_pagerank +
+    # events_markov_transitions), and ALL are locally
     # full-registry-gated every test run.)
-    "events_funnel",
+    "agg_percentiles",
     "pandas_grouped_regression",
 )
 
