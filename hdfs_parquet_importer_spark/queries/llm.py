@@ -1480,3 +1480,70 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+WITH newb AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+ex AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+exfp AS (SELECT DISTINCT md5({_NORM_SQL}) AS fp FROM ex),
+new2 AS (SELECT n.* FROM newb n
+         WHERE md5(trim(regexp_replace(regexp_replace(lower(n.text),
+               '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+               NOT IN (SELECT fp FROM exfp)),
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.8),
+sym AS (SELECT id_a AS u, id_b AS v FROM p
+        UNION ALL SELECT id_b, id_a FROM p),
+bad AS (
+  -- a surviving new doc is dropped if it near-dups ANY existing doc,
+  -- or a LOWER-id new doc (deterministic greedy-by-id, no recursion)
+  SELECT DISTINCT n.doc_id FROM new2 n JOIN sym ON sym.u = n.doc_id
+  WHERE sym.v % 5 <> 0 OR (sym.v % 5 = 0 AND sym.v < n.doc_id))
+SELECT doc_id, source FROM new2
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+    doc="Incremental corpus ingest dedup — the continuous-pipeline "
+    "shape: a NEW batch (doc_id % 5 = 0, a deterministic stand-in "
+    "for today's crawl) dedups against the EXISTING corpus without "
+    "reprocessing it. Stage 1: exact-content anti-join on "
+    "md5(normalized text) — at 100 TB the existing side is just its "
+    "persisted fingerprint column, bucketed on fp so the anti-join "
+    "is shuffle-free. Stage 2: MinHash-LSH near-dup pairs; a new doc "
+    "drops if it pairs at Jaccard >= 0.8 with any existing doc or "
+    "any lower-id new doc (greedy-by-id, recursion-free so the "
+    "decision is a pure join). FULL value-level oracle: DuckDB "
+    "replays both stages with brute-forced exact Jaccard pairs — "
+    "LSH recall at this SF is exact (see dedup_minhash_lsh), so a "
+    "mismatch means the sketch path dropped or invented a pair.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(D.normalize_text(F.col("text")))
+    newb = docs.filter(F.col("doc_id") % 5 == 0)
+    ex = docs.filter(F.col("doc_id") % 5 != 0)
+
+    new2 = newb.withColumn("_fp", fp).join(
+        ex.select(fp.alias("_fp")).distinct(), "_fp", "left_anti"
+    )
+
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    sym = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    bad = (
+        new2.select(F.col("doc_id").alias("u"))
+        .join(sym, "u")
+        .filter(
+            (F.col("v") % 5 != 0)
+            | ((F.col("v") % 5 == 0) & (F.col("v") < F.col("u")))
+        )
+        .select(F.col("u").alias("doc_id"))
+        .distinct()
+    )
+    return new2.join(bad, "doc_id", "left_anti").select("doc_id", "source")

@@ -534,3 +534,47 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+WITH toks AS (SELECT unnest({_TOKS_SQL}) AS w FROM documents),
+pairs AS (SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+          FROM toks WHERE len(w) >= 2)
+SELECT pair, COUNT(*) AS n_occurrences
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 10
+""",
+    doc="The first BPE merge decision, as a corpus-scale counting "
+    "job: every adjacent character pair inside every word occurrence "
+    "is counted and the 10 most frequent pairs surface (count desc, "
+    "pair asc tiebreak). This is exactly the distributed workload of "
+    "tokenizer training — each merge round of BPE is one such "
+    "pair-count pass over the (re-paired) corpus. Explode + "
+    "partial-combined groupBy: the shuffle carries one row per "
+    "distinct pair per partition (pair alphabet is bounded), and the "
+    "top-10 plans as TakeOrderedAndProject. Counts are integers — "
+    "exact cross-engine parity.",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(D.tokens(F.col("text"))).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(10)
+    )
