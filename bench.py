@@ -65,6 +65,12 @@ HEADLINE = [
     "stat_spearman_rank",
     "vocab_coverage",
     "window_range_frame",
+    # r5 second batch: the new graph / sparse-similarity / curation
+    # operators — benched from birth so regressions have a baseline.
+    "graph_pagerank",
+    "doc_tfidf_cosine_topk",
+    "text_boilerplate_blocks",
+    "dedup_incremental_batch",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

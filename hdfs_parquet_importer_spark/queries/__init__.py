@@ -109,16 +109,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_mean_token_df",
     # (4) r1-green-never-reverified queries (VERDICT item 6):
     # unchanged code, re-verify under current session/AQE settings
-    # and the current testdata generation. (window_first_last and
-    # window_ntile_global defer to r6 — new-code rows take their
-    # slots per the rotation contract; both are unchanged since r1
-    # and locally full-registry-gated every run.)
+    # and the current testdata generation. (window_first_last,
+    # window_ntile_global, window_rank_dense and func_explode_outer
+    # defer to r6 — new-code rows take their slots per the rotation
+    # contract; all four are unchanged since r1 and locally
+    # full-registry-gated every run.)
     "func_string",
     "func_conditional",
     "func_nullsafe_eq",
     "func_date_arith",
-    "func_explode_outer",
-    "window_rank_dense",
     "agg_distinct",
     "setop_union",
     "join_left_outer",
@@ -148,6 +147,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ann_pq_adc",
     "dedup_incremental_batch",
     "bpe_top_merges",
+    "mix_epoch_order",
+    "events_session_path_topk",
     # (7) Oldest remaining r2 greens, family-spread representatives.
     # (Still r2-green and deferred to r6: q1_pricing_summary,
     # etl_cleanse, etl_array_parse, dedup_exact, text_quality,

@@ -429,3 +429,76 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("event_type"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+@register(
+    "events_session_path_topk",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM s),
+p AS (
+  SELECT user_id, sess,
+         array_to_string(list(event_type ORDER BY ts, event_id), '>')
+           AS path
+  FROM i GROUP BY user_id, sess)
+SELECT path, COUNT(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 5
+""",
+    doc="Top-5 most common within-session event paths: sessionize by "
+    "30-min gap (gaps-and-islands — the same diff >= gap convention "
+    "as events_session_window), assemble each session's ordered "
+    "event-type path, count path frequencies. All windows are "
+    "PARTITIONED by user; path assembly is array_sort over a "
+    "collect_list inside a per-session agg (bounded by session "
+    "length); the final top-5 plans as TakeOrderedAndProject. "
+    "Integer counts with path tiebreak — exact cross-engine parity.",
+)
+def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            >= 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("_brk", brk).withColumn(
+        "sess",
+        F.sum("_brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(5)
+    )

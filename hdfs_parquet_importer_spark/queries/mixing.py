@@ -578,3 +578,53 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(10)
     )
+
+
+@register(
+    "mix_epoch_order",
+    oracle="""
+WITH e0 AS (SELECT 0 AS epoch, doc_id,
+              md5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+e1 AS (SELECT 1 AS epoch, doc_id,
+              md5('1:' || CAST(doc_id AS VARCHAR)) AS k FROM documents),
+r0 AS (SELECT epoch, doc_id,
+              row_number() OVER (ORDER BY k, doc_id) AS pos FROM e0),
+r1 AS (SELECT epoch, doc_id,
+              row_number() OVER (ORDER BY k, doc_id) AS pos FROM e1)
+SELECT epoch, doc_id, pos FROM r0 WHERE pos <= 10
+UNION ALL
+SELECT epoch, doc_id, pos FROM r1 WHERE pos <= 10
+""",
+    doc="Deterministic per-epoch corpus shuffling — the data-order "
+    "randomization every training run needs, with NO RNG state and "
+    "NO global-order window: each epoch orders documents by "
+    "md5(epoch:doc_id), and the global position comes from "
+    "dist_rank's two-phase bucketed prefix sums (operators/"
+    "prefix.py), bucketed on the hash's leading byte (monotone in "
+    "the hash, ~256-way parallel). Reproducible across runs and "
+    "engines; epochs permute independently. The first 10 positions "
+    "of two epochs ship as the verifiable sample.",
+)
+def mix_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import dist_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for epoch in (0, 1):
+        keyed = docs.select(
+            F.lit(epoch).alias("epoch"),
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit(f"{epoch}:"), F.col("doc_id").cast("string")
+                )
+            ).alias("k"),
+        )
+        ranked = dist_rank(
+            keyed,
+            ["k", "doc_id"],
+            F.conv(F.substring(F.col("k"), 1, 2), 16, 10).cast("long"),
+            out_col="pos",
+        ).filter(F.col("pos") <= 10)
+        out = ranked if out is None else out.unionByName(ranked)
+    return out.select("epoch", "doc_id", "pos")
