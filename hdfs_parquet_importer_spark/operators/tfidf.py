@@ -34,12 +34,21 @@ def tfidf_weights(
     id_col: str,
     text_col: str,
     max_df_frac: float = 0.79,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, term, w) sparse tf-idf vectors: w = tf * ln(N / df).
 
     Terms with df > max_df_frac * N are pruned (see module doc). The
     corpus size N and per-term df enter the plan as aggregates — the
     scalar N via a broadcast 1-row cross join, never a collect.
+
+    ``materialize`` localCheckpoints the term-frequency table: three
+    consumers read it (corpus size, document frequency, the weights
+    themselves), and Spark does not dedupe common subplans, so the
+    pure-lazy form re-tokenizes and re-aggregates the corpus once per
+    consumer (measured: 23 exchanges vs 8). At 100 TB the tf table is
+    materialized once for exactly this reason — same contract as the
+    fingerprint checkpoint in dedup_simhash.
     """
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term"))
@@ -47,6 +56,8 @@ def tfidf_weights(
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
     n_df = tf.agg(F.countDistinct("id").cast("double").alias("_n"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     return (
@@ -119,6 +130,8 @@ def tfidf_topk_pairs(
     w = tfidf_weights(docs, id_col, text_col, max_df_frac=max_df_frac)
     if per_term_cap is not None:
         w = cap_postings(w, per_term_cap)
+    # Three consumers (norms + both join sides); materialize once.
+    w = w.localCheckpoint(eager=True)
     return cosine_pairs(w).orderBy(
         F.col("cosine").desc(), "id_a", "id_b"
     ).limit(k)
