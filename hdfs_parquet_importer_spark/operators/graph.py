@@ -85,11 +85,12 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 5,
     checkpoint_every: int = 0,
+    materialize: bool = True,
 ) -> DataFrame:
     """Weighted PageRank with uniform dangling-mass redistribution,
     run for a FIXED ``n_iter`` power iterations (no convergence
-    action, so the whole computation stays one lazy plan and an
-    oracle can unroll the identical iterations):
+    action — an oracle can unroll the identical iterations; with
+    ``materialize=False`` the whole computation is one lazy plan):
 
         r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v)/out_w(u)
                                + dangling_mass / N)
@@ -120,6 +121,15 @@ def pagerank(
     en = e.join(outw, "_src").select(
         "_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_p")
     )
+    if materialize:
+        # Spark does not dedupe common subplans: every iteration
+        # references nodes/en/outw, so the pure-lazy form re-derives
+        # the edge list once per reference. Materialize the loop
+        # invariants once — at web scale this is "pre-partition the
+        # edge list and keep it", the standard PageRank layout.
+        nodes = nodes.localCheckpoint(eager=True)
+        outw = outw.localCheckpoint(eager=True)
+        en = en.localCheckpoint(eager=True)
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")

@@ -413,11 +413,13 @@ SELECT node AS event_type, ROUND(rank, 6) AS pagerank FROM r{n_iter}"""
     "uniform dangling-mass redistribution) over the event-type "
     "transition graph. Each iteration is ONE rank-to-edges equi-join "
     "+ groupBy(dst) partial-agg sum; node count and dangling mass "
-    "enter as broadcast 1-row aggregates (never a collect), so the "
-    "whole 5-iteration computation is a single lazy plan the oracle "
-    "unrolls CTE-for-CTE. At web scale: pre-partition edges by src "
-    "so every iteration reuses the layout, and checkpoint_every=5 "
-    "bounds lineage (operators/graph.py:pagerank).",
+    "enter as broadcast 1-row aggregates (never a collect), and the "
+    "oracle unrolls the identical iterations CTE-for-CTE. The loop "
+    "invariants (normalized edges, out-weights, nodes) materialize "
+    "ONCE — Spark does not dedupe common subplans, so the pure-lazy "
+    "form re-derived the edge list per iteration reference. At web "
+    "scale checkpoint_every=5 additionally bounds rank lineage "
+    "(operators/graph.py:pagerank).",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.graph import pagerank

@@ -1532,7 +1532,13 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.select(fp.alias("_fp")).distinct(), "_fp", "left_anti"
     )
 
-    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    # Two consumers (both union directions) — materialize the pair
+    # generation once (same contract as dedup_cluster_canonical).
+    pairs = (
+        D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
     ).union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
