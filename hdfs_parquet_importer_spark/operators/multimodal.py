@@ -510,3 +510,71 @@ def documents_as_media(df: DataFrame) -> DataFrame:
         F.lit("text").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"),
     )
+
+
+def wav_encode_samples(df: DataFrame) -> DataFrame:
+    """Encode stage: (media_id, samples int array) -> (media_id,
+    payload WAV PCM16 bytes), Arrow-batched — the audio twin of
+    png_encode_pixels. Rows never leave their task."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, samples in zip(pdf["media_id"], pdf["samples"]):
+                ids.append(mid)
+                payloads.append(
+                    encode_wav_pcm16([int(s) for s in samples])
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(enc, out_schema)
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_energy(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage for audio: decode WAV PCM16 payloads
+    and emit integer signal statistics, including total energy
+    (sum of squared samples — exact in int64 for PCM16). The shape of
+    every real audio featurizer (MFCC, spectrogram): decode in the
+    task, emit a small typed row."""
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, samples = decode_wav_pcm16(bytes(payload))
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        len(samples),
+                        sum(samples),
+                        sum(s * s for s in samples),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "rate", "n_samples", "sample_sum", "energy"],
+            )
+
+    return df.mapInPandas(feats, AUDIO_ENERGY_SCHEMA)

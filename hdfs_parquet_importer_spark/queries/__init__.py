@@ -112,12 +112,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # and the current testdata generation. (window_first_last,
     # window_ntile_global, window_rank_dense and func_explode_outer
     # defer to r6 — new-code rows take their slots per the rotation
-    # contract; all four are unchanged since r1 and locally
-    # full-registry-gated every run.)
+    # contract; all five are unchanged since r1 and locally
+    # full-registry-gated every run — func_date_arith joins them.)
     "func_string",
     "func_conditional",
     "func_nullsafe_eq",
-    "func_date_arith",
     "agg_distinct",
     "setop_union",
     "join_left_outer",
@@ -149,6 +148,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_top_merges",
     "mix_epoch_order",
     "events_session_path_topk",
+    "multimodal_wav_energy",
     # (7) Oldest remaining r2 greens, family-spread representatives.
     # (Still r2-green and deferred to r6: q1_pricing_summary,
     # etl_cleanse, etl_array_parse, dedup_exact, text_quality,

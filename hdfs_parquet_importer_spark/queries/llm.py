@@ -1553,3 +1553,48 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return new2.join(bad, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@register(
+    "multimodal_wav_energy",
+    oracle="""
+WITH g AS (SELECT doc_id AS media_id, 64 + doc_id % 50 AS n FROM documents),
+s AS (SELECT media_id, n,
+             [ (media_id * 37 + i * 13) % 2003 - 1001
+               for i in range(0, n) ] AS samples
+      FROM g)
+SELECT media_id,
+       16000 AS rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(list_sum(samples) AS BIGINT) AS sample_sum,
+       CAST(list_sum([x * x for x in samples]) AS BIGINT) AS energy
+FROM s ORDER BY media_id
+""",
+    doc="REAL audio codec round-trip + feature extraction: "
+    "deterministic PCM16 samples (a formula DuckDB replays) -> "
+    "encode_wav_pcm16 (RIFF/fmt/data, 16-bit little-endian) in one "
+    "mapInPandas stage -> audio_energy (header-validated decode, "
+    "integer signal energy = sum of squares) in a second. A green "
+    "row proves the DECODED SAMPLES are value-exact — any "
+    "encoder/decoder byte-order or offset bug breaks the energy sum. "
+    "Payloads never shuffle; at 100 TB featurization runs "
+    "decode-side so only the small typed rows move.",
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gen = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(64) + F.col("doc_id") % 50).cast("int").alias("n"),
+    ).withColumn(
+        "samples",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: (
+                (F.col("media_id") * 37 + i * 13) % 2003 - 1001
+            ).cast("int"),
+        ),
+    )
+    return M.audio_energy(M.wav_encode_samples(gen)).orderBy("media_id")

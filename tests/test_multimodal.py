@@ -201,3 +201,27 @@ def test_documents_as_media_oracle_parity(spark, sf_dir):
         for r in docs.collect()
     }
     assert got == want
+
+
+def test_wav_energy_roundtrip_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators.multimodal import (
+        audio_energy,
+        wav_encode_samples,
+    )
+
+    src = spark.createDataFrame(
+        [(1, [0, 100, -100, 32767, -32768]), (2, [5])],
+        "media_id long, samples array<int>",
+    )
+    got = {
+        r.media_id: r
+        for r in audio_energy(wav_encode_samples(src)).collect()
+    }
+    r1 = got[1]
+    assert r1.n_samples == 5
+    assert r1.sample_sum == 0 + 100 - 100 + 32767 - 32768
+    assert r1.energy == 100**2 + 100**2 + 32767**2 + 32768**2
+    assert r1.rate == 16000
+    assert got[2].energy == 25
