@@ -35,6 +35,7 @@ def asof_join(
     right_payload: list[str],
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the payload columns of the
     nearest right row on the chosen side and the same ``on`` key (null
@@ -46,6 +47,13 @@ def asof_join(
     ``right_ts >= left_ts`` — the same union + ordered-window carry,
     just scanned from the other end, so both directions cost one
     key-partitioned window pass (no range self-join).
+
+    ``tolerance_sec`` (pandas merge_asof's ``tolerance``): a match
+    further than this many seconds from the left timestamp is
+    discarded (payload nulls, as if no match existed). Because the
+    as-of match is the CLOSEST right row on the chosen side, "closest
+    is out of tolerance" implies no right row is in tolerance — the
+    post-carry filter is exact, not an approximation.
 
     Payload columns appear as ``{prefix}{col}``; ``{prefix}ts`` carries
     the matched right timestamp.
@@ -87,6 +95,13 @@ def asof_join(
     carried = unioned.withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
+    if tolerance_sec is not None:
+        gap = F.col("_ts").cast("long") - F.col("_match.ts").cast("long")
+        if direction == "forward":
+            gap = -gap
+        carried = carried.withColumn(
+            "_match", F.when(gap <= int(tolerance_sec), F.col("_match"))
+        )
     out = carried.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
         F.col("_match.ts").alias(f"{prefix}ts"),

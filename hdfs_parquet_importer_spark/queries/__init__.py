@@ -112,14 +112,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # and the current testdata generation. (window_first_last,
     # window_ntile_global, window_rank_dense and func_explode_outer
     # defer to r6 — new-code rows take their slots per the rotation
-    # contract; all five are unchanged since r1 and locally
-    # full-registry-gated every run — func_date_arith joins them.)
+    # contract; all are unchanged since r1 and locally
+    # full-registry-gated every run — func_date_arith, agg_distinct,
+    # func_nullsafe_eq, setop_union and join_left_outer join them.)
     "func_string",
     "func_conditional",
-    "func_nullsafe_eq",
-    "agg_distinct",
-    "setop_union",
-    "join_left_outer",
     # (5) NEW in round 5, second batch: the four remaining TPC-H
     # literal adaptations (the suite is now all 22) and two new
     # operators — mergeable HLL rollup and temperature (alpha=0.5)
@@ -149,6 +146,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mix_epoch_order",
     "events_session_path_topk",
     "multimodal_wav_energy",
+    # (5b) asof.py gained the tolerance variant this round — the
+    # operator file changed, so ALL three as-of queries take fresh
+    # rows per the rotation contract (the existing two are
+    # value-neutral to the change but the contract is code-changed
+    # => fresh row).
+    "asof_join_tolerance",
+    "asof_join_next_purchase",
+    "asof_join_purchase_view",
     # (7) Oldest remaining r2 greens, family-spread representatives.
     # (Still r2-green and deferred to r6: q1_pricing_summary,
     # etl_cleanse, etl_array_parse, dedup_exact, text_quality,

@@ -603,3 +603,57 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     m AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+                  v.event_id AS vid, v.ts AS vts
+           FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
+SELECT purchase_id, user_id,
+       COALESCE(CASE WHEN date_diff('second', vts, pts) <= 3600
+                     THEN vid END, -1) AS view_id,
+       CAST(COALESCE(CASE WHEN date_diff('second', vts, pts) <= 3600
+                          THEN date_diff('second', vts, pts) END, -1)
+            AS BIGINT) AS gap_s
+FROM m ORDER BY purchase_id
+""",
+    doc="As-of join with a 1-hour tolerance (pandas merge_asof "
+    "semantics): the latest prior view only counts if it happened "
+    "within the window — attribution with an expiry, the common "
+    "production form. Because the as-of match is the CLOSEST prior "
+    "row, 'closest out of tolerance' implies nothing is in "
+    "tolerance, so the post-carry null-out is exact. Same single "
+    "union-marker shuffle as asof_join_purchase_view "
+    "(operators/asof.py); oracle = DuckDB native ASOF JOIN + the "
+    "identical tolerance CASE.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        tolerance_sec=3600,
+    )
+    gap = F.col("ts").cast("long") - F.col("asof_ts").cast("long")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s"),
+    ).orderBy("purchase_id")

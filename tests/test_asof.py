@@ -81,3 +81,72 @@ def test_asof_forward_direction(spark):
     }
     # earliest right with right_t >= left_t; ties inclusive; no match -> null
     assert out == {(1, 10): "mid", (1, 50): "exact", (2, 10): None}
+
+
+def test_tolerance_nulls_out_of_window_matches(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(0)), (2, 10, ts(90)), (3, 20, ts(30))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, 10, ts(-10)), (200, 20, ts(29))],
+        "rid long, k long, ts timestamp",
+    )
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"], tolerance_sec=3600,
+        ).collect()
+    }
+    assert got[1] == 100      # 10 min gap, in tolerance
+    assert got[2] is None     # closest prior is 100 min back: expired
+    assert got[3] == 200      # 1 min gap
+
+    # Without tolerance the expired match comes back.
+    got_all = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"],
+        ).collect()
+    }
+    assert got_all[2] == 100
+
+
+def test_tolerance_forward_direction(spark):
+    import datetime as dt
+
+    from hdfs_parquet_importer_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(0)), (2, 1, ts(50))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(9, 1, ts(20))], "rid long, k long, ts timestamp"
+    )
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"], direction="forward", tolerance_sec=600,
+        ).collect()
+    }
+    assert got[1] is None  # next match 20 min ahead > 10 min tolerance
+    assert got[2] is None  # no future right row at all
