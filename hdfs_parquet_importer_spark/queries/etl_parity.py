@@ -401,3 +401,97 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round("value", 2).alias("value"),
     ).orderBy("user_id")
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+           WHERE user_id < 30),
+d AS (SELECT *,
+             lag(event_type) OVER w AS prev,
+             lag(ts) OVER w AS prev_ts
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+k AS (SELECT user_id, event_id, ts, event_type FROM d
+      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+v AS (SELECT user_id, event_type, ts AS vf,
+             lead(ts) OVER w2 AS vt,
+             row_number() OVER w2 AS version
+      FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+       COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to_s,
+       version, (vt IS NULL) AS is_current
+FROM v ORDER BY user_id, version
+""",
+    doc="SCD Type-2 dimension build (operators/scd.py): the event log "
+    "per user collapsed into a versioned state history — consecutive "
+    "identical states merge, each change opens a half-open "
+    "[valid_from, valid_to) interval, the open interval is the "
+    "current state. The lakehouse complement of etl_upsert (MERGE "
+    "keeps only latest; SCD2 keeps every state queryable). Two "
+    "key-partitioned window passes over ONE shuffle — no global "
+    "windows; scales with keys, not history depth. Oracle: the same "
+    "change-detect / interval-assign pipeline as DuckDB CTEs.",
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.scd import scd2_build
+
+    log = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    hist = scd2_build(
+        log, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id"
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to_s"),
+        "version",
+        "is_current",
+    ).orderBy("user_id", "version")
+
+
+@register(
+    "snapshot_as_of_day15",
+    oracle="""
+WITH f AS (SELECT user_id, event_id, ts, event_type, value FROM events
+           WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM f)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       event_type, value
+FROM r WHERE rn = 1 ORDER BY user_id
+""",
+    doc="Time travel: per-user state reconstructed AS OF Jan 15 from "
+    "the append-only log (operators/scd.py snapshot_as_of). "
+    "Deliberately NOT the window/row_number plan the oracle uses: "
+    "filter + max(struct(ts, tiebreak, row)) hash-aggregates with "
+    "map-side partial combine, so each executor reduces its slice to "
+    "one candidate per key before the single shuffle — at 100 TB the "
+    "reduce side sees n_partitions rows per key instead of the "
+    "key's whole history sorted. value rides the struct untouched "
+    "(no arithmetic), so doubles hash bit-identically.",
+)
+def snapshot_as_of_day15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.scd import snapshot_as_of
+
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    snap = snapshot_as_of(
+        log, key="user_id", ts="ts", cutoff="2024-01-15 00:00:00",
+        tiebreak="event_id",
+    )
+    return snap.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "event_type",
+        "value",
+    ).orderBy("user_id")
