@@ -107,16 +107,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_source_overlap",
     "text_df_top_terms",
     "text_mean_token_df",
-    # (4) r1-green-never-reverified queries (VERDICT item 6):
-    # unchanged code, re-verify under current session/AQE settings
-    # and the current testdata generation. (window_first_last,
-    # window_ntile_global, window_rank_dense and func_explode_outer
-    # defer to r6 — new-code rows take their slots per the rotation
-    # contract; all are unchanged since r1 and locally
-    # full-registry-gated every run — func_date_arith, agg_distinct,
-    # func_nullsafe_eq, setop_union and join_left_outer join them.)
-    "func_string",
-    "func_conditional",
+    # (4) NEW in round 5, fourth batch — the lakehouse/profiling/
+    # time-series/mixing operators added late in the session: SCD
+    # Type-2 history + as-of snapshot (operators/scd.py), ANALYZE
+    # column profiling, 15-minute OHLC bars, per-source KL
+    # divergence. (The r1-green re-verification slots these displace
+    # — func_string, func_conditional, func_date_arith, agg_distinct,
+    # func_nullsafe_eq, setop_union, join_left_outer,
+    # window_first_last, window_ntile_global, window_rank_dense,
+    # func_explode_outer — defer to r6: new-code rows take their
+    # slots per the rotation contract; all are unchanged since r1
+    # and locally full-registry-gated every run.)
+    "scd2_event_type_history",
+    "snapshot_as_of_day15",
+    "profile_table_stats",
+    "events_ohlc_resample",
+    "mix_kl_divergence",
     # (5) NEW in round 5, second batch: the four remaining TPC-H
     # literal adaptations (the suite is now all 22) and two new
     # operators — mergeable HLL rollup and temperature (alpha=0.5)
@@ -154,22 +160,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "asof_join_tolerance",
     "asof_join_next_purchase",
     "asof_join_purchase_view",
-    # (7) Oldest remaining r2 greens, family-spread representatives.
-    # (Still r2-green and deferred to r6: q1_pricing_summary,
-    # etl_cleanse, etl_array_parse, dedup_exact, text_quality,
-    # text_langid, text_tokens, agg_rollup, agg_approx_distinct,
+    # (7) Oldest remaining r2 greens: family-spread representatives
+    # deferred wholesale to r6 — the five fourth-batch new-code rows
+    # above took the last slots (new code outranks re-verification of
+    # unchanged code under the rotation contract). Still r2-green and
+    # unchanged: q1_pricing_summary, etl_cleanse, etl_array_parse,
+    # dedup_exact, text_quality, text_langid, text_tokens,
+    # agg_rollup, agg_approx_distinct, agg_percentiles,
     # func_higher_order, pivot_status_by_year, sample_systematic,
     # subq_exists_priority, subq_global_avg_anti,
     # window_topk_per_group, window_quartile_scalable,
     # window_moving_avg, text_rolling_hash, text_top_ngrams,
-    # multimodal_decode_stats, q6_forecast_revenue — unchanged;
-    # q1/dedup_exact/text_quality are additionally benched every
-    # round, events_funnel deferred alongside (the events module's
-    # window representatives are now graph_pagerank +
-    # events_markov_transitions), and ALL are locally
-    # full-registry-gated every test run.)
-    "agg_percentiles",
-    "pandas_grouped_regression",
+    # multimodal_decode_stats, q6_forecast_revenue,
+    # pandas_grouped_regression — q1/dedup_exact/text_quality are
+    # additionally benched every round, and ALL are locally
+    # full-registry-gated every test run.
 )
 
 

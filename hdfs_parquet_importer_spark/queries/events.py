@@ -504,3 +504,67 @@ def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(5)
     )
+
+
+@register(
+    "events_ohlc_resample",
+    oracle="""
+WITH b AS (SELECT *, time_bucket(INTERVAL '15 minutes', ts) AS bucket
+           FROM events),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY bucket, event_type
+                           ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY bucket, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b),
+agg AS (SELECT bucket, event_type, MIN(value) AS bar_low,
+               MAX(value) AS bar_high, COUNT(*) AS n_events
+        FROM b GROUP BY bucket, event_type)
+SELECT strftime(a.bucket, '%Y-%m-%d %H:%M:%S') AS bar_start,
+       a.event_type,
+       o.value AS bar_open, a.bar_high, a.bar_low, c.value AS bar_close,
+       a.n_events
+FROM agg a
+JOIN r o ON o.bucket = a.bucket AND o.event_type = a.event_type
+        AND o.rn_a = 1
+JOIN r c ON c.bucket = a.bucket AND c.event_type = a.event_type
+        AND c.rn_d = 1
+ORDER BY bar_start, a.event_type
+""",
+    doc="Time-series downsampling to 15-minute OHLC bars per event "
+    "type — the hypertable-rollup shape (open/high/low/close/volume). "
+    "ONE hash aggregation: open and close come from min(struct(ts, "
+    "event_id, value)) / max(struct(...)) — struct ordering is "
+    "lexicographic, so the earliest/latest (ts, event_id) carries its "
+    "value along — which partial-aggregates map-side like any min/"
+    "max; NO per-bar window sort anywhere (the oracle's row_number "
+    "formulation is what this plan deliberately avoids — at 100 TB "
+    "the window would sort every event, the struct-agg reduces each "
+    "executor's slice to one candidate per bar first). Doubles ride "
+    "untouched; 15 min divides 24 h so the epoch-aligned F.window "
+    "grid equals DuckDB's time_bucket grid.",
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("o"),
+            F.max(F.struct("ts", "event_id", "value")).alias("c"),
+            F.max("value").alias("bar_high"),
+            F.min("value").alias("bar_low"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("bar_start"),
+            "event_type",
+            F.col("o.value").alias("bar_open"),
+            "bar_high",
+            "bar_low",
+            F.col("c.value").alias("bar_close"),
+            "n_events",
+        )
+        .orderBy("bar_start", "event_type")
+    )

@@ -628,3 +628,74 @@ def mix_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("pos") <= 10)
         out = ranked if out is None else out.unionByName(ranked)
     return out.select("epoch", "doc_id", "pos")
+
+
+@register(
+    "mix_kl_divergence",
+    oracle="""
+WITH sl AS (SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS c_sl
+            FROM documents GROUP BY source, lang),
+st AS (SELECT source, SUM(c_sl) AS tot_s FROM sl GROUP BY source),
+lt AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c_l
+       FROM documents GROUP BY lang),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tot FROM documents),
+t AS (SELECT sl.source, sl.lang,
+             (sl.c_sl / st.tot_s)
+               * ln((sl.c_sl / st.tot_s) / (lt.c_l / g.tot)) AS term
+      FROM sl JOIN st USING (source) JOIN lt USING (lang) CROSS JOIN g),
+f AS (SELECT source, lang,
+             SUM(term) OVER (PARTITION BY source ORDER BY lang
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+             COUNT(*) OVER (PARTITION BY source) AS n_langs,
+             row_number() OVER (PARTITION BY source ORDER BY lang) AS rn
+      FROM t)
+SELECT source, n_langs, ROUND(cum, 6) AS kl_nats
+FROM f WHERE rn = n_langs ORDER BY source
+""",
+    doc="Mixing diagnostic: per-source KL divergence (nats) of the "
+    "source's language distribution from the corpus-wide one — the "
+    "number a mixture designer watches to see which sources skew the "
+    "blend (same shape as per-source token-distribution KL; lang "
+    "keeps the support compact). All inputs are exact integer counts; "
+    "the only float work is the final p*ln(p/q) terms, folded in "
+    "SORTED lang order on both engines (Spark: aggregate over "
+    "sort_array(collect_list(struct(lang, term))); DuckDB: running "
+    "SUM ordered by lang, last row) so accumulation order is pinned, "
+    "then ROUND(6) absorbs sub-ulp libm-vs-JVM ln() drift. Scale: "
+    "three hash aggs + a broadcast lang dim (distribution support is "
+    "vocabulary-bounded) + a 1-row grand-total broadcast scalar; the "
+    "per-source fold array is |langs| elements, never rows.",
+)
+def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c_sl")
+    )
+    st = sl.groupBy("source").agg(F.sum("c_sl").alias("tot_s"))
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c_l")
+    )
+    g = docs.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+
+    p = F.col("c_sl") / F.col("tot_s")
+    q = F.col("c_l") / F.col("tot")
+    t = (
+        sl.join(st, "source")
+        .join(F.broadcast(lt), "lang")
+        .crossJoin(F.broadcast(g))
+        .select("source", "lang", (p * F.log(p / q)).alias("term"))
+    )
+    folded = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("lang", "term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["term"],
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(folded, 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

@@ -1140,3 +1140,121 @@ def stat_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Table profiling (ANALYZE) — the statistics pass every engine runs
+# before planning; the reference has none (its Spark 2.3 session plans
+# blind). One scan, one aggregate row, unpivoted driver-side-free.
+# --------------------------------------------------------------------------
+@register(
+    "profile_table_stats",
+    oracle="""
+SELECT 'o_custkey' AS column_name,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_s,
+       COUNT(*) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_orderkey',
+       COUNT(*) - COUNT(o_orderkey),
+       COUNT(DISTINCT o_orderkey),
+       CAST(MIN(o_orderkey) AS VARCHAR),
+       CAST(MAX(o_orderkey) AS VARCHAR),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority),
+       MAX(o_orderpriority),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus),
+       MAX(o_orderstatus),
+       COUNT(*)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice_cents',
+       COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(CAST(round(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+       CAST(CAST(round(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR),
+       COUNT(*)
+FROM orders
+ORDER BY column_name
+""",
+    doc="ANALYZE-style column profiling of orders: per column the "
+    "null count, exact distinct count, and canonicalized min/max "
+    "(numerics via string cast, price via integer cents, timestamp "
+    "formatted) — the statistics a cost-based optimizer feeds on, "
+    "computed as ONE aggregate pass then unpivoted to long form with "
+    "stack() (pure projection of the 1-row aggregate; nothing "
+    "touches the driver). Multiple exact COUNT(DISTINCT)s in one agg "
+    "compile to Catalyst's Expand strategy (input ×6 in the partial "
+    "phase) — correct but the 100 TB profile swaps them for "
+    "approx_count_distinct's mergeable HLL (one pass, no expand; "
+    "agg_hll_mergeable demonstrates the sketch contract). min/max/"
+    "count partial-aggregate map-side regardless.",
+)
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+
+    def prof(col, minmax_s):
+        tag = col if col != "o_totalprice" else "o_totalprice_cents"
+        return [
+            (n - F.count(col)).alias(f"nn_{tag}"),
+            F.countDistinct(col).alias(f"nd_{tag}"),
+            minmax_s(F.min(col)).alias(f"mn_{tag}"),
+            minmax_s(F.max(col)).alias(f"mx_{tag}"),
+        ]
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    cents = lambda c: F.round(c * 100).cast("long").cast("string")  # noqa: E731
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+
+    specs = [
+        ("o_custkey", as_str),
+        ("o_orderdate", fmt),
+        ("o_orderkey", as_str),
+        ("o_orderpriority", as_str),
+        ("o_orderstatus", as_str),
+        ("o_totalprice", cents),
+    ]
+    aggs = [a for col, f_ in specs for a in prof(col, f_)]
+    one = o.agg(*aggs, n.alias("n_rows"))
+
+    stack_args = ", ".join(
+        f"'{tag}', nn_{tag}, nd_{tag}, mn_{tag}, mx_{tag}"
+        for tag in [
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_totalprice_cents",
+        ]
+    )
+    return one.select(
+        F.expr(
+            f"stack(6, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_s, max_s)"
+        ),
+        "n_rows",
+    ).orderBy("column_name")

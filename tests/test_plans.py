@@ -66,6 +66,9 @@ BRUTE_FORCE_OK = {
                              # the ADC scoring join is a (sub, code)
                              # equi-join — asserted in
                              # test_pq_adc_join_is_equi_join
+    "mix_kl_divergence",     # 1-row grand-total broadcast cross join
+                             # feeding q = c_l/tot; the count joins
+                             # are equi-joins on source/lang
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
