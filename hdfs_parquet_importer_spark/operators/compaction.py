@@ -1,0 +1,83 @@
+"""Small-file compaction (the OPTIMIZE half of table maintenance;
+``operators/zorder.py`` is the CLUSTER half).
+
+The reference writes parquet with whatever file count the upstream
+partitioning produced (``package.scala:157,161``) — a long-running
+ingest therefore accretes small files, and at 100 TB the scan's task
+scheduler and the namenode both pay per file. Compaction rewrites a
+directory into ~``target_bytes`` files: file sizes come from the
+Hadoop FileSystem (so any scheme — file://, hdfs://, s3a:// — works),
+the output file count is ``ceil(total / target_bytes)``, and the
+rewrite is a round-robin ``repartition(n)`` so output files are evenly
+sized regardless of input skew.
+
+Scale notes: the listing is driver-side METADATA (one RPC per few
+thousand entries via listFiles' iterator — the same cost `spark.read`
+itself pays to plan the scan); rows never touch the driver. The
+rewrite is one shuffle of the data being compacted — unavoidable for
+re-bucketing bytes into even files, and it buys every later scan a
+smaller task count. ``sort_within`` optionally re-sorts rows inside
+each output file (no extra shuffle — sortWithinPartitions) to restore
+min/max pruning locality that round-robin would otherwise destroy.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionPlan:
+    n_files: int
+    total_bytes: int
+    n_output_files: int
+    small_files: int  # inputs under half the target — the debt measure
+
+
+def plan_compaction(
+    spark: SparkSession, path: str, target_bytes: int = 128 << 20
+) -> CompactionPlan:
+    """Inventory ``path`` (recursively) and size the compacted layout."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n = total = small = 0
+    while it.hasNext():
+        st = it.next()
+        if not st.getPath().getName().endswith(".parquet"):
+            continue
+        n += 1
+        total += st.getLen()
+        if st.getLen() < target_bytes // 2:
+            small += 1
+    return CompactionPlan(
+        n_files=n,
+        total_bytes=total,
+        n_output_files=max(1, math.ceil(total / target_bytes)),
+        small_files=small,
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_bytes: int = 128 << 20,
+    sort_within: list[str] | None = None,
+) -> CompactionPlan:
+    """Rewrite ``src`` into ``dest`` as ~``target_bytes`` parquet files.
+
+    Returns the plan that sized the rewrite. ``target_bytes`` is an
+    input-size heuristic (output size additionally depends on
+    compression ratio — same convention as Delta/Iceberg OPTIMIZE).
+    """
+    plan = plan_compaction(spark, src, target_bytes)
+    df = spark.read.parquet(src).repartition(plan.n_output_files)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    df.write.mode("overwrite").parquet(dest)
+    return plan
