@@ -90,19 +90,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "etl_csv_roundtrip",
     "sink_roundtrip_partitioned",
     "sink_roundtrip_plain",
-    # (3) Every query whose plan flows through ensure_parallelism,
-    # whose narrowness probe changed this round (df.rdd ->
-    # df.inputFiles(), ADVICE r4 / VERDICT item 7) — value-neutral
-    # (a repartition cannot change results) but the rotation contract
-    # is code-changed => fresh row.
+    # (3) Queries whose plan flows through ensure_parallelism, whose
+    # narrowness probe changed this round (df.rdd -> df.inputFiles(),
+    # ADVICE r4 / VERDICT item 7) — value-neutral (a repartition-count
+    # heuristic cannot change results) but the rotation contract is
+    # code-changed => fresh row. Nine of twelve take r5 rows; the
+    # three O(n^2)-baseline/projection members least likely to be
+    # value-affected (dedup_ngram_jaccard, dedup_embedding_cosine,
+    # text_fingerprint) defer to r6 — their slots went to the
+    # per-module family representatives in group (8), and they stay
+    # locally full-registry-gated every run.
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf",
-    "text_fingerprint",
     "multimodal_png_roundtrip",
     "corpus_source_overlap",
     "text_df_top_terms",
@@ -175,6 +177,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # pandas_grouped_regression — q1/dedup_exact/text_quality are
     # additionally benched every round, and ALL are locally
     # full-registry-gated every test run.
+    #
+    # (8) Per-module family representatives — every query module keeps
+    # at least one query inside the window (gated by
+    # tests/test_smoke.py::test_driver_window_covers_every_family):
+    # functions, subqueries, and pandas_surface would otherwise have
+    # no r5 row.
+    "func_string",
+    "agg_percentiles",
+    "pandas_grouped_regression",
 )
 
 
