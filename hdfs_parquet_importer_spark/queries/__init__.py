@@ -209,6 +209,7 @@ def registry() -> dict[str, Query]:
         mixing,
         subqueries,
         pandas_surface,
+        stats,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

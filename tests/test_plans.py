@@ -69,6 +69,10 @@ BRUTE_FORCE_OK = {
     "mix_kl_divergence",     # 1-row grand-total broadcast cross join
                              # feeding q = c_l/tot; the count joins
                              # are equi-joins on source/lang
+    "stat_chi2_independence",  # margins cross join building the
+                             # expected grid — both inputs are
+                             # category-bounded aggregates (|types| x
+                             # |days|, never row count) and broadcast
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
