@@ -495,3 +495,82 @@ def snapshot_as_of_day15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     ).orderBy("user_id")
+
+
+@register(
+    "sink_roundtrip_jsonl",
+    oracle="""
+SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    doc="JSONL sink+source roundtrip under the driver's gate "
+    "(sources/io.py write_jsonl/read_jsonl): a documents projection "
+    "is written as newline-delimited JSON, read back with the "
+    "explicit schema (no inference job — at 100 TB schema inference "
+    "is a full extra scan), and aggregated; the oracle runs the same "
+    "aggregate over the source table, so any row lost or value "
+    "mangled by the text encode/decode (long precision, unicode) "
+    "hash-fails. Integer-only measures make parity exact.",
+)
+def sink_roundtrip_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.sources.io import read_jsonl, write_jsonl
+
+    dest = f"/tmp/spark_graft_sink_jsonl_{os.getpid()}"
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    write_jsonl(src, dest)
+    back = read_jsonl(
+        spark, dest, schema="doc_id long, lang string, n_chars long"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "sink_roundtrip_orc",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    doc="ORC sink+source roundtrip under the driver's gate "
+    "(sources/io.py write_orc/read_orc): an events projection "
+    "(keys + exact integer cents) written as ORC, read back, "
+    "aggregated per type; oracle = the same aggregate over the "
+    "source parquet directly (roundtrip is identity). Exercises the "
+    "second columnar format end-to-end — ORC carries its own "
+    "min/max/bloom indexes, so at 100 TB it is the drop-in "
+    "alternative lake format; same eager-write note as the parquet "
+    "sinks.",
+)
+def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.sources.io import read_orc, write_orc
+
+    dest = f"/tmp/spark_graft_sink_orc_{os.getpid()}"
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    write_orc(src, dest)
+    back = read_orc(spark, dest)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy("event_type")
+    )

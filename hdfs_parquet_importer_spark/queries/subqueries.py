@@ -510,3 +510,43 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "day", "hour")
     )
+
+
+@register(
+    "subq_lateral_top2",
+    oracle="""
+SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+ORDER BY n.n_name, c_acctbal DESC, c_name
+""",
+    doc="Correlated LATERAL subquery (SQL:1999 lateral derived "
+    "table): per nation, the two richest customers. Catalyst "
+    "DECORRELATES the lateral ORDER BY .. LIMIT 2 into a "
+    "rank-per-group plan (join + WindowGroupLimit) rather than "
+    "re-executing the subquery once per outer row — the plan is the "
+    "same per-group top-k shape as window_topk_per_group, so it "
+    "scales with one shuffle on the join key, not |nation| rescans "
+    "of customer. Demonstrates the SQL-surface route to the "
+    "pattern; ties broken by c_name on both engines.",
+)
+def subq_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "nation_lateral"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_lateral"
+    )
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS c_acctbal
+        FROM nation_lateral n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lateral c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n.n_name, c_acctbal DESC, c_name
+    """)

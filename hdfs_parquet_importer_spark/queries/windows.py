@@ -657,3 +657,40 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
         F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s"),
     ).orderBy("purchase_id")
+
+
+@register(
+    "window_percent_rank_cume",
+    oracle="""
+SELECT c_mktsegment, c_name, ROUND(c_acctbal, 2) AS c_acctbal,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_mktsegment, c_acctbal, c_name
+LIMIT 200
+""",
+    doc="Relative-standing analytics: percent_rank ((rank-1)/(n-1)) "
+    "and cume_dist (rows <= current / n) per market segment, ordered "
+    "by balance with c_custkey tiebreak so the rank sequence is "
+    "deterministic on both engines. Window partitions by segment — "
+    "per-key state, linear scale-out; both functions are rank-based "
+    "(no second pass for n: Spark computes partition size in the "
+    "same window operator). LIMIT keeps the driver transfer bounded; "
+    "the full projection is what a quantile-normalization feature "
+    "step ships at 100 TB.",
+)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_name")
+        .limit(200)
+    )
