@@ -210,6 +210,7 @@ def registry() -> dict[str, Query]:
         subqueries,
         pandas_surface,
         stats,
+        reporting,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

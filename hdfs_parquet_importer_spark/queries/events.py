@@ -426,7 +426,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     edges = _transition_edges(ev)
-    pr = pagerank(edges, "src", "dst", weight="n_trans", damping=0.85, n_iter=5)
+    # checkpoint_every=1: each iteration references the previous rank
+    # vector TWICE (contrib join + dangling-mass agg) and Spark does
+    # not dedupe common subplans, so the pure-lazy chain re-executes
+    # 2^n_iter tiny stage DAGs — measured 3x slower at sf0.1. The
+    # rank vector is |nodes| rows, so per-iteration materialization
+    # costs nothing and is the standard Pregel-style loop shape.
+    pr = pagerank(
+        edges,
+        "src",
+        "dst",
+        weight="n_trans",
+        damping=0.85,
+        n_iter=5,
+        checkpoint_every=1,
+    )
     return pr.select(
         F.col("node").alias("event_type"),
         F.round("rank", 6).alias("pagerank"),

@@ -1,0 +1,330 @@
+"""Business-reporting, data-quality, and time-series utilities
+(driver north_star extensions; the reference — a CSV→Parquet ETL app,
+SURVEY §2.1 — has no reporting surface).
+
+Shared scale stance: every query reduces the fact table in ONE
+partial-aggregable pass (or a per-key partitioned window), and any
+global window runs strictly over aggregate-bounded input (months,
+rules, distinct names) — the shapes `tests/test_plans.py` gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+WITH s AS (
+  SELECT
+    COUNT(*) AS n_checked,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price,
+    SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
+      AS v_status,
+    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+              AND o_orderdate < TIMESTAMP '2003-01-01'
+             THEN 0 ELSE 1 END) AS v_date,
+    SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_null
+  FROM orders
+),
+fk AS (
+  SELECT COUNT(*) AS v_fk FROM orders o
+  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT rule, n_violations, n_checked FROM (
+  SELECT 'custkey_fk_exists' AS rule, v_fk AS n_violations, n_checked
+    FROM s, fk
+  UNION ALL SELECT 'custkey_not_null', v_null, n_checked FROM s
+  UNION ALL SELECT 'orderdate_in_range', v_date, n_checked FROM s
+  UNION ALL SELECT 'status_in_domain', v_status, n_checked FROM s
+  UNION ALL SELECT 'totalprice_positive', v_price, n_checked FROM s
+) ORDER BY rule
+""",
+    doc="Declarative data-quality expectation suite (the "
+    "dbt-test/Great-Expectations shape): five rules over orders — "
+    "four scalar predicates evaluated as conditional sums in ONE "
+    "scan pass (a 10-rule suite still costs one pass; rules are "
+    "extra accumulators, not extra scans), plus one referential-"
+    "integrity rule as a broadcast-able left-anti join against the "
+    "customer dimension. Output is the audit artifact: rule -> "
+    "violation count / rows checked. NULL predicate results count "
+    "as violations (SQL ternary logic, identical in both engines).",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def viol(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, F.lit(0)).otherwise(F.lit(1)))
+
+    scalar = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        viol(F.col("o_totalprice") > 0).alias("v_price"),
+        viol(F.col("o_orderstatus").isin("F", "O", "P")).alias("v_status"),
+        viol(
+            (F.col("o_orderdate") >= F.lit("1992-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("2003-01-01").cast("timestamp"))
+        ).alias("v_date"),
+        viol(F.col("o_custkey").isNotNull()).alias("v_null"),
+    )
+    fk = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v_fk"))
+    )
+    melted = scalar.crossJoin(F.broadcast(fk)).select(
+        F.expr(
+            "stack(5,"
+            " 'custkey_fk_exists', v_fk,"
+            " 'custkey_not_null', v_null,"
+            " 'orderdate_in_range', v_date,"
+            " 'status_in_domain', v_status,"
+            " 'totalprice_positive', v_price)"
+        ).alias("rule", "n_violations"),
+        "n_checked",
+    )
+    return melted.orderBy("rule")
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY name_a, name_b
+""",
+    doc="Edit-distance similarity join over the distinct part-name "
+    "vocabulary: all pairs within Levenshtein distance 1. The Spark "
+    "plan blocks candidates by LENGTH BAND — each left name probes "
+    "lengths {L-1, L, L+1} via a 3-way explode, so the join is an "
+    "EQUI-join on candidate length and only same-band pairs are "
+    "verified with levenshtein(). The banding is LOSSLESS for "
+    "dist<=1 (one edit changes length by at most 1), so the oracle "
+    "can be the tiny all-pairs form over distinct names and still "
+    "match exactly. At 100 TB the same shape holds: fuzzy joins run "
+    "over the deduplicated vocabulary (bounded), never raw rows, "
+    "and banding keys extend to (length, first-char) multiprobe for "
+    "tighter blocks.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    left = names.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.array(
+                F.length("name") - 1,
+                F.length("name"),
+                F.length("name") + 1,
+            )
+        ).alias("probe_len"),
+    )
+    right = names.select(
+        F.col("name").alias("name_b"), F.length("name").alias("len_b")
+    )
+    cand = left.join(
+        right,
+        (left.probe_len == right.len_b) & (left.name_a < right.name_b),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.filter(dist <= 1)
+        .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
+        .distinct()
+        .orderBy("name_a", "name_b")
+    )
+
+
+@register(
+    "report_mom_yoy",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       ROUND((rev_cents - lag(rev_cents, 1) OVER w)
+             / CAST(lag(rev_cents, 1) OVER w AS DOUBLE) * 100, 4)
+         AS mom_pct,
+       ROUND((rev_cents - lag(rev_cents, 12) OVER w)
+             / CAST(lag(rev_cents, 12) OVER w AS DOUBLE) * 100, 4)
+         AS yoy_pct
+FROM m
+WINDOW w AS (ORDER BY month)
+ORDER BY month
+""",
+    doc="Period-over-period revenue report: monthly revenue (exact "
+    "integer cents) with month-over-month and year-over-year "
+    "percentage deltas via lag(1)/lag(12). The ONLY full-table work "
+    "is the monthly groupBy (map-side partials); the global-ordered "
+    "lag window runs over the ~80-row month series — aggregate-"
+    "bounded input, the pattern the unpartitioned-window plan gate "
+    "explicitly permits. First months carry NULL deltas on both "
+    "engines. Identical bigint cents divide to bit-identical "
+    "doubles, so ROUND(4) is cosmetic.",
+)
+def report_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.orderBy("month")
+    prev1 = F.lag("rev_cents", 1).over(w)
+    prev12 = F.lag("rev_cents", 12).over(w)
+    return (
+        m.select(
+            "month",
+            "rev_cents",
+            F.round(
+                (F.col("rev_cents") - prev1) / prev1.cast("double") * 100, 4
+            ).alias("mom_pct"),
+            F.round(
+                (F.col("rev_cents") - prev12) / prev12.cast("double") * 100, 4
+            ).alias("yoy_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id BETWEEN 1 AND 5
+),
+grid AS (
+  SELECT user_id,
+         unnest(generate_series(TIMESTAMP '2024-01-08 00:00:00',
+                                TIMESTAMP '2024-01-14 23:00:00',
+                                INTERVAL 1 HOUR)) AS ts
+  FROM users
+),
+obs AS (
+  SELECT user_id, ts, value FROM events WHERE user_id BETWEEN 1 AND 5
+),
+u AS (
+  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS value, 0 AS is_obs FROM grid
+  UNION ALL
+  SELECT user_id, ts, value, 1 AS is_obs FROM obs
+),
+f AS (
+  SELECT user_id, ts, is_obs,
+         last_value(value IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER wp AS pt,
+         first_value(value IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                     IGNORE NULLS) OVER wn AS nt
+  FROM u
+  WINDOW
+    wp AS (PARTITION BY user_id ORDER BY ts, is_obs DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wn AS (PARTITION BY user_id ORDER BY ts, is_obs DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       ROUND(CASE
+         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+           pv + (nv - pv) * (epoch_us(ts) - pt) / (nt - pt)
+         WHEN pv IS NOT NULL THEN pv
+       END, 4) AS value
+FROM f WHERE is_obs = 0
+ORDER BY user_id, ts_s
+""",
+    doc="Time-series resampling with linear interpolation: each of "
+    "users 1-5 is projected onto an hourly grid (7 days, 168 points "
+    "per user); grid values interpolate linearly between the nearest "
+    "observation at-or-before and strictly-after (LOCF beyond the "
+    "last observation, NULL before the first). One union + two "
+    "IGNORE-NULLS frame windows PARTITIONED BY user — per-key state, "
+    "no as-of join needed, scales linearly in users. Tie rule: an "
+    "observation at exactly a grid instant sorts BEFORE the grid row "
+    "(is_obs DESC), so it lands in the preceding frame and the grid "
+    "point reproduces it exactly. The interpolation factor is a "
+    "ratio of identical microsecond integers on both engines — "
+    "bit-identical doubles.",
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").between(1, 5)
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-08 00:00:00").cast("timestamp"),
+                F.lit("2024-01-14 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("ts"),
+    ).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_obs"),
+    )
+    obs = ev.select("user_id", "ts", "value", F.lit(1).alias("is_obs"))
+    u = grid.unionByName(obs)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_obs").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_obs").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_us = F.when(
+        F.col("value").isNotNull(), F.unix_micros("ts")
+    )
+    f = u.select(
+        "user_id",
+        "ts",
+        "is_obs",
+        F.last("value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_us, ignorenulls=True).over(wp).alias("pt"),
+        F.first("value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_us, ignorenulls=True).over(wn).alias("nt"),
+    )
+    interp = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (F.unix_micros("ts") - F.col("pt"))
+        / (F.col("nt") - F.col("pt")),
+    ).otherwise(F.col("pv"))
+    return (
+        f.filter(F.col("is_obs") == 0)
+        .select(
+            "user_id",
+            F.date_format("ts", _FMT).alias("ts_s"),
+            F.round(interp, 4).alias("value"),
+        )
+        .orderBy("user_id", "ts_s")
+    )

@@ -73,6 +73,8 @@ BRUTE_FORCE_OK = {
                              # expected grid — both inputs are
                              # category-bounded aggregates (|types| x
                              # |days|, never row count) and broadcast
+    "dq_expectations",       # 1-row scalar-rules agg x 1-row FK-count
+                             # agg broadcast cross join feeding stack()
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
