@@ -90,25 +90,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "etl_csv_roundtrip",
     "sink_roundtrip_partitioned",
     "sink_roundtrip_plain",
-    # (3) Queries whose plan flows through ensure_parallelism, whose
-    # narrowness probe changed this round (df.rdd -> df.inputFiles(),
-    # ADVICE r4 / VERDICT item 7) — value-neutral (a repartition-count
-    # heuristic cannot change results) but the rotation contract is
-    # code-changed => fresh row. Nine of twelve take r5 rows; the
-    # three O(n^2)-baseline/projection members least likely to be
-    # value-affected (dedup_ngram_jaccard, dedup_embedding_cosine,
-    # text_fingerprint) defer to r6 — their slots went to the
-    # per-module family representatives in group (8), and they stay
-    # locally full-registry-gated every run.
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "multimodal_png_roundtrip",
-    "corpus_source_overlap",
-    "text_df_top_terms",
-    "text_mean_token_df",
+    # (3) The ensure_parallelism probe change (df.rdd ->
+    # df.inputFiles(), ADVICE r4 / VERDICT item 7) touched twelve
+    # queries' plan-build path. All twelve defer to r6: the change is
+    # value-neutral by construction (a repartition-count heuristic
+    # cannot change results), every member holds an r3/r4 green on
+    # its current VALUES, the heavy ones (dedup_minhash_lsh,
+    # dedup_simhash) are benched every round, and all are locally
+    # full-registry-gated each test run. Their slots went to the
+    # fifth/sixth batches of genuinely NEW r5 code in groups (9) and
+    # (10) — new code outranks re-verification of value-neutral
+    # changes under the rotation contract.
     # (4) NEW in round 5, fourth batch — the lakehouse/profiling/
     # time-series/mixing operators added late in the session: SCD
     # Type-2 history + as-of snapshot (operators/scd.py), ANALYZE
@@ -154,14 +146,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mix_epoch_order",
     "events_session_path_topk",
     "multimodal_wav_energy",
-    # (5b) asof.py gained the tolerance variant this round — the
-    # operator file changed, so ALL three as-of queries take fresh
-    # rows per the rotation contract (the existing two are
-    # value-neutral to the change but the contract is code-changed
-    # => fresh row).
+    # (5b) asof.py gained the tolerance variant this round; the NEW
+    # query takes a fresh row. The two existing as-of queries are
+    # value-neutral to the change (both r4-green, purchase_view also
+    # benched every round) and defer to r6 with the group-(3) cohort
+    # — their slots went to new-code rows.
     "asof_join_tolerance",
-    "asof_join_next_purchase",
-    "asof_join_purchase_view",
     # (7) Oldest remaining r2 greens: family-spread representatives
     # deferred wholesale to r6 — the five fourth-batch new-code rows
     # above took the last slots (new code outranks re-verification of
@@ -181,11 +171,40 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (8) Per-module family representatives — every query module keeps
     # at least one query inside the window (gated by
     # tests/test_smoke.py::test_driver_window_covers_every_family):
-    # functions, subqueries, and pandas_surface would otherwise have
-    # no r5 row.
+    # functions and pandas_surface would otherwise have no r5 row
+    # (relational is represented by stat_spearman_rank/agg_freq_items;
+    # subqueries by the new subq_lateral_top2; windows by
+    # window_range_frame/window_ewma).
     "func_string",
-    "agg_percentiles",
     "pandas_grouped_regression",
+    # (9) NEW in round 5, fifth batch — the distributed-statistics /
+    # sketch module (queries/stats.py): one-pass Pearson correlation
+    # matrix, full-contingency chi-square independence, per-source
+    # language entropy, per-user rolling z-score anomalies
+    # (self-excluding frame), and a deterministic mergeable count-min
+    # sketch with a bit-identical DuckDB twin.
+    "stat_corr_matrix",
+    "stat_chi2_independence",
+    "stat_entropy_by_source",
+    "stat_rolling_zscore",
+    "sketch_countmin_heavy",
+    # (10) NEW in round 5, sixth batch — SQL-surface + write-path +
+    # reporting additions: correlated LATERAL derived table
+    # (decorrelated to WindowGroupLimit, plan-asserted), JSONL and
+    # ORC sink->source roundtrips under the driver gate, the
+    # data-quality expectation suite, the edit-distance fuzzy join,
+    # period-over-period reporting, and hourly-grid linear
+    # interpolation. (window_percent_rank_cume, also new this round,
+    # defers to r6 — the rank-window family already holds four green
+    # driver rows and it stays locally full-registry-gated; it lost
+    # the 50th slot to the interpolation operator.)
+    "subq_lateral_top2",
+    "sink_roundtrip_jsonl",
+    "sink_roundtrip_orc",
+    "dq_expectations",
+    "fuzzy_name_pairs",
+    "report_mom_yoy",
+    "ts_linear_interpolate",
 )
 
 

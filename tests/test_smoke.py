@@ -67,6 +67,8 @@ def test_driver_window_covers_every_family():
         "mixing",
         "subqueries",
         "pandas_surface",
+        "stats",
+        "reporting",
     } <= modules_in_window
 
 
