@@ -574,3 +574,75 @@ def sink_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scd2_temporal_join",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+           WHERE user_id < 30),
+d AS (SELECT *,
+             lag(event_type) OVER w AS prev,
+             lag(ts) OVER w AS prev_ts
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+k AS (SELECT user_id, event_id, ts, event_type FROM d
+      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+v AS (SELECT user_id, event_type, ts AS vf,
+             lead(ts) OVER w2 AS vt,
+             row_number() OVER w2 AS version
+      FROM k WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+days AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00',
+                                TIMESTAMP '2024-01-30 00:00:00',
+                                INTERVAL 1 DAY)) AS d
+)
+SELECT v.user_id, strftime(days.d, '%Y-%m-%d') AS day,
+       v.event_type AS state, v.version
+FROM days JOIN v
+  ON days.d >= v.vf AND (v.vt IS NULL OR days.d < v.vt)
+ORDER BY user_id, day
+""",
+    doc="Temporal (point-in-time) join against the SCD2 dimension: "
+    "every midnight Jan 2-30 probes each user's state history for "
+    "the version whose half-open [valid_from, valid_to) interval "
+    "covers it — the daily-dimension-snapshot query every lakehouse "
+    "warehouse runs against slowly-changing dimensions. The Spark "
+    "plan joins probe days to history on the USER EQUI-key with the "
+    "interval test as a residual filter — per-key version counts "
+    "are bounded, so the residual scan is small; at 100 TB with a "
+    "large probe stream the same query banded by day runs through "
+    "operators/rangejoin. Exactly one version matches each probe "
+    "(interval partition property), asserted by the oracle's row "
+    "count.",
+)
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.scd import scd2_build
+
+    log = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+    hist = scd2_build(
+        log, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id"
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-02 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 00:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    j = hist.join(
+        F.broadcast(days),
+        (F.col("d") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("event_type").alias("state"),
+        "version",
+    ).orderBy("user_id", "day")

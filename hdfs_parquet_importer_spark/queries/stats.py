@@ -189,8 +189,10 @@ ORDER BY user_id, event_id
     "EXCLUDED from the frame — no self-leakage), flagged when "
     "|z| > 2.5 with >= 10 priors. The window partitions by user_id, "
     "so state is per-key and the operator scales linearly with "
-    "users — the streaming twin is applyInPandasWithState with a "
-    "20-deep deque per user. Frame semantics (ROWS BETWEEN 19 "
+    "users — the streaming twin (streaming/pipeline.py:"
+    "streaming_rolling_zscore, parity-tested across micro-batch "
+    "boundaries) keeps a bounded 19-deep value list per user. Frame "
+    "semantics (ROWS BETWEEN 19 
     "PRECEDING AND 1 PRECEDING) and the (ts, event_id) tiebreak are "
     "identical on both engines; stddev is the sample estimator in "
     "both.",
@@ -306,4 +308,42 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("event_type"), "exact_n", "cms_estimate"
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_activity_bitmap",
+    oracle="""
+SELECT user_id,
+       CAST(bit_or(1::BIGINT << (day(ts) - 1)) AS BIGINT) AS day_mask,
+       CAST(bit_count(bit_or(1::BIGINT << (day(ts) - 1))) AS BIGINT)
+         AS n_active_days,
+       CAST(MIN(day(ts)) AS BIGINT) AS first_day,
+       CAST(MAX(day(ts)) AS BIGINT) AS last_day
+FROM events
+GROUP BY user_id ORDER BY user_id
+""",
+    doc="Bitmap activity aggregation — the roaring-bitmap retention "
+    "trick at its smallest: each user's active days-of-January fold "
+    "into ONE 31-bit mask via bit_or(1 << (day-1)), active-day "
+    "count = popcount(mask). bit_or is an algebraic aggregate "
+    "(partials OR together), so a month of activity per user "
+    "shuffles as a single long regardless of event volume — the "
+    "same plan computes N-day retention, WAU/MAU, and cohort "
+    "overlap via mask intersection (bit_and) WITHOUT a distinct "
+    "count. Integer-exact cross-engine parity.",
+)
+def agg_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1)")
+    mask = F.bit_or(bit)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            mask.cast("bigint").alias("day_mask"),
+            F.bit_count(mask).cast("bigint").alias("n_active_days"),
+            F.min(F.dayofmonth("ts")).cast("bigint").alias("first_day"),
+            F.max(F.dayofmonth("ts")).cast("bigint").alias("last_day"),
+        )
+        .orderBy("user_id")
     )

@@ -694,3 +694,63 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_mktsegment", "c_acctbal", "c_name")
         .limit(200)
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN row_number() OVER
+                (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+              = 1 THEN 1 ELSE 0 END AS first_seen
+  FROM events WHERE user_id < 10
+)
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type,
+       CAST(SUM(first_seen) OVER
+         (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS n_types_seen
+FROM flagged
+ORDER BY user_id, event_id
+""",
+    doc="Running COUNT(DISTINCT) over a window — which neither Spark "
+    "nor DuckDB supports directly — via the first-occurrence "
+    "decomposition: row_number()=1 within (user, type) marks each "
+    "type's first sighting, and a running sum of the flags is the "
+    "distinct count so far. Two windows, BOTH key-partitioned "
+    "(different keys, so two shuffles — unavoidable: the flag needs "
+    "(user,type) order, the cumsum needs (user) order); per-key "
+    "state is O(1). This is the standard scale-out rewrite for "
+    "windowed distinct counting.",
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(w_first) == 1, 1)
+        .otherwise(0)
+        .alias("first_seen"),
+    )
+    return (
+        flagged.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+            "event_type",
+            F.sum("first_seen").over(w_run).cast("bigint").alias("n_types_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -225,6 +225,65 @@ def streaming_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def streaming_rolling_zscore(
+    events: DataFrame,
+    frame: int = 19,
+    min_prior: int = 10,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Stateful streaming twin of the batch ``stat_rolling_zscore``
+    query: each event is scored against the mean/sample-stddev of its
+    user's previous ``frame`` values (the current value is EXCLUDED
+    — it joins the state only after scoring, so there is no
+    self-leakage), and anomalies with |z| > ``threshold`` after at
+    least ``min_prior`` priors are emitted.
+
+    State per key is a bounded ``frame``-deep value list — unlike the
+    EWMA (O(1) state, unbounded history) this is the bounded-frame
+    statistic, so the state column is an array capped at ``frame``
+    doubles; memory is frame x n_keys regardless of stream length.
+    Same ordering contract as streaming_ewma: (ts, event_id) within
+    each micro-batch, file-order across batches.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, value double, zscore double"
+    state_schema = "vals array<double>"
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        vals: list[float] = list(state.get[0]) if state.exists else []
+        out: list[tuple] = []
+        batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for r in batch.itertuples():
+            n = len(vals)
+            if n >= min_prior:
+                mu = sum(vals) / n
+                var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+                sd = math.sqrt(var)
+                if sd > 1e-9:
+                    z = (float(r.value) - mu) / sd
+                    if abs(z) > threshold:
+                        out.append(
+                            (key[0], r.event_id, float(r.value), round(z, 6))
+                        )
+            vals.append(float(r.value))
+            if len(vals) > frame:
+                vals = vals[-frame:]
+        state.update((vals,))
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_id", "value", "zscore"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_stream_interval_join(
     purchases: DataFrame,
     views: DataFrame,

@@ -285,3 +285,59 @@ def test_streaming_ewma_folds_state_across_microbatches(spark, tmp_path):
     # batch 1: 10 -> .5*20+.5*10 = 15 ; batch 2 seeds from 15:
     # .5*30+.5*15 = 22.5 -> .5*40+.5*22.5 = 31.25
     assert [(r["n_events"], r["ewma"]) for r in rows] == [(2, 15.0), (4, 31.25)]
+
+
+def test_streaming_rolling_zscore_matches_batch_frame(spark, tmp_path):
+    """Two micro-batches of one user's series; the streamed anomaly
+    set must equal the batch rows(-19,-1) window computation over the
+    full history — including events whose FRAME spans the batch
+    boundary (state carry), and the spike must not shrink its own
+    score (self-exclusion)."""
+    import math
+
+    vals1 = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3, 9.7, 10.1, 9.9, 10.0, 10.2]
+    vals2 = [9.8, 100.0, 10.1, 9.9, 10.0, 10.1]  # spike mid-second-batch
+    src = tmp_path / "z_src"
+    src.mkdir()
+    f1 = [(i, _ns(0, i), 5, "view", v) for i, v in enumerate(vals1)]
+    f2 = [
+        (len(vals1) + i, _ns(0, len(vals1) + i), 5, "view", v)
+        for i, v in enumerate(vals2)
+    ]
+    _write_events_file(str(src / "a_events.parquet"), f1)
+    time.sleep(1.1)
+    _write_events_file(str(src / "b_events.parquet"), f2)
+
+    stream = (
+        spark.readStream.schema(ST.pipeline.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = ST.run_to_memory(
+        ST.pipeline.streaming_rolling_zscore(stream), "t_zscore"
+    )
+    _drain(q)
+    got = {
+        (r.event_id, r.zscore)
+        for r in spark.sql("SELECT * FROM t_zscore").collect()
+    }
+
+    # Reference: python replay of the batch frame semantics.
+    hist = vals1 + vals2
+    want = set()
+    for i, v in enumerate(hist):
+        prior = hist[max(0, i - 19) : i]
+        if len(prior) >= 10:
+            mu = sum(prior) / len(prior)
+            sd = math.sqrt(
+                sum((x - mu) ** 2 for x in prior) / (len(prior) - 1)
+            )
+            if sd > 1e-9 and abs((v - mu) / sd) > 2.5:
+                want.add((i, round((v - mu) / sd, 6)))
+    assert want, "test data must contain at least one anomaly"
+    assert got == want
+    # The spike itself is the anomaly; the value after it must score
+    # against a frame CONTAINING the spike (state carried across the
+    # batch boundary) and not be flagged with these thresholds.
+    assert 13 in {e for e, _ in got}
