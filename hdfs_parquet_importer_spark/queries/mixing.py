@@ -699,3 +699,38 @@ def mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""
+SELECT source, doc_id, lang
+FROM documents
+QUALIFY row_number() OVER
+  (PARTITION BY source
+   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 3
+ORDER BY source, doc_id
+""",
+    doc="Deterministic fixed-size-per-group sampling (the reservoir "
+    "shape): exactly 3 documents per source, chosen by ranking on "
+    "the md5 coin with a doc_id tiebreak — a seeded, reproducible "
+    "draw that never collects a group to one machine. Plans as "
+    "WindowGroupLimit: each partition keeps only its 3 smallest "
+    "coins per group BEFORE the shuffle, so per-group state is O(k) "
+    "regardless of group size — this is how you cut a fixed-size "
+    "eval set per domain out of 100 TB. Contrast with "
+    "sample_stratified (per-stratum RATE, unbounded count).",
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("source", "doc_id", "lang")
+        .orderBy("source", "doc_id")
+    )

@@ -1258,3 +1258,109 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     ).orderBy("column_name")
+
+
+@register(
+    "setop_union_evolved",
+    oracle="""
+WITH a AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE source < 'src2'
+),
+b AS (
+  SELECT doc_id, lang, source FROM documents WHERE source >= 'src2'
+),
+u AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+SELECT lang,
+       COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_old_gen,
+       CAST(SUM(CASE WHEN source IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_gen
+FROM u GROUP BY lang ORDER BY lang
+""",
+    doc="Schema-evolution union: two generations of the same feed "
+    "with different column sets (old rows carry n_chars, new rows "
+    "carry source) merged with unionByName(allowMissingColumns=True) "
+    "— missing columns null-fill per side, matched BY NAME not "
+    "position (positional UNION silently mismatches evolved "
+    "schemas; by-name is the lake-ingest contract). DuckDB's UNION "
+    "ALL BY NAME is the exact SQL twin. Aggregation then proves the "
+    "null-fill: chars sum only over old-gen rows, source count only "
+    "over new-gen.",
+)
+def setop_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("source") < "src2").select("doc_id", "lang", "n_chars")
+    b = docs.filter(F.col("source") >= "src2").select("doc_id", "lang", "source")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars_old_gen"),
+            F.sum(
+                F.when(F.col("source").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new_gen"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "agg_partial_reaggregate",
+    oracle="""
+WITH partials AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         MIN(value) AS min_v, MAX(value) AS max_v
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n,
+       CAST(SUM(sum_cents) AS BIGINT) AS sum_cents,
+       ROUND(MIN(min_v), 2) AS min_v,
+       ROUND(MAX(max_v), 2) AS max_v,
+       ROUND(SUM(sum_cents) / 100.0 / SUM(n), 6) AS avg_value
+FROM partials
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Incremental-view-maintenance pattern: daily PARTIAL "
+    "aggregate states (count / exact-cents sum / min / max) "
+    "re-aggregated into per-type totals WITHOUT rescanning events — "
+    "sum-of-counts, sum-of-sums, min-of-mins, max-of-maxes, and avg "
+    "derived from merged sums, the algebraic-aggregate merge law. "
+    "This is the lambda/materialized-view shape: yesterday's "
+    "partials persist; today's partition is the only new scan; "
+    "month totals merge |days| x |types| rows. The oracle computes "
+    "the identical two-level plan; equality with a direct aggregate "
+    "is asserted in tests/test_stats.py.",
+)
+def agg_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    partials = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            F.round(F.min("min_v"), 2).alias("min_v"),
+            F.round(F.max("max_v"), 2).alias("max_v"),
+            F.round(
+                F.sum("sum_cents") / 100.0 / F.sum("n"), 6
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -192,7 +192,7 @@ ORDER BY user_id, event_id
     "users — the streaming twin (streaming/pipeline.py:"
     "streaming_rolling_zscore, parity-tested across micro-batch "
     "boundaries) keeps a bounded 19-deep value list per user. Frame "
-    "semantics (ROWS BETWEEN 19 
+    "semantics (ROWS BETWEEN 19 "
     "PRECEDING AND 1 PRECEDING) and the (ts, event_id) tiebreak are "
     "identical on both engines; stddev is the sample estimator in "
     "both.",
@@ -346,4 +346,40 @@ def agg_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.dayofmonth("ts")).cast("bigint").alias("last_day"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "stat_ols_catalyst",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="Per-group ordinary least squares entirely JVM-side: "
+    "regr_slope / regr_intercept / regr_r2 are built-in algebraic "
+    "aggregates (sums, cross-products — the closed-form normal "
+    "equations), so the per-flag price~quantity fit runs as ONE "
+    "partial-combined groupBy with zero Python. This is the "
+    "Catalyst twin of pandas_grouped_regression: same model, no "
+    "Arrow transfer, no UDF — the path to prefer at 100 TB whenever "
+    "the statistic has an algebraic form. ROUND absorbs "
+    "accumulation-order drift.",
+)
+def stat_ols_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
     )

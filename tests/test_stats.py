@@ -77,3 +77,44 @@ def test_countmin_never_underestimates(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.cms_estimate >= r.exact_n, r
+
+
+def test_partial_reaggregate_equals_direct(spark, sf_dir):
+    # The merge law: re-aggregated daily partials == one direct pass.
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    merged = registry()["agg_partial_reaggregate"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    direct = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .withColumn(
+            "avg_value",
+            F.round(F.col("sum_cents") / 100.0 / F.col("n"), 6),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in merged.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+
+
+def test_sample_k_per_group_plans_group_limit(spark, sf_dir):
+    df = registry()["sample_k_per_group"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # Exactly 3 per source, deterministic across runs.
+    rows1 = df.collect()
+    rows2 = registry()["sample_k_per_group"].fn(spark, sf_dir).collect()
+    assert rows1 == rows2
+    from collections import Counter
+
+    per_src = Counter(r.source for r in rows1)
+    assert all(v == 3 for v in per_src.values())
