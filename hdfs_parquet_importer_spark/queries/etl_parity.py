@@ -607,13 +607,15 @@ ORDER BY user_id, day
     "the version whose half-open [valid_from, valid_to) interval "
     "covers it — the daily-dimension-snapshot query every lakehouse "
     "warehouse runs against slowly-changing dimensions. The Spark "
-    "plan joins probe days to history on the USER EQUI-key with the "
-    "interval test as a residual filter — per-key version counts "
-    "are bounded, so the residual scan is small; at 100 TB with a "
-    "large probe stream the same query banded by day runs through "
-    "operators/rangejoin. Exactly one version matches each probe "
-    "(interval partition property), asserted by the oracle's row "
-    "count.",
+    "plan needs NO join at all: because the probe instants form a "
+    "regular grid, each version row EXPANDS directly into the "
+    "midnights its interval covers (sequence + explode, clamped to "
+    "the probe range) — a pure projection over the history, no "
+    "shuffle beyond the SCD2 build, and strictly less work than the "
+    "probe-x-history nested loop (which rescans history once per "
+    "probe). Irregular probe streams fall back to a user-key "
+    "equi-join with interval residual. Exactly one version matches "
+    "each probe (interval partition property).",
 )
 def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.scd import scd2_build
@@ -626,23 +628,104 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scd2_build(
         log, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id"
     )
-    days = spark.range(1).select(
-        F.explode(
-            F.sequence(
-                F.lit("2024-01-02 00:00:00").cast("timestamp"),
-                F.lit("2024-01-30 00:00:00").cast("timestamp"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("d")
+    lo = F.lit("2024-01-02 00:00:00").cast("timestamp")
+    hi = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    # First midnight >= valid_from: trunc(vf) when vf is exactly
+    # midnight, else the next midnight.
+    vf_day = F.date_trunc("day", "valid_from")
+    start = F.greatest(
+        F.when(F.col("valid_from") == vf_day, vf_day).otherwise(
+            vf_day + F.expr("INTERVAL 1 DAY")
+        ),
+        lo,
     )
-    j = hist.join(
-        F.broadcast(days),
-        (F.col("d") >= F.col("valid_from"))
-        & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+    # Last midnight < valid_to (open interval end -> clamp to hi):
+    # trunc(vt) - 1 day when vt is exactly midnight, else trunc(vt).
+    vt_day = F.date_trunc("day", "valid_to")
+    end = F.least(
+        F.when(F.col("valid_to").isNull(), hi).otherwise(
+            F.when(
+                F.col("valid_to") == vt_day,
+                vt_day - F.expr("INTERVAL 1 DAY"),
+            ).otherwise(vt_day)
+        ),
+        hi,
     )
-    return j.select(
+    expanded = hist.select(
         "user_id",
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.col("event_type").alias("state"),
         "version",
+        F.explode(
+            F.when(
+                start <= end,
+                F.sequence(start, end, F.expr("INTERVAL 1 DAY")),
+            ).otherwise(F.array().cast("array<timestamp>"))
+        ).alias("d"),
+    )
+    return expanded.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "state",
+        "version",
     ).orderBy("user_id", "day")
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+WITH s10 AS (
+  SELECT user_id, event_type FROM events
+  WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+  QUALIFY row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+s20 AS (
+  SELECT user_id, event_type FROM events
+  WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+  QUALIFY row_number() OVER
+    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT CASE
+         WHEN s10.user_id IS NULL THEN 'added'
+         WHEN s20.user_id IS NULL THEN 'removed'
+         WHEN s10.event_type = s20.event_type THEN 'unchanged'
+         ELSE 'changed'
+       END AS change_type,
+       COUNT(*) AS n_keys
+FROM s10 FULL JOIN s20 USING (user_id)
+GROUP BY 1 ORDER BY change_type
+""",
+    doc="Change-data-feed between two time-travel snapshots: per-user "
+    "state as of Jan 10 vs Jan 20 (operators/scd.py snapshot_as_of, "
+    "the map-side-combined argmax — NOT a window sort), full-outer "
+    "joined on the key and classified added / removed / changed / "
+    "unchanged. This is the snapshot-diff a lakehouse CDF endpoint "
+    "serves, computed from raw logs: two bounded aggregates + one "
+    "key equi-join. Counts are integers — exact parity.",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.scd import snapshot_as_of
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    s10 = snapshot_as_of(
+        ev, key="user_id", ts="ts", cutoff="2024-01-10 00:00:00",
+        tiebreak="event_id",
+    ).select("user_id", F.col("event_type").alias("t10"))
+    s20 = snapshot_as_of(
+        ev, key="user_id", ts="ts", cutoff="2024-01-20 00:00:00",
+        tiebreak="event_id",
+    ).select("user_id", F.col("event_type").alias("t20"))
+    j = s10.join(s20, "user_id", "full")
+    change = (
+        F.when(F.col("t10").isNull(), "added")
+        .when(F.col("t20").isNull(), "removed")
+        .when(F.col("t10") == F.col("t20"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.groupBy(change.alias("change_type"))
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )

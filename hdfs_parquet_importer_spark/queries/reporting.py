@@ -328,3 +328,59 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_s")
     )
+
+
+@register(
+    "dq_benford_digits",
+    oracle="""
+WITH digits AS (
+  SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS digit
+  FROM orders WHERE o_totalprice > 0
+)
+SELECT digit,
+       COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+         AS observed_p,
+       ROUND(ln(1.0 + 1.0 / CAST(digit AS BIGINT)) / ln(10.0), 6)
+         AS benford_p
+FROM digits
+GROUP BY digit ORDER BY digit
+""",
+    doc="Benford's-law first-digit audit of order totals — the "
+    "forensic data-quality screen for fabricated or truncated "
+    "monetary data. The first significant digit comes from the "
+    "EXACT integer-cents representation rendered as a string "
+    "(integer-to-string is engine-identical; double-to-string and "
+    "floor(log10) are not — both were rejected for parity "
+    "cliffs). One groupBy over 9 digit groups; the share "
+    "denominator is an unpartitioned window over the 9-row "
+    "aggregate — aggregate-bounded, the gated-allowed shape. "
+    "benford_p = log10(1 + 1/d) alongside for the comparison.",
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    return (
+        counts.select(
+            "digit",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(total).cast("double"), 6
+            ).alias("observed_p"),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit").cast("bigint"))
+                / F.log(F.lit(10.0)),
+                6,
+            ).alias("benford_p"),
+        )
+        .orderBy("digit")
+    )

@@ -754,3 +754,59 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(round(value * 100) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM events
+),
+d AS (
+  SELECT user_id, cum,
+         MAX(cum) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM s
+)
+SELECT user_id,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+       CAST(MAX(cum) AS BIGINT) AS peak_cum_cents
+FROM d GROUP BY user_id ORDER BY user_id
+""",
+    doc="Maximum drawdown per user over the cumulative value series "
+    "(the quant risk statistic): running sum, then running peak of "
+    "that sum, then max(peak - current) per user. Both windows and "
+    "the final agg share ONE (user_id, ts, event_id) partitioning/"
+    "ordering, so Catalyst runs a single sort + two stacked window "
+    "operators with no extra shuffle. Exact integer cents end to "
+    "end - bit-for-bit parity; per-key frames only.",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cum"),
+    )
+    d = s.select("user_id", "cum", F.max("cum").over(w).alias("peak"))
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.max(F.col("peak") - F.col("cum"))
+            .cast("bigint")
+            .alias("max_drawdown_cents"),
+            F.max("cum").cast("bigint").alias("peak_cum_cents"),
+        )
+        .orderBy("user_id")
+    )
