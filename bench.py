@@ -71,6 +71,15 @@ HEADLINE = [
     "doc_tfidf_cosine_topk",
     "text_boilerplate_blocks",
     "dedup_incremental_batch",
+    # r5 third batch: one representative per new family (statistics,
+    # sketches, data quality, time-series, lakehouse temporal) —
+    # benched from birth.
+    "stat_corr_matrix",
+    "sketch_countmin_heavy",
+    "dq_expectations",
+    "ts_linear_interpolate",
+    "agg_activity_bitmap",
+    "scd2_temporal_join",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -140,10 +140,11 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (left.probe_len == right.len_b) & (left.name_a < right.name_b),
     )
     dist = F.levenshtein("name_a", "name_b")
+    # No dedup needed: a pair (a, b) matches exactly ONE probe band
+    # (len(b) is a single value), so the equi-join emits it once.
     return (
         cand.filter(dist <= 1)
         .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
-        .distinct()
         .orderBy("name_a", "name_b")
     )
 

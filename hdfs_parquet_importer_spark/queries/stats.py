@@ -295,7 +295,23 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ib"),
     ).select("t", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
     cells = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
-    coords = hashed.distinct()
+    # Probe coordinates derive from the DISTINCT key set (bounded by
+    # vocabulary), never a distinct over the exploded event stream —
+    # at scale that distinct would shuffle 4x the fact table.
+    types = ev.distinct()
+    coords = types.select(
+        "t",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), bucket(i).alias("b")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("ib"),
+    ).select("t", F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
     est = (
         coords.join(cells, ["i", "b"])
         .groupBy("t")
