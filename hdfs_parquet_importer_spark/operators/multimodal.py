@@ -578,3 +578,53 @@ def audio_energy(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(feats, AUDIO_ENERGY_SCHEMA)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over 9x8 grayscale PNG payloads:
+    bit (r, c) = pixel[r][c] < pixel[r][c+1], packed row-major into
+    two 32-bit halves (rows 0-3 -> dhash_hi, rows 4-7 -> dhash_lo) so
+    no value touches the sign bit of a 64-bit long.
+
+    Input rows are (media_id, payload) where payload is a 9x8 PNG —
+    normally the output of ``resize_image(df, 9, 8)``; other sizes
+    raise. Near-duplicate images agree on most bits, identical
+    gradients hash identically, so groupBy(dhash) is the image twin
+    of text fingerprint dedup and hamming-band joins are the scale
+    path (same banding as simhash: 16-bit chunks, pigeonhole).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("dhash_hi", T.LongType()),
+            T.StructField("dhash_lo", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_png_gray(bytes(payload))
+                if (w, h) != (9, 8):
+                    raise ValueError(
+                        f"image_dhash: id {mid} is {w}x{h}, expected 9x8"
+                    )
+                hi = lo = 0
+                for r in range(8):
+                    for c in range(8):
+                        bit = int(px[r * 9 + c] < px[r * 9 + c + 1])
+                        if r < 4:
+                            hi |= bit << (r * 8 + c)
+                        else:
+                            lo |= bit << ((r - 4) * 8 + c)
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "dhash_hi": his, "dhash_lo": los}
+            )
+
+    return df.mapInPandas(hash_batch, out_schema)

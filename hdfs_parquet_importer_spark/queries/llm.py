@@ -1610,3 +1610,85 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return M.audio_energy(M.wav_encode_samples(gen)).orderBy("media_id")
+
+
+@register(
+    "multimodal_image_dhash_dedup",
+    oracle="""
+WITH g AS (SELECT doc_id AS media_id,
+                  8 + doc_id % 9 AS w,
+                  8 + doc_id % 7 AS h
+           FROM documents),
+px AS (SELECT media_id, w, h,
+              [ (media_id * 31 + i) % 256
+                for i in range(0, w * h) ] AS p
+       FROM g),
+rs AS (SELECT media_id,
+              [ p[ ((k // 9) * h // 8) * w + ((k % 9) * w // 9) + 1 ]
+                for k in range(0, 72) ] AS q
+       FROM px),
+hashed AS (
+  SELECT media_id,
+         CAST(list_sum(
+           [ CASE WHEN q[(k // 8) * 9 + (k % 8) + 1]
+                     < q[(k // 8) * 9 + (k % 8) + 2]
+                  THEN 1 << (k % 32) ELSE 0 END
+             for k in range(0, 32) ]) AS BIGINT) AS dhash_hi,
+         CAST(list_sum(
+           [ CASE WHEN q[(k // 8) * 9 + (k % 8) + 1]
+                     < q[(k // 8) * 9 + (k % 8) + 2]
+                  THEN 1 << (k % 32) ELSE 0 END
+             for k in range(32, 64) ]) AS BIGINT) AS dhash_lo
+  FROM rs)
+SELECT dhash_hi, dhash_lo,
+       COUNT(*) AS n_images,
+       CAST(MIN(media_id) AS BIGINT) AS keep_id
+FROM hashed
+GROUP BY dhash_hi, dhash_lo
+HAVING COUNT(*) > 1
+ORDER BY dhash_hi, dhash_lo, keep_id
+""",
+    doc="Image near-duplicate detection by perceptual hash, the "
+    "visual twin of text fingerprint dedup, with every codec stage "
+    "REAL: deterministic grayscale images (DuckDB-replayable "
+    "formula) -> encode_png_gray -> resize_image to the 9x8 dHash "
+    "grid (decode, integer nearest-neighbor resample, re-encode) -> "
+    "image_dhash (decode again, adjacent-pixel gradient bits packed "
+    "into two 32-bit halves) -> groupBy(hash) keeping min-id per "
+    "bucket. The oracle replays pixel generation, the EXACT resize "
+    "index map ((r*h)//8, (c*w)//9) and the bit packing in SQL — a "
+    "green row proves three codec passes bit-exact. Payloads stay "
+    "inside their tasks (three chained mapInPandas, no shuffle "
+    "until the 16-byte hashes); hamming-band joins extend it to "
+    "near-miss pairs exactly as simhash bands do.",
+)
+def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gen = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+    ).withColumn(
+        "pixels",
+        F.transform(
+            F.sequence(
+                F.lit(0), (F.col("width") * F.col("height") - 1).cast("int")
+            ),
+            lambda i: ((F.col("media_id") * 31 + i) % 256).cast("int"),
+        ),
+    )
+    hashed = M.image_dhash(
+        M.resize_image(M.png_encode_pixels(gen), width=9, height=8)
+    )
+    return (
+        hashed.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_images") > 1)
+        .orderBy("dhash_hi", "dhash_lo", "keep_id")
+    )

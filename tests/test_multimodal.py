@@ -225,3 +225,30 @@ def test_wav_energy_roundtrip_known_values(spark):
     assert r1.energy == 100**2 + 100**2 + 32767**2 + 32768**2
     assert r1.rate == 16000
     assert got[2].energy == 25
+
+
+def test_image_dhash_gradient_bit_semantics(spark):
+    """A 9x8 image that increases left-to-right in every row hashes
+    to all-ones (every adjacent pair ascends); flipping ONE adjacent
+    pair flips exactly that bit."""
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+
+    asc = list(range(72))  # strictly increasing row-major
+    flipped = asc.copy()
+    # Row 2, cols 4/5 (0-based): make px[2][4] > px[2][5].
+    flipped[2 * 9 + 4], flipped[2 * 9 + 5] = (
+        flipped[2 * 9 + 5],
+        flipped[2 * 9 + 4],
+    )
+    df = spark.createDataFrame(
+        [(1, 9, 8, asc), (2, 9, 8, flipped)],
+        "media_id long, width int, height int, pixels array<int>",
+    )
+    rows = {
+        r.media_id: (r.dhash_hi, r.dhash_lo)
+        for r in M.image_dhash(M.png_encode_pixels(df)).collect()
+    }
+    full = (1 << 32) - 1
+    assert rows[1] == (full, full)
+    # Bit index r*8+c = 2*8+4 = 20 lives in the hi half.
+    assert rows[2] == (full ^ (1 << 20), full)
