@@ -385,3 +385,50 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "dq_table_checksum",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(o_custkey AS VARCHAR) || '|' ||
+              o_orderstatus || '|' ||
+              o_orderpriority || '|' ||
+              CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+            ), 1, 15))::BIGINT) AS BIGINT) AS row_hash_xor,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM orders
+""",
+    doc="Order-insensitive table checksum — the cross-system "
+    "reconciliation primitive (how you prove a 100 TB migration "
+    "moved every row): each row serializes to a canonical "
+    "'|'-joined string of engine-identical renderings (integers and "
+    "strings only; doubles travel as exact integer cents — "
+    "double-to-string is NOT engine-stable), md5-hashes, and the "
+    "60-bit hash prefixes fold with bit_xor into one comparable "
+    "value. XOR is commutative/associative with NO overflow at any "
+    "row count (a 60-bit SUM overflows a signed long past ~16 "
+    "rows-worth of high terms — measured, hence xor), partial-"
+    "aggregates map-side, and is order- and partition-independent; "
+    "(n_rows, row_hash_xor, key_sum) together detect lost, "
+    "duplicated, or mutated rows (count catches pair-cancelling "
+    "dupes that xor alone would miss).",
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+    )
+    term = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(term).cast("bigint").alias("row_hash_xor"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
