@@ -194,10 +194,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ORC sink->source roundtrips under the driver gate, the
     # data-quality expectation suite, the edit-distance fuzzy join,
     # period-over-period reporting, and hourly-grid linear
-    # interpolation. (window_percent_rank_cume, also new this round,
-    # defers to r6 — the rank-window family already holds four green
-    # driver rows and it stays locally full-registry-gated; it lost
-    # the 50th slot to the interpolation operator.)
+    # interpolation. The window filled here; later seventh-batch
+    # queries (window_percent_rank_cume, window_running_distinct,
+    # window_max_drawdown, agg_activity_bitmap, scd2_temporal_join,
+    # snapshot_diff, dq_benford_digits, dq_table_checksum,
+    # stat_ols_catalyst, sample_k_per_group, setop_union_evolved,
+    # agg_partial_reaggregate, multimodal_image_dhash_dedup,
+    # sink_roundtrip_jsonl/orc's ORC sibling already in, and
+    # source_python_datasource) defer to r6 under the rotation
+    # contract's new-code-first ordering — all hold local
+    # full-registry-gate greens from this round
+    # (tests/test_oracle_gate.py) and the r6 window starts with them.
     "subq_lateral_top2",
     "sink_roundtrip_jsonl",
     "sink_roundtrip_orc",

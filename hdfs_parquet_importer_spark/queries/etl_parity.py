@@ -729,3 +729,55 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+WITH src AS (
+  SELECT i AS event_id,
+         i % 50 AS user_id,
+         ['click','error','purchase','signup','view'][i % 5 + 1]
+           AS event_type,
+         ((i * 2654435761) % 1000000) / 100.0 AS value
+  FROM range(0, 10000) t(i)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum,
+       ROUND(SUM(value), 2) AS value_sum
+FROM src GROUP BY event_type ORDER BY event_type
+""",
+    doc="Custom Python DataSource (Spark 4 pyspark.sql.datasource "
+    "API, sources/pydatasource.py) under the driver's gate: a "
+    "user-defined connector whose InputPartitions shard the id "
+    "space round-robin across 8 parallel tasks, generating rows by "
+    "pure integer arithmetic (Knuth multiplicative hash). The "
+    "oracle REGENERATES the identical stream from range() — a green "
+    "row proves the whole third-party-connector path (registration, "
+    "schema declaration, partition planning, per-task iteration, "
+    "Python-to-JVM row conversion) end to end. The reference covers "
+    "only built-in readers; this is the extension point a real "
+    "platform needs for feature stores / internal APIs.",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    src = (
+        spark.read.format("synthetic_events")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("user_id").cast("bigint").alias("user_sum"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

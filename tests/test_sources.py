@@ -131,3 +131,94 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, orders):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partition(
+    spark, sf_dir, tmp_path
+):
+    """partitionOverwriteMode=dynamic: rewriting one partition's data
+    must leave sibling partitions intact (static mode would truncate
+    the whole table root) — the incremental-backfill write pattern."""
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    dest = str(tmp_path / "dyn_part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(dest)
+    before = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(before) == {"F", "O", "P"}
+
+    # Backfill ONLY status P with a single sentinel row.
+    patch = spark.createDataFrame(
+        [(999_999_999, "P", 1.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    (
+        patch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(dest)
+    )
+    after = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after["P"] == 1  # replaced
+    assert after["F"] == before["F"] and after["O"] == before["O"]  # intact
+
+
+def test_parquet_merge_schema_reads_evolved_files(spark, tmp_path):
+    """Schema evolution on READ: two parquet files with different
+    column sets merge under mergeSchema=true; the missing column
+    null-fills for old files. Without the option the scan keeps only
+    the first-listed footer's schema."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, payload string"
+    ).write.parquet(d + "/gen=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, payload string, score double"
+    ).write.parquet(d + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "payload", "score", "gen"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_python_datasource_parallelism_and_determinism(spark):
+    from hdfs_parquet_importer_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("partitions", "7")
+        .load()
+    )
+    # Partition planning: 7 InputPartitions -> 7 scan tasks.
+    assert df.toDF(*df.columns).select(F.spark_partition_id()).distinct().count() == 7
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert len({r.event_id for r in rows}) == 1000  # disjoint slices
+    # Deterministic replay: same options -> identical rows.
+    again = (
+        spark.read.format("synthetic_events")
+        .option("rows", "1000")
+        .option("partitions", "3")  # different sharding, same data
+        .load()
+        .collect()
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
