@@ -384,6 +384,60 @@ def write_stream_parquet(
     )
 
 
+def write_stream_upsert(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> Any:
+    """Streaming MERGE sink: each micro-batch upserts into a parquet
+    target keyed by ``keys`` — the lakehouse CDC-ingest pattern
+    (Delta/Iceberg MERGE INTO, expressed over plain parquet).
+
+    Per batch: read current target (if any), union the batch, keep
+    the newest row per key (operators/upsert.latest_per_key — the
+    same deterministic (ts, tiebreak) argmax the batch `etl_upsert`
+    query uses), rewrite atomically via a temp-dir swap. Late or
+    replayed rows can never regress a key (argmax is idempotent and
+    order-insensitive), so redelivered micro-batches after a crash
+    recover exactly-once table state from the checkpointed source
+    offsets. At scale the rewrite narrows to changed partitions
+    (dynamic partition overwrite) or a format with real MERGE; the
+    per-batch plan is identical.
+    """
+    import os
+    import shutil
+
+    from hdfs_parquet_importer_spark.operators.upsert import latest_per_key
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.isdir(path):
+            merged = latest_per_key(
+                spark.read.parquet(path).unionByName(batch_df),
+                keys,
+                ts_col,
+                tiebreak_cols=tiebreak_cols,
+            )
+        else:
+            merged = latest_per_key(
+                batch_df, keys, ts_col, tiebreak_cols=tiebreak_cols
+            )
+        tmp = f"{path}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.move(tmp, path)
+
+    return (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> Any:

@@ -341,3 +341,51 @@ def test_streaming_rolling_zscore_matches_batch_frame(spark, tmp_path):
     # against a frame CONTAINING the spike (state carried across the
     # batch boundary) and not be flagged with these thresholds.
     assert 13 in {e for e, _ in got}
+
+
+def test_streaming_upsert_sink_keeps_latest_per_key(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the parquet target
+    must hold exactly one row per key, the newest by (ts, event_id),
+    surviving the cross-batch merge — and an OLDER update arriving in
+    a later batch must NOT regress the key (argmax idempotence)."""
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    # Batch 1: users 1, 2.
+    f1 = [(1, _ns(1, 0), 1, "view", 10.0), (2, _ns(1, 5), 2, "view", 20.0)]
+    # Batch 2: user 2 newer (overrides), user 1 OLDER (must lose),
+    # user 3 new.
+    f2 = [
+        (3, _ns(2, 0), 2, "purchase", 99.0),
+        (4, _ns(0, 30), 1, "click", 7.0),
+        (5, _ns(1, 30), 3, "signup", 1.0),
+    ]
+    _write_events_file(str(src / "a_events.parquet"), f1)
+    time.sleep(1.1)
+    _write_events_file(str(src / "b_events.parquet"), f2)
+
+    stream = (
+        spark.readStream.schema(ST.pipeline.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    target = str(tmp_path / "upsert_target")
+    q = ST.pipeline.write_stream_upsert(
+        stream,
+        target,
+        str(tmp_path / "ckpt"),
+        keys=["user_id"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+    _drain(q)
+
+    rows = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows == {
+        1: (1, "view"),       # batch-2 older row did not regress it
+        2: (3, "purchase"),   # batch-2 newer row overrode batch 1
+        3: (5, "signup"),     # new key inserted
+    }
