@@ -399,3 +399,64 @@ def stat_ols_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "stat_ks_two_sample",
+    oracle="""
+WITH c AS (
+  SELECT n_chars,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS cb
+  FROM documents WHERE lang IN ('en', 'de')
+  GROUP BY n_chars
+),
+cum AS (
+  SELECT SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+         SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+  FROM c WINDOW w AS (ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_en,
+       CAST(MAX(n_b) AS BIGINT) AS n_de,
+       ROUND(MAX(abs(CAST(cum_a AS DOUBLE) / n_a
+                     - CAST(cum_b AS DOUBLE) / n_b)), 6) AS ks_stat
+FROM cum
+""",
+    doc="Two-sample Kolmogorov-Smirnov statistic between the English "
+    "and German document-length distributions: max ECDF gap over the "
+    "distinct n_chars levels. The full-table pass is ONE groupBy on "
+    "n_chars carrying both samples' counts as conditional sums; the "
+    "cumulative window then runs over the aggregated level table, "
+    "whose size is bounded by the LENGTH DOMAIN (values 48-553 here "
+    "— a document-length cap, independent of corpus size), the "
+    "aggregate-bounded global-window shape the plan gate permits. "
+    "ECDF ratios divide identical integers — exact parity; the KS "
+    "decision threshold c(alpha)*sqrt((n+m)/nm) is left to the "
+    "caller.",
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    c = docs.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = c.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return cum.agg(
+        F.max("n_a").cast("bigint").alias("n_en"),
+        F.max("n_b").cast("bigint").alias("n_de"),
+        F.round(F.max(gap), 6).alias("ks_stat"),
+    )
