@@ -11,6 +11,10 @@ schema, and an order-insensitive value hash. Consequences honored here:
   doubles bit-identical);
 * raw timestamps are avoided in outputs — formatted strings or
   year/month ints travel across the engine boundary instead;
+* a rounded column that can hit zero gets ``+ 0.0`` on BOTH sides:
+  DuckDB's ROUND preserves IEEE -0.0 on negative underflow, Spark's
+  drops the sign, and the driver's hasher distinguishes them
+  (discovered live on embedding_covariance: 2 of 4096 cells);
 * queries without a SQL-expressible oracle set ``oracle=None`` and get
   the driver's weaker rows-only check.
 """

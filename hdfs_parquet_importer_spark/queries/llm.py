@@ -1692,3 +1692,53 @@ def multimodal_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_images") > 1)
         .orderBy("dhash_hi", "dhash_lo", "keep_id")
     )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+WITH idx AS (SELECT CAST(i AS INT) AS i FROM range(0, 64) t(i)),
+cells AS (
+  SELECT a.i AS i, b.i AS j,
+         SUM(e.embedding[a.i + 1]::DOUBLE * e.embedding[b.i + 1]::DOUBLE)
+           AS sp,
+         COUNT(*) AS n
+  FROM embeddings e, idx a, idx b
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT i.i AS i,
+         SUM(e.embedding[i.i + 1]::DOUBLE) / COUNT(*) AS mu
+  FROM embeddings e, idx i GROUP BY 1
+)
+SELECT c.i AS i, c.j AS j,
+       ROUND(c.sp / c.n - ma.mu * mb.mu, 6) + 0.0 AS cov
+FROM cells c JOIN m ma ON ma.i = c.i JOIN m mb ON mb.i = c.j
+ORDER BY c.i, c.j
+""",
+    doc="Distributed 64x64 population covariance of the embedding "
+    "table in long form — the Gram-matrix computation under PCA / "
+    "whitening / ZCA. One double-posexplode outer-product pass "
+    "partial-aggregates to d^2 cells per partition BEFORE the "
+    "shuffle, so exchange volume is dimension-bounded, never "
+    "row-bounded; means join back as two broadcast d-row dims. "
+    "Elements cast to double BEFORE multiplying on both engines "
+    "(fp32-product-then-fp64-sum rounds differently in the last "
+    "ulp). operators/pca.py feeds these cells to a DataFrame-only "
+    "power iteration for the top principal component, "
+    "numpy-verified in tests/test_pca.py.",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.pca import covariance_long
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # + 0.0 collapses IEEE -0.0 (DuckDB ROUND keeps the sign of a
+    # negative underflow; Spark's drops it) so the value digest of a
+    # zero cell is engine-identical.
+    return (
+        covariance_long(emb, "embedding")
+        .select(
+            "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+        )
+        .orderBy("i", "j")
+    )
