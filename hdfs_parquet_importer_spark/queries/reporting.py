@@ -160,10 +160,10 @@ WITH m AS (
 )
 SELECT month, rev_cents,
        ROUND((rev_cents - lag(rev_cents, 1) OVER w)
-             / CAST(lag(rev_cents, 1) OVER w AS DOUBLE) * 100, 4)
+             / CAST(lag(rev_cents, 1) OVER w AS DOUBLE) * 100, 4) + 0.0
          AS mom_pct,
        ROUND((rev_cents - lag(rev_cents, 12) OVER w)
-             / CAST(lag(rev_cents, 12) OVER w AS DOUBLE) * 100, 4)
+             / CAST(lag(rev_cents, 12) OVER w AS DOUBLE) * 100, 4) + 0.0
          AS yoy_pct
 FROM m
 WINDOW w AS (ORDER BY month)
@@ -200,11 +200,23 @@ def report_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             "month",
             "rev_cents",
-            F.round(
-                (F.col("rev_cents") - prev1) / prev1.cast("double") * 100, 4
+            (
+                F.round(
+                    (F.col("rev_cents") - prev1)
+                    / prev1.cast("double")
+                    * 100,
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("mom_pct"),
-            F.round(
-                (F.col("rev_cents") - prev12) / prev12.cast("double") * 100, 4
+            (
+                F.round(
+                    (F.col("rev_cents") - prev12)
+                    / prev12.cast("double")
+                    * 100,
+                    4,
+                )
+                + F.lit(0.0)
             ).alias("yoy_pct"),
         )
         .orderBy("month")

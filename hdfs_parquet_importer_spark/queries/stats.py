@@ -24,12 +24,12 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 @register(
     "stat_corr_matrix",
     oracle="""
-SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       ROUND(corr(l_quantity, l_discount), 6)      AS corr_qty_disc,
-       ROUND(corr(l_quantity, l_tax), 6)           AS corr_qty_tax,
-       ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
-       ROUND(corr(l_extendedprice, l_tax), 6)      AS corr_price_tax,
-       ROUND(corr(l_discount, l_tax), 6)           AS corr_disc_tax
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qty_price,
+       ROUND(corr(l_quantity, l_discount), 6) + 0.0      AS corr_qty_disc,
+       ROUND(corr(l_quantity, l_tax), 6) + 0.0           AS corr_qty_tax,
+       ROUND(corr(l_extendedprice, l_discount), 6) + 0.0 AS corr_price_disc,
+       ROUND(corr(l_extendedprice, l_tax), 6) + 0.0      AS corr_price_tax,
+       ROUND(corr(l_discount, l_tax), 6) + 0.0           AS corr_disc_tax
 FROM lineitem
 """,
     doc="Pairwise Pearson correlation matrix over the four lineitem "
@@ -51,8 +51,12 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_extendedprice", "l_tax", "corr_price_tax"),
         ("l_discount", "l_tax", "corr_disc_tax"),
     ]
+    # + 0.0 collapses IEEE -0.0 (see queries/__init__ docstring).
     return li.agg(
-        *[F.round(F.corr(a, b), 6).alias(name) for a, b, name in pairs]
+        *[
+            (F.round(F.corr(a, b), 6) + F.lit(0.0)).alias(name)
+            for a, b, name in pairs
+        ]
     )
 
 
@@ -370,8 +374,9 @@ def agg_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0
+         AS intercept,
        ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
 FROM lineitem
 GROUP BY l_returnflag ORDER BY l_returnflag
@@ -393,8 +398,10 @@ def stat_ols_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.regr_slope(y, x), 4).alias("slope"),
-            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            (F.round(F.regr_slope(y, x), 4) + F.lit(0.0)).alias("slope"),
+            (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias(
+                "intercept"
+            ),
             F.round(F.regr_r2(y, x), 6).alias("r2"),
         )
         .orderBy("l_returnflag")
