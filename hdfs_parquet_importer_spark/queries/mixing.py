@@ -734,3 +734,53 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "lang")
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "quality_unigram_logprob",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf)
+SELECT t.doc_id,
+       COUNT(*) AS n_toks,
+       ROUND(SUM(-log2(tf.c / tot.n)) / COUNT(*), 4) AS bits_per_token
+FROM tok t JOIN tf USING (term) CROSS JOIN tot
+WHERE t.doc_id < 50
+GROUP BY t.doc_id ORDER BY t.doc_id
+""",
+    doc="Unigram cross-entropy quality score (bits/token) — the "
+    "CCNet/Gopher-style LM-perplexity filter with the LM stubbed to "
+    "the corpus unigram model: low bits = common-word text, high "
+    "bits = rare-token-heavy gibberish. Same inverted plan shape as "
+    "text_mean_token_df (corpus term counts over ALL docs, joined "
+    "back to the scored docs' tokens on the vocab-bounded term key, "
+    "grand total as a broadcast 1-row scalar) but scoring the "
+    "actual information content. Per-doc log sums accumulate in "
+    "engine-dependent order; the drift is ~1e-13 relative on "
+    "<=200-term docs, absorbed by ROUND(4) — the mean-DF twin stays "
+    "the integer-exact variant.",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        tok.filter(F.col("doc_id") < 50)
+        .join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+    )
+    bits = -F.log2(F.col("c") / F.col("n"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.sum(bits) / F.count(F.lit(1)), 4).alias(
+                "bits_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )

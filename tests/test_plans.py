@@ -75,6 +75,9 @@ BRUTE_FORCE_OK = {
                              # |days|, never row count) and broadcast
     "dq_expectations",       # 1-row scalar-rules agg x 1-row FK-count
                              # agg broadcast cross join feeding stack()
+    "quality_unigram_logprob",  # 1-row corpus-total broadcast cross
+                             # join feeding p = c/N (same shape as
+                             # doc_tfidf's idf scalar)
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
