@@ -582,3 +582,70 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bar_start", "event_type")
     )
+
+
+@register(
+    "events_time_to_conversion",
+    oracle="""
+WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, MIN(ts) AS first_purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+lat AS (
+  -- elapsed hours = floor(whole-seconds delta / 3600); DuckDB's
+  -- date_diff('hour') counts calendar-boundary crossings instead,
+  -- which disagrees with elapsed-time semantics.
+  SELECT s.user_id,
+         CAST(floor(date_diff('second', s.signup_ts,
+                              p.first_purchase_ts) / 3600.0) AS BIGINT)
+           AS hours
+  FROM s JOIN p USING (user_id)
+  WHERE p.first_purchase_ts >= s.signup_ts
+)
+SELECT CAST(hours // 24 AS BIGINT) AS days_bucket,
+       COUNT(*) AS n_users,
+       CAST(MIN(hours) AS BIGINT) AS min_hours,
+       CAST(MAX(hours) AS BIGINT) AS max_hours
+FROM lat GROUP BY 1 ORDER BY days_bucket
+""",
+    doc="Time-to-conversion distribution: per user, latency from "
+    "first signup to first purchase (only conversions AFTER signup "
+    "count), bucketed into days — the survival-curve input every "
+    "growth dashboard needs. Two per-key MIN aggregates (map-side "
+    "combined: each is one row per user per partition) + one user "
+    "equi-join + a histogram groupBy; no windows, no sort over "
+    "events. Integer hour arithmetic on both engines.",
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    hours = F.floor(
+        (
+            F.col("first_purchase_ts").cast("long")
+            - F.col("signup_ts").cast("long")
+        )
+        / 3600
+    )
+    lat = (
+        s.join(p, "user_id")
+        .filter(F.col("first_purchase_ts") >= F.col("signup_ts"))
+        .select(hours.alias("hours"))
+    )
+    return (
+        lat.groupBy(F.floor(F.col("hours") / 24).cast("bigint").alias("days_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("hours").cast("bigint").alias("min_hours"),
+            F.max("hours").cast("bigint").alias("max_hours"),
+        )
+        .orderBy("days_bucket")
+    )

@@ -1364,3 +1364,50 @@ def agg_partial_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM (
+  SELECT DISTINCT c.c_mktsegment, n.n_name
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    doc="Ordered string aggregation (LISTAGG/string_agg): the "
+    "nations present in each market segment as a deterministic "
+    "sorted CSV. Spark has no ordered string_agg aggregate, so the "
+    "portable rewrite is array_join(array_sort(collect_set())) — "
+    "collect_set's nondeterministic accumulation order is "
+    "neutralized by the explicit array_sort, which is the ONLY "
+    "correct way to ship this pattern on Spark (bare collect_list "
+    "concat is partition-order-dependent and irreproducible). "
+    "Distinct (segment, nation) pairs bound the agg state at "
+    "|segments| x |nations|.",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    pairs = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_mktsegment", "n_name")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_set("n_name")), ","
+            ).alias("nations_csv"),
+        )
+        .orderBy("c_mktsegment")
+    )
