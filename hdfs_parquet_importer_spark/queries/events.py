@@ -649,3 +649,119 @@ def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("days_bucket")
     )
+
+
+@register(
+    "events_funnel_3step",
+    oracle="""
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase
+""",
+    doc="Strict-ORDER 3-step funnel (view -> click AFTER that view "
+    "-> purchase AFTER that click): each stage is a per-user MIN "
+    "aggregate filtered to events strictly after the previous "
+    "stage's first completion — the chained-min formulation, which "
+    "needs NO window and no per-user event sorting: three map-side-"
+    "combined aggregates chained by user equi-joins. Contrast with "
+    "events_funnel's 2-step unordered form. Step counts are "
+    "monotonically non-increasing by construction.",
+)
+def events_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev, prev_col: str, out: str):
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = first_after("view", None, "", "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(
+            F.broadcast(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+            )
+        )
+    )
+    return counts
+
+
+@register(
+    "events_dau_wau_mtd",
+    oracle="""
+WITH masks AS (
+  SELECT user_id, bit_or(1::BIGINT << (day(ts) - 1)) AS m
+  FROM events GROUP BY user_id
+),
+days AS (SELECT CAST(d AS INT) AS d FROM range(1, 31) t(d))
+SELECT d AS day_of_jan,
+       CAST(SUM(CASE WHEN m & (1::BIGINT << (d - 1)) != 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+       CAST(SUM(CASE WHEN m & (((1::BIGINT << d) - 1)
+                               - ((1::BIGINT << greatest(d - 7, 0)) - 1))
+                        != 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+       CAST(SUM(CASE WHEN m & ((1::BIGINT << d) - 1) != 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS mtd_au
+FROM masks, days
+GROUP BY d ORDER BY d
+""",
+    doc="DAU / trailing-7-day WAU / month-to-date actives for every "
+    "January day, computed from the per-user activity BITMAP (one "
+    "bit_or aggregate over events — the agg_activity_bitmap "
+    "representation put to work): activity-in-range collapses to "
+    "one AND against a range mask, so the 30-day dashboard costs "
+    "users x 30 cheap bit tests (a flat explode, no join, no "
+    "distinct-count per window — the rolling COUNT(DISTINCT) this "
+    "replaces shuffles the raw event stream once PER WINDOW SIZE). "
+    "WAU mask = bits [d-6, d] via subtraction of powers of two; "
+    "the masks nest, so [d-6,d] = (2^d - 1) - (2^(d-7) - 1) by plain "
+    "subtraction on both engines. Integer-exact parity.",
+)
+def events_dau_wau_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masks = ev.groupBy("user_id").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), dayofmonth(ts) - 1))").alias(
+            "m"
+        )
+    )
+    exploded = masks.select(
+        "m", F.explode(F.sequence(F.lit(1), F.lit(30))).alias("d")
+    )
+    day_bit = F.expr("shiftleft(CAST(1 AS BIGINT), d - 1)")
+    mtd_mask = F.expr("shiftleft(CAST(1 AS BIGINT), d) - 1")
+    wau_lo = F.expr("shiftleft(CAST(1 AS BIGINT), greatest(d - 7, 0)) - 1")
+    hit = lambda mask: F.sum(  # noqa: E731
+        F.when(F.col("m").bitwiseAND(mask) != 0, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        exploded.groupBy(F.col("d").cast("int").alias("day_of_jan"))
+        .agg(
+            hit(day_bit).alias("dau"),
+            hit(mtd_mask - wau_lo).alias("wau"),
+            hit(mtd_mask).alias("mtd_au"),
+        )
+        .orderBy("day_of_jan")
+    )

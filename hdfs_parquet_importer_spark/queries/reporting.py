@@ -444,3 +444,80 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor(term).cast("bigint").alias("row_hash_xor"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "fuzzy_name_clusters",
+    oracle="""
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name AS name FROM part),
+p AS (SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b ON a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 1),
+sym AS (SELECT name_a AS u, name_b AS v FROM p
+        UNION SELECT name_b, name_a FROM p),
+reach AS (SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+comp AS (SELECT u AS node, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u)
+SELECT component AS canonical_name,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       string_agg(node, ',' ORDER BY node) AS variants_csv
+FROM comp
+GROUP BY component ORDER BY component
+""",
+    doc="Entity resolution end-to-end: the fuzzy_name_pairs edit-"
+    "distance pair graph resolved into canonical clusters via "
+    "connected components (operators/graph.py min-label "
+    "propagation) — chains of one-edit variants collapse "
+    "transitively into one canonical spelling (lexicographic min), "
+    "the full dedup decision a catalog/MDM pipeline applies. Same "
+    "vocabulary-bounded scale shape as the pair query; the oracle "
+    "rebuilds clusters with a recursive-CTE closure over the "
+    "brute-forced pair set and the same deterministic canonical "
+    "choice, variants listed as a sorted CSV.",
+)
+def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import (
+        connected_components,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    left = names.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.array(
+                F.length("name") - 1,
+                F.length("name"),
+                F.length("name") + 1,
+            )
+        ).alias("probe_len"),
+    )
+    right = names.select(
+        F.col("name").alias("name_b"), F.length("name").alias("len_b")
+    )
+    pairs = (
+        left.join(
+            right,
+            (left.probe_len == right.len_b)
+            & (left.name_a < right.name_b),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(pairs, "name_a", "name_b")
+    return (
+        comp.groupBy(F.col("component").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.array_join(F.array_sort(F.collect_set("node")), ",").alias(
+                "variants_csv"
+            ),
+        )
+        .orderBy("canonical_name")
+    )

@@ -78,6 +78,12 @@ BRUTE_FORCE_OK = {
     "quality_unigram_logprob",  # 1-row corpus-total broadcast cross
                              # join feeding p = c/N (same shape as
                              # doc_tfidf's idf scalar)
+    "events_funnel_3step",   # three 1-row stage-count aggregates
+                             # broadcast-crossed into the single
+                             # funnel-summary row
+    "fuzzy_name_clusters",   # connected_components' 1-row
+                             # changed-label fixpoint scalars (same
+                             # as dedup_clusters)
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
