@@ -401,3 +401,45 @@ def func_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "func_timezone_convert",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS utc_s,
+       strftime(timezone('America/New_York',
+                         timezone('UTC', o_orderdate)),
+                '%Y-%m-%d %H:%M:%S') AS ny_s,
+       strftime(timezone('Asia/Tokyo', timezone('UTC', o_orderdate)),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_s
+FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+""",
+    doc="IANA time-zone conversion (UTC wall times -> New York and "
+    "Tokyo wall times) over multi-year order dates, so both the "
+    "EST/EDT daylight-saving offsets (-5/-4) and the DST-free "
+    "JST (+9) paths execute. Spark: convert_timezone (3.4+ "
+    "built-in, codegen); DuckDB: the timezone() interpret/convert "
+    "pair over ICU. Formatted strings travel across the engine "
+    "boundary — the repo's standard timestamp-parity rule — and "
+    "the session is pinned UTC so naive timestamps are unambiguous.",
+)
+def func_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 200
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def conv(tz: str):
+        return F.date_format(
+            F.convert_timezone(
+                F.lit("UTC"), F.lit(tz), F.col("o_orderdate")
+            ),
+            fmt,
+        )
+
+    return orders.select(
+        F.date_format("o_orderdate", fmt).alias("utc_s"),
+        conv("America/New_York").alias("ny_s"),
+        conv("Asia/Tokyo").alias("tokyo_s"),
+        "o_orderkey",
+    ).orderBy("o_orderkey").drop("o_orderkey")

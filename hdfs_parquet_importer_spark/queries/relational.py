@@ -1411,3 +1411,74 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 10),
+b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+d AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+SELECT l_partkey, COUNT(*) AS multiplicity
+FROM d GROUP BY l_partkey ORDER BY l_partkey
+""",
+    doc="Bag-semantics EXCEPT ALL (multiset difference): each part's "
+    "surviving multiplicity is max(0, n_a - n_b) — DISTINCT-based "
+    "EXCEPT would collapse it to membership and give a different "
+    "answer wherever a key appears on both sides with n_a > n_b. "
+    "Spark plans exceptAll as a counted anti-aggregation (sum of "
+    "+1/-1 tags, replicate survivors), one shuffle on the key — "
+    "same scale shape as a groupBy. The multiplicity histogram "
+    "output proves the bag semantics value-by-value.",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 10).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .orderBy("l_partkey")
+    )
+
+
+@register(
+    "join_shuffled_hash_hint",
+    oracle="""
+SELECT l.l_orderkey, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price,
+       MAX(o.o_orderpriority) AS priority
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 300000
+GROUP BY l.l_orderkey ORDER BY l.l_orderkey
+""",
+    doc="Optimizer-control surface: the big-big lineitem x orders "
+    "join forced to SHUFFLED_HASH via a join hint (plan-asserted in "
+    "tests/test_plans.py). Default planning picks sort-merge for "
+    "two large inputs; when one side's PER-PARTITION slice fits in "
+    "memory, shuffled-hash skips both sorts — the right call here "
+    "because the filtered orders side is small per partition but "
+    "above the broadcast threshold. Hints are scoped: only this "
+    "join is pinned, everything else stays Catalyst's choice.",
+)
+def join_shuffled_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey", "o_orderpriority")
+        .hint("shuffle_hash")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.max("o_orderpriority").alias("priority"),
+        )
+        .orderBy("l_orderkey")
+    )

@@ -290,3 +290,16 @@ def test_zorder_curve_is_single_stage_projection(plans):
     # At most the one ordering exchange anywhere in the plan — the
     # interleave itself adds none.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    """join_shuffled_hash_hint exists to demonstrate optimizer
+    control: the hinted join MUST plan as ShuffledHashJoin (default
+    big-big planning would pick SortMergeJoin or, post-AQE at tiny
+    scale, a broadcast)."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    df = registry()["join_shuffled_hash_hint"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
