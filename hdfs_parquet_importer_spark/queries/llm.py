@@ -1742,3 +1742,87 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 AVG(len) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, COUNT(*) AS f FROM tok
+       WHERE term IN ('spark', 'join', 'stream') GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+             * tf.f * 2.2
+             / (tf.f + 1.2 * (0.25 + 0.75 * dl.len / stats.avgdl)))
+           AS score
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT 10
+""",
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75, the Robertson/"
+    "Lucene idf with +1 floor) for the query {spark, join, stream}: "
+    "term frequencies for ONLY the query terms (scan-side IN "
+    "filter), document frequencies from that same tiny tf set, "
+    "length normalization from a corpus doc-length aggregate, "
+    "corpus stats as a broadcast 1-row scalar — every join is a "
+    "term or doc_id equi-join and the top-10 plans as "
+    "TakeOrderedAndProject. Ranking compares ROUNDED scores with a "
+    "doc_id tiebreak on BOTH engines, so float accumulation drift "
+    "cannot reorder the boundary. The full-index twin at 100 TB is "
+    "the persisted postings layout of operators/tfidf.py.",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import dedup as D
+
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin("spark", "join", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score_term = (
+        idf
+        * F.col("f")
+        * (k1 + 1.0)
+        / (
+            F.col("f")
+            + k1 * (1.0 - b + b * F.col("len") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score_term).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )

@@ -84,6 +84,9 @@ BRUTE_FORCE_OK = {
     "fuzzy_name_clusters",   # connected_components' 1-row
                              # changed-label fixpoint scalars (same
                              # as dedup_clusters)
+    "text_bm25_search",      # 1-row corpus-stats (N, avgdl)
+                             # broadcast cross join feeding the BM25
+                             # length normalization
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
