@@ -765,3 +765,70 @@ def events_dau_wau_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_of_jan")
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events
+),
+deltas AS (
+  SELECT date_trunc('day', s) AS day, s AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT date_trunc('day', s) AS day,
+         least(e, date_trunc('day', s) + INTERVAL 1 DAY) AS t,
+         -1 AS delta
+  FROM iv
+),
+swept AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS live
+  FROM deltas
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(MAX(live) AS BIGINT) AS peak_concurrent
+FROM swept GROUP BY day ORDER BY day
+""",
+    doc="Peak concurrency per day by sweep line: each event opens a "
+    "30-minute presence interval, +1/-1 deltas sort along the day's "
+    "timeline, the running sum's max is the peak. The sweep is "
+    "PARTITIONED BY DAY with end-events clipped to the day boundary "
+    "— the global-timeline sweep would serialize through one task "
+    "at 100 TB, the day-partitioned form scales with days x events/"
+    "day and matches how a dashboard consumes it. Tie rule: at an "
+    "identical instant, ends (-1) sort before starts (+1), i.e. "
+    "half-open [s, e) intervals — identical ORDER BY (t, delta) on "
+    "both engines.",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    starts = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta"))
+    ends = iv.select(
+        "day",
+        F.least(
+            F.col("e"), F.col("day") + F.expr("INTERVAL 1 DAY")
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = deltas.select("day", F.sum("delta").over(w).alias("live"))
+    return (
+        swept.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(F.max("live").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )

@@ -1826,3 +1826,69 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "text_keyword_extraction",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS f FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.f * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 20
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY row_number() OVER
+  (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+ORDER BY doc_id, tfidf DESC, term
+""",
+    doc="Per-document keyword extraction: top-3 terms by tf-idf "
+    "(smoothed idf ln((N+1)/(df+1))) for the scored docs. Corpus df "
+    "comes from ALL documents; only the scored docs' term rows "
+    "survive to ranking, which plans as WindowGroupLimit (per-doc "
+    "k=3 kept before the shuffle). Ranking compares ROUNDED scores "
+    "with a term tiebreak on both engines — drift-proof ordering, "
+    "same rule as text_bm25_search.",
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hdfs_parquet_importer_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("f"))
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    n = tf.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 20)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("f")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), "term"
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )

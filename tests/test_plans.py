@@ -87,6 +87,8 @@ BRUTE_FORCE_OK = {
     "text_bm25_search",      # 1-row corpus-stats (N, avgdl)
                              # broadcast cross join feeding the BM25
                              # length normalization
+    "text_keyword_extraction",  # 1-row corpus-size broadcast cross
+                             # join feeding the smoothed idf
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already

@@ -80,3 +80,34 @@ def test_snapshot_tiebreak_on_equal_timestamps(spark):
     )
     [r] = snap.collect()
     assert (r.tier, r.seq) == ("b", 2)  # highest (ts, seq) wins
+
+
+def test_temporal_join_covers_each_probe_exactly_once(spark, sf_dir):
+    """Interval-partition property: every (user, probe-day) with the
+    user's history open at that instant matches EXACTLY one SCD2
+    version — no gaps, no overlaps — and the matched version's
+    interval really covers the day."""
+    import datetime as dt
+
+    from hdfs_parquet_importer_spark.queries import registry
+
+    rows = registry()["scd2_temporal_join"].fn(spark, sf_dir).collect()
+    seen = {}
+    for r in rows:
+        key = (r.user_id, r.day)
+        assert key not in seen, f"duplicate match {key}"
+        seen[key] = r.version
+    # Each user's matched days must be contiguous from their first
+    # covered day through Jan 30 (versions chain with no gaps).
+    by_user = {}
+    for u, day in seen:
+        by_user.setdefault(u, []).append(day)
+    for u, days in by_user.items():
+        days.sort()
+        d0 = dt.date.fromisoformat(days[0])
+        expect = [
+            (d0 + dt.timedelta(days=i)).isoformat()
+            for i in range(len(days))
+        ]
+        assert days == expect, f"gap in user {u} coverage"
+        assert days[-1] == "2024-01-30"
