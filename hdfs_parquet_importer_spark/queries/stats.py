@@ -467,3 +467,50 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_b").cast("bigint").alias("n_de"),
         F.round(F.max(gap), 6).alias("ks_stat"),
     )
+
+
+@register(
+    "stat_autocorrelation",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(corr(n, prev_n), 6) + 0.0 AS lag1_autocorr
+FROM lagged WHERE prev_n IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Lag-1 autocorrelation of each event type's daily volume — "
+    "the seasonality/trend diagnostic for capacity planning and "
+    "anomaly baselines. The only full-table pass is the (type, day) "
+    "count; the lag window runs PARTITIONED per type over the "
+    "~30-row day series (aggregate-bounded), and corr() is the "
+    "algebraic aggregate again. Integer counts in, ROUND(6)+0.0 "
+    "out (the -0.0 rule).",
+)
+def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "n", F.lag("n").over(w).alias("prev_n")
+    ).filter(F.col("prev_n").isNotNull())
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (F.round(F.corr("n", "prev_n"), 6) + F.lit(0.0)).alias(
+                "lag1_autocorr"
+            ),
+        )
+        .orderBy("event_type")
+    )
