@@ -389,3 +389,43 @@ def test_streaming_upsert_sink_keeps_latest_per_key(spark, tmp_path):
         2: (3, "purchase"),   # batch-2 newer row overrode batch 1
         3: (5, "signup"),     # new key inserted
     }
+
+
+def test_streaming_upsert_checkpoint_prevents_reprocessing(spark, tmp_path):
+    """Running the same availableNow stream twice against the SAME
+    checkpoint must be a no-op the second time (offsets committed);
+    replaying with a FRESH checkpoint (redelivery after checkpoint
+    loss) must converge to the identical final state — the argmax
+    merge is idempotent."""
+    src = tmp_path / "ck_src"
+    src.mkdir()
+    rows = [(1, _ns(1, 0), 1, "view", 10.0), (2, _ns(2, 0), 1, "click", 20.0)]
+    _write_events_file(str(src / "a_events.parquet"), rows)
+
+    def run(ckpt: str, target: str):
+        stream = (
+            spark.readStream.schema(ST.pipeline.EVENTS_SCHEMA)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = ST.pipeline.write_stream_upsert(
+            stream, target, ckpt,
+            keys=["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
+        )
+        _drain(q)
+
+    target = str(tmp_path / "ck_target")
+    ckpt = str(tmp_path / "ckpt1")
+    run(ckpt, target)
+    first = sorted(map(tuple, spark.read.parquet(target).collect()))
+
+    # Same checkpoint: no new offsets -> no merge -> identical files.
+    run(ckpt, target)
+    second = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert second == first
+
+    # Fresh checkpoint (full redelivery): merge re-applies every row
+    # onto the existing target; argmax idempotence keeps state equal.
+    run(str(tmp_path / "ckpt2"), target)
+    third = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert third == first
