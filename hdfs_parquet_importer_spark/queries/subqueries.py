@@ -550,3 +550,54 @@ def subq_lateral_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         ORDER BY n.n_name, c_acctbal DESC, c_name
     """)
+
+
+@register(
+    "subq_not_in_null_trap",
+    oracle="""
+WITH inner_keys AS (
+  SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+              ELSE o_custkey END AS k
+  FROM orders
+)
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM inner_keys)) AS not_in_count,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM inner_keys i WHERE i.k = c.c_custkey))
+    AS not_exists_count
+""",
+    doc="The NOT IN null trap, executed identically on both engines: "
+    "the inner key set contains NULLs (status-P orders), so "
+    "`x NOT IN (...)` is never TRUE under SQL ternary logic — the "
+    "NOT IN count collapses to 0 — while the NOT EXISTS "
+    "formulation (null-safe anti-join) returns the customers who "
+    "really have no orders. Spark plans NOT-IN as "
+    "BroadcastNestedLoopJoin precisely because of this "
+    "null-comparison semantics (it cannot hash on a maybe-null "
+    "match), and NOT EXISTS as a hash anti-join — the single "
+    "biggest silent-correctness + performance reason to rewrite "
+    "NOT IN at scale. Both counts in one row prove both semantics.",
+)
+def subq_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_nin"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_nin"
+    )
+    return spark.sql("""
+        WITH inner_keys AS (
+          SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                      ELSE o_custkey END AS k
+          FROM orders_nin
+        )
+        SELECT
+          (SELECT COUNT(*) FROM customer_nin
+           WHERE c_custkey NOT IN (SELECT k FROM inner_keys))
+            AS not_in_count,
+          (SELECT COUNT(*) FROM customer_nin c
+           WHERE NOT EXISTS (SELECT 1 FROM inner_keys i
+                             WHERE i.k = c.c_custkey))
+            AS not_exists_count
+    """)

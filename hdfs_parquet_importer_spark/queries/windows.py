@@ -810,3 +810,46 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       ROUND(SUM(value) OVER w, 2) AS sum_last_hour
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    doc="TIME-based RANGE frame: per event, the count and value sum "
+    "of the same user's events in the trailing hour — the rolling "
+    "rate-limit / velocity feature. RANGE over an interval bounds "
+    "the frame by TIMESTAMP ARITHMETIC, not row count (a burst of "
+    "100 events in a minute all share nearly the same frame; ROWS "
+    "frames would not express this). The DataFrame API has no "
+    "interval rangeBetween, so this goes through Spark SQL — same "
+    "WINDOW clause both engines. Partitioned per user: per-key "
+    "state is the in-frame buffer, linear scale-out. RANGE frames "
+    "make peer rows (identical ts) share results, which is why the "
+    "output orders by event_id but the frame orders by ts alone.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_trf"
+    )
+    return spark.sql("""
+        SELECT user_id, event_id,
+               date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts_s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               ROUND(SUM(value) OVER w, 2) AS sum_last_hour
+        FROM events_trf
+        WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                       AND CURRENT ROW)
+        ORDER BY user_id, event_id
+    """)

@@ -89,6 +89,11 @@ BRUTE_FORCE_OK = {
                              # length normalization
     "text_keyword_extraction",  # 1-row corpus-size broadcast cross
                              # join feeding the smoothed idf
+    "subq_not_in_null_trap",  # the DEMONSTRATION: NOT IN over a
+                             # nullable key MUST plan as BNLJ (SQL
+                             # ternary semantics forbid hashing);
+                             # the query exists to contrast it with
+                             # the NOT EXISTS hash anti-join
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
