@@ -80,6 +80,9 @@ HEADLINE = [
     "ts_linear_interpolate",
     "agg_activity_bitmap",
     "scd2_temporal_join",
+    # r5 fourth batch: ranked retrieval + the bitmap dashboard.
+    "text_bm25_search",
+    "events_dau_wau_mtd",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

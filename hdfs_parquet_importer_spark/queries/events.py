@@ -832,3 +832,83 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("live").cast("bigint").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT user_id,
+         date_diff('second', MAX(ts), TIMESTAMP '2024-01-31 00:00:00')
+           AS recency_s,
+         COUNT(*) AS frequency,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY recency_s, user_id) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_users,
+       CAST(MIN(user_id) AS BIGINT) AS example_user
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+    doc="RFM customer segmentation: per-user recency (seconds before "
+    "the Jan-31 anchor), frequency, and purchase monetary value "
+    "fold in ONE events pass; each metric then quintile-scores via "
+    "ntile over the per-USER aggregate (aggregate-bounded global "
+    "windows — users, not events, and the gate-permitted shape; at "
+    "billions of users the ntile boundaries come from "
+    "approx_percentile instead, same scores). user_id tiebreaks "
+    "make every quintile assignment deterministic cross-engine; "
+    "score-1 means best in each dimension (most recent / most "
+    "frequent / highest spend). Output is the 5x5x5 segment-size "
+    "cube.",
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    rfm = ev.groupBy("user_id").agg(
+        (
+            anchor.cast("long") - F.max("ts").cast("long")
+        ).alias("recency_s"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    scored = rfm.select(
+        "user_id",
+        F.ntile(5)
+        .over(Window.orderBy("recency_s", "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("user_id").cast("bigint").alias("example_user"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
