@@ -1482,3 +1482,96 @@ def join_shuffled_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+@register(
+    "profile_fk_inclusion",
+    oracle="""
+WITH pairs(child_col, parent_col) AS (
+  VALUES ('orders.o_custkey',   'customer.c_custkey'),
+         ('lineitem.l_orderkey','orders.o_orderkey'),
+         ('lineitem.l_partkey', 'part.p_partkey'),
+         ('customer.c_nationkey','nation.n_nationkey')
+),
+m AS (
+  SELECT 'orders.o_custkey' AS child_col,
+         COUNT(DISTINCT o.o_custkey) AS n_child,
+         COUNT(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+                             THEN o.o_custkey END) AS n_included
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey',
+         COUNT(DISTINCT l.l_orderkey),
+         COUNT(DISTINCT CASE WHEN o.o_orderkey IS NOT NULL
+                             THEN l.l_orderkey END)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey',
+         COUNT(DISTINCT l.l_partkey),
+         COUNT(DISTINCT CASE WHEN p.p_partkey IS NOT NULL
+                             THEN l.l_partkey END)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'customer.c_nationkey',
+         COUNT(DISTINCT c.c_nationkey),
+         COUNT(DISTINCT CASE WHEN n.n_nationkey IS NOT NULL
+                             THEN c.c_nationkey END)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT m.child_col, p.parent_col,
+       CAST(n_child AS BIGINT) AS n_child_distinct,
+       CAST(n_included AS BIGINT) AS n_included,
+       ROUND(n_included / CAST(n_child AS DOUBLE), 6) AS inclusion
+FROM m JOIN pairs p USING (child_col)
+ORDER BY child_col
+""",
+    doc="Foreign-key discovery by inclusion coefficient: for each "
+    "candidate (child, parent) column pair, the fraction of the "
+    "child's DISTINCT values present in the parent — the standard "
+    "schema-profiling statistic (inclusion 1.0 = FK candidate). "
+    "Each pair costs one distinct-project per side (map-side "
+    "partial) and one key equi-join over the DISTINCT sets, never "
+    "raw rows; pairs evaluate independently and union, so a "
+    "100-pair discovery sweep parallelizes trivially. The judge "
+    "case here: all four shipped pairs are true FKs, so every "
+    "inclusion is exactly 1.0 — asserted value-level.",
+)
+def profile_fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for child_t, child_c, parent_t, parent_c in pairs:
+        child = (
+            load_table(spark, sf_dir, child_t).select(child_c).distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t).select(parent_c).distinct()
+        )
+        j = child.join(
+            parent, child[child_c] == parent[parent_c], "left"
+        )
+        row = j.agg(
+            F.lit(f"{child_t}.{child_c}").alias("child_col"),
+            F.lit(f"{parent_t}.{parent_c}").alias("parent_col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_distinct"),
+            F.sum(
+                F.when(F.col(parent_c).isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_included"),
+        ).select(
+            "child_col",
+            "parent_col",
+            "n_child_distinct",
+            "n_included",
+            F.round(
+                F.col("n_included") / F.col("n_child_distinct").cast("double"),
+                6,
+            ).alias("inclusion"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child_col")
