@@ -1892,3 +1892,66 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks)
+SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(a.s)), 6) AS containment
+FROM sh a JOIN sh b
+  ON a.doc_id != b.doc_id
+WHERE len(list_distinct(a.s)) <= len(list_distinct(b.s))
+  AND NOT (len(list_distinct(a.s)) = len(list_distinct(b.s))
+           AND a.doc_id > b.doc_id)
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+        / len(list_distinct(a.s)) >= 0.9
+ORDER BY id_small, id_big
+""",
+    doc="Broder CONTAINMENT near-dup pairs (|A n B| / |A| >= 0.9, "
+    "smaller-set side normalized): the asymmetric twin of "
+    "dedup_ngram_jaccard that catches doc-inside-doc relations — "
+    "a quote or concatenation contains its source with high "
+    "containment but LOW Jaccard (the union is dominated by the "
+    "big doc), so resemblance-only dedup misses it. Each unordered "
+    "pair is emitted once, oriented small->big (shingle-set size, "
+    "doc_id tiebreak on equal sizes). Labeled O(n^2) correctness "
+    "baseline like its Jaccard sibling; the scale path reuses the "
+    "SAME MinHash-LSH banding (candidate generation is identical — "
+    "only the verify formula changes).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        F.col("doc_id"), D.tokens(F.col("text")).alias("_t")
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            D.shingles_of_tokens(F.col("_t"), 3)
+        ).alias("s"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_small"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_big"), F.col("s").alias("sb"))
+    size_a, size_b = F.size("sa"), F.size("sb")
+    cont = (
+        F.size(F.array_intersect("sa", "sb")).cast("double") / size_a
+    )
+    return (
+        a.join(b, F.col("id_small") != F.col("id_big"))
+        .filter(
+            (size_a <= size_b)
+            & ~((size_a == size_b) & (F.col("id_small") > F.col("id_big")))
+        )
+        .filter(cont >= 0.9)
+        .select(
+            "id_small",
+            "id_big",
+            F.round(cont, 6).alias("containment"),
+        )
+        .orderBy("id_small", "id_big")
+    )

@@ -94,6 +94,10 @@ BRUTE_FORCE_OK = {
                              # ternary semantics forbid hashing);
                              # the query exists to contrast it with
                              # the NOT EXISTS hash anti-join
+    "dedup_containment",     # labeled O(n^2) correctness baseline,
+                             # the containment sibling of
+                             # dedup_ngram_jaccard; scale path =
+                             # the same LSH banding
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
