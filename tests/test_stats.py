@@ -118,3 +118,54 @@ def test_sample_k_per_group_plans_group_limit(spark, sf_dir):
 
     per_src = Counter(r.source for r in rows1)
     assert all(v == 3 for v in per_src.values())
+
+
+def test_countmin_sketch_merges_by_addition(spark, sf_dir):
+    """The mergeability claim, executed: cells built on two disjoint
+    halves of events and SUMMED per (row, bucket) must equal the
+    cells built over the full table in one pass — the property that
+    lets per-day/per-source sketches roll up without rescanning."""
+    from hdfs_parquet_importer_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"), "event_id"
+    )
+    depth, width = 4, 64
+
+    def cells_of(df):
+        def bucket(i):
+            return F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(width),
+            )
+
+        hashed = df.select(
+            "t",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("i"), bucket(i).alias("b"))
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("ib"),
+        ).select(F.col("ib.i").alias("i"), F.col("ib.b").alias("b"))
+        return hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    full = {(r.i, r.b): r.c for r in cells_of(ev).collect()}
+    h1 = cells_of(ev.filter(F.col("event_id") % 2 == 0))
+    h2 = cells_of(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {
+        (r.i, r.b): r.c
+        for r in h1.unionByName(h2)
+        .groupBy("i", "b")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    assert merged == full
