@@ -198,17 +198,28 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ORC sink->source roundtrips under the driver gate, the
     # data-quality expectation suite, the edit-distance fuzzy join,
     # period-over-period reporting, and hourly-grid linear
-    # interpolation. The window filled here; later seventh-batch
-    # queries (window_percent_rank_cume, window_running_distinct,
+    # interpolation. The window FILLED here: every operator added
+    # after this point in round 5 (the seventh batch onward —
+    # window_percent_rank_cume, window_running_distinct,
     # window_max_drawdown, agg_activity_bitmap, scd2_temporal_join,
     # snapshot_diff, dq_benford_digits, dq_table_checksum,
-    # stat_ols_catalyst, sample_k_per_group, setop_union_evolved,
-    # agg_partial_reaggregate, multimodal_image_dhash_dedup,
-    # sink_roundtrip_jsonl/orc's ORC sibling already in, and
-    # source_python_datasource) defer to r6 under the rotation
-    # contract's new-code-first ordering — all hold local
-    # full-registry-gate greens from this round
-    # (tests/test_oracle_gate.py) and the r6 window starts with them.
+    # stat_ols_catalyst/_ks_two_sample/_autocorrelation,
+    # sample_k_per_group, setop_union_evolved/_except_all,
+    # agg_partial_reaggregate, agg_string_concat,
+    # multimodal_image_dhash_dedup, sink_roundtrip_jsonl/orc,
+    # source_python_datasource, dq_expectations' later siblings,
+    # quality_unigram_logprob, events_time_to_conversion/
+    # _funnel_3step/_dau_wau_mtd/_peak_concurrency/
+    # _rfm_segmentation, fuzzy_name_clusters, func_timezone_convert,
+    # join_shuffled_hash_hint, text_bm25_search/
+    # _keyword_extraction, subq_not_in_null_trap,
+    # window_time_range_frame, profile_fk_inclusion,
+    # dedup_containment, embedding_covariance) defers to r6 under
+    # the rotation contract's new-code-first ordering — each was
+    # value-verified against DuckDB at sf0.01 the session it was
+    # written (tools/check_oracle.py) and the full registry is
+    # re-gated locally every pytest run (tests/test_oracle_gate.py);
+    # the r6 window starts with them.
     "subq_lateral_top2",
     "sink_roundtrip_jsonl",
     "sink_roundtrip_orc",
