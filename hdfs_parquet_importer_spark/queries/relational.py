@@ -1575,3 +1575,56 @@ def profile_fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("child_col")
+
+
+@register(
+    "join_relational_division",
+    oracle="""
+WITH types AS (SELECT COUNT(DISTINCT p_type) AS n_types FROM part),
+cov AS (
+  SELECT l.l_suppkey, COUNT(DISTINCT p.p_type) AS n_covered
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(cov.n_covered AS BIGINT) AS n_covered
+FROM cov JOIN supplier s ON s.s_suppkey = cov.l_suppkey
+CROSS JOIN types
+WHERE cov.n_covered = types.n_types
+ORDER BY s.s_suppkey
+""",
+    doc="Relational DIVISION ('for all' quantification): suppliers "
+    "who have shipped parts of EVERY part type. Codd's division has "
+    "no direct SQL/DataFrame operator; the scalable rewrite is the "
+    "counting formulation — per-supplier distinct-coverage count "
+    "equals the divisor's cardinality (a broadcast 1-row scalar). "
+    "One fact-dim equi-join + one partial-combined distinct agg; "
+    "the double-NOT-EXISTS textbook form plans as two correlated "
+    "anti-joins and is strictly worse. The same shape answers "
+    "'users who triggered every event type' or 'docs containing "
+    "every query term'.",
+)
+def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    n_types = part.agg(
+        F.countDistinct("p_type").alias("n_types")
+    )
+    cov = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("p_type").alias("n_covered"))
+    )
+    return (
+        cov.crossJoin(F.broadcast(n_types))
+        .filter(F.col("n_covered") == F.col("n_types"))
+        .join(supplier, cov.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("n_covered").cast("bigint").alias("n_covered")
+        )
+        .orderBy("s_suppkey")
+    )

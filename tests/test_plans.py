@@ -98,6 +98,9 @@ BRUTE_FORCE_OK = {
                              # the containment sibling of
                              # dedup_ngram_jaccard; scale path =
                              # the same LSH banding
+    "join_relational_division",  # 1-row divisor-cardinality
+                             # broadcast cross join (the counting
+                             # formulation of Codd division)
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
