@@ -912,3 +912,106 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+WITH tu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+sizes AS (SELECT t, COUNT(*) AS n FROM tu GROUP BY t),
+inter AS (
+  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT type_a, type_b, n_both,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.t = type_a
+JOIN sizes sb ON sb.t = type_b
+ORDER BY type_a, type_b
+""",
+    doc="Audience-overlap matrix: for every event-type pair, the "
+    "user-set intersection size and Jaccard similarity — the "
+    "segment-overlap report behind campaign planning. Distinct "
+    "(type, user) pairs once (map-side combined), then a USER "
+    "equi-join produces intersections grouped by type pair — "
+    "output and shuffle bounded by |types|^2, never user count; "
+    "set sizes join back as a broadcast dim. At billions of users "
+    "the same matrix comes from HLL sketch unions "
+    "(agg_hll_mergeable) with ~2% error instead of exact counting.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    sizes = tu.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    a = tu.select(F.col("t").alias("type_a"), "user_id")
+    b = tu.select(F.col("t").alias("type_b"), F.col("user_id").alias("u2"))
+    inter = (
+        a.join(b, (a.user_id == b.u2) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "events_seasonality_index",
+    oracle="""
+WITH hourly AS (
+  SELECT hour(ts) AS hr, COUNT(*) AS n FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) / 24.0 AS mean_per_hour FROM hourly)
+SELECT hr, n AS n_events,
+       ROUND(n / tot.mean_per_hour, 6) AS seasonal_index
+FROM hourly, tot
+ORDER BY hr
+""",
+    doc="Hour-of-day seasonality index: each hour's event volume "
+    "relative to the uniform per-hour mean (index 1.0 = flat). One "
+    "24-group aggregate plus a broadcast scalar — the profile that "
+    "feeds anomaly baselines (stat_rolling_zscore's expected-load "
+    "prior) and capacity schedules. Integer counts divided by an "
+    "identical double on both engines.",
+)
+def events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = hourly.agg(
+        (F.sum("n_events").cast("double") / 24.0).alias("mean_per_hour")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(tot))
+        .select(
+            "hr",
+            "n_events",
+            F.round(
+                F.col("n_events") / F.col("mean_per_hour"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("hr")
+    )

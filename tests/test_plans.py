@@ -101,6 +101,8 @@ BRUTE_FORCE_OK = {
     "join_relational_division",  # 1-row divisor-cardinality
                              # broadcast cross join (the counting
                              # formulation of Codd division)
+    "events_seasonality_index",  # 1-row per-hour-mean broadcast
+                             # cross join over the 24-row aggregate
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
