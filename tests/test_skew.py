@@ -143,3 +143,52 @@ def test_salted_join_accepts_safe_hows(spark, sf_dir):
     for how in ("inner", "left", "left_semi", "left_anti", "semi", "anti"):
         # must not raise; count forces execution
         salted_join(li, part, "l_partkey", "p_partkey", n_salts=4, how=how).count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling, demonstrated end to end: a join where
+    one key owns ~90% of rows is re-planned at runtime with the hot
+    partition SPLIT (the sort-merge join's scan marked skew=true).
+    Thresholds are lowered so the test-sized data trips the same
+    machinery production trips at 256 MB partitions."""
+    conf = spark.conf
+    old = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # Force a sort-merge join (broadcast would dodge the skew path).
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "id AS payload",
+        )
+        right = spark.range(0, 2_000).selectExpr("id AS k", "id AS r")
+        joined = left.join(right, "k")
+        # Execute THIS DataFrame (a separate .count() plan would leave
+        # joined's own AQE plan unfinalized).
+        rows = joined.collect()
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "skew=true" in plan, "AQE did not mark the skewed side"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
