@@ -937,8 +937,9 @@ ORDER BY type_a, type_b
     "user-set intersection size and Jaccard similarity — the "
     "segment-overlap report behind campaign planning. Distinct "
     "(type, user) pairs once (map-side combined), then a USER "
-    "equi-join produces intersections grouped by type pair — "
-    "output and shuffle bounded by |types|^2, never user count; "
+    "equi-join produces intersections grouped by type pair — the "
+    "join shuffles the distinct pair stream once (|types| x "
+    "|users| rows at most) and the OUTPUT is bounded by |types|^2; "
     "set sizes join back as a broadcast dim. At billions of users "
     "the same matrix comes from HLL sketch unions "
     "(agg_hll_mergeable) with ~2% error instead of exact counting.",
