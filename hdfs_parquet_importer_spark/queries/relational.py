@@ -1628,3 +1628,153 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+WITH ot AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT ok) AS DOUBLE) AS n FROM ot),
+sup AS (SELECT t, COUNT(*) AS n_t FROM ot GROUP BY t),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+  FROM ot a JOIN ot b ON a.ok = b.ok AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT type_a, type_b, n_both,
+       ROUND(n_both / n_orders.n, 6) AS support,
+       ROUND(n_both * n_orders.n
+             / (sa.n_t * CAST(sb.n_t AS DOUBLE)), 6) AS lift
+FROM pairs
+JOIN sup sa ON sa.t = type_a
+JOIN sup sb ON sb.t = type_b
+CROSS JOIN n_orders
+ORDER BY type_a, type_b
+""",
+    doc="Market-basket association mining: for every part-type pair, "
+    "co-occurrence support and LIFT (observed co-rate over the "
+    "independence expectation; lift > 1 = bought together more than "
+    "chance). Distinct (order, type) incidence once, a self "
+    "equi-join ON THE ORDER KEY for pair counts (shuffle carries "
+    "the incidence stream; output is bounded by |types|^2), "
+    "singleton supports join back as broadcast dims, the order "
+    "count as a 1-row scalar. The same plan at item granularity is "
+    "bounded by the pair-vocabulary, with min-support pruning "
+    "(HAVING n_both >= k) cutting the tail the way Apriori does.",
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ot = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("t"))
+        .distinct()
+    )
+    n_orders = ot.select("ok").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    sup = ot.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ot.select(F.col("ok"), F.col("t").alias("type_a"))
+    b = ot.select(F.col("ok").alias("ok2"), F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sup.select(F.col("t").alias("type_a"), F.col("n_t").alias("na"))
+    sb = sup.select(F.col("t").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
+            F.round(
+                F.col("n_both")
+                * F.col("n")
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "report_pareto_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+         SUM(cents) OVER () AS total,
+         row_number() OVER (ORDER BY cents DESC, l_suppkey) AS rnk,
+         COUNT(*) OVER () AS n_sup
+  FROM rev
+)
+SELECT CAST(MAX(n_sup) AS BIGINT) AS n_suppliers,
+       CAST(MIN(CASE WHEN cum >= 0.8 * total THEN rnk END) AS BIGINT)
+         AS n_to_80pct,
+       ROUND(SUM(CASE WHEN rnk <= CAST(ceil(n_sup / 10.0) AS BIGINT)
+                      THEN cents ELSE 0 END)
+             / CAST(MAX(total) AS DOUBLE), 6) AS top_decile_share
+FROM ranked
+""",
+    doc="Pareto / 80-20 concentration report: how many suppliers "
+    "carry 80% of revenue, and the top decile's share. Per-supplier "
+    "revenue folds in one exact-cents pass; the ranking windows run "
+    "over the SUPPLIER-level aggregate (key-bounded input — the "
+    "gate-permitted global-window shape; at extreme supplier "
+    "cardinality the rank comes from operators/prefix.py dist_rank "
+    "instead, same numbers). Deterministic suppkey tiebreak; "
+    "integer cents make every cum/total ratio engine-identical.",
+)
+def report_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_order = Window.orderBy(F.col("cents").desc(), "l_suppkey")
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w_order.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+        F.row_number().over(w_order).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("n_sup"),
+    )
+    decile = F.ceil(F.col("n_sup") / 10.0).cast("long")
+    return ranked.agg(
+        F.max("n_sup").cast("bigint").alias("n_suppliers"),
+        F.min(
+            F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("rnk"))
+        )
+        .cast("bigint")
+        .alias("n_to_80pct"),
+        F.round(
+            F.sum(
+                F.when(F.col("rnk") <= decile, F.col("cents")).otherwise(0)
+            )
+            / F.max("total").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )

@@ -103,6 +103,8 @@ BRUTE_FORCE_OK = {
                              # formulation of Codd division)
     "events_seasonality_index",  # 1-row per-hour-mean broadcast
                              # cross join over the 24-row aggregate
+    "market_basket_lift",    # 1-row order-count broadcast cross
+                             # join feeding support/lift
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
