@@ -514,3 +514,125 @@ def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stat_zipf_fit",
+    oracle="""
+WITH tok AS (
+  SELECT unnest(string_split(lower(regexp_replace(
+           text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS f FROM tok WHERE term != '' GROUP BY term),
+ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rnk
+  FROM tf
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(regr_slope(ln(f), ln(rnk)), 6) AS zipf_slope,
+       ROUND(regr_r2(ln(f), ln(rnk)), 6) AS fit_r2
+FROM ranked
+""",
+    doc="Zipf's-law fit over the corpus frequency spectrum: OLS "
+    "slope of ln(frequency) against ln(rank) — a natural corpus "
+    "should fit slope ~ -1; strong deviation flags synthetic or "
+    "template-heavy text (a data-quality screen for generated "
+    "content). Term counting is the usual vocab-bounded groupBy; "
+    "the rank window runs over the AGGREGATED term table "
+    "(vocabulary-bounded — at web scale feed it "
+    "operators/prefix.py dist_rank, identical ranks), and the fit "
+    "itself is the algebraic regr_slope/r2 aggregate. Deterministic "
+    "term tiebreak; ROUND(6) absorbs log-sum accumulation drift.",
+)
+def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(D.tokens(F.col("text"))).alias("term"))
+    tf = (
+        tok.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "term")
+    ranked = tf.select("f", F.row_number().over(w).alias("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope(F.log("f"), F.log("rnk")), 6).alias(
+            "zipf_slope"
+        ),
+        F.round(F.regr_r2(F.log("f"), F.log("rnk")), 6).alias("fit_r2"),
+    )
+
+
+@register(
+    "stat_welch_ttest",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         dayofweek(ts) IN (0, 6) AS is_weekend,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT is_weekend,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         AVG(CAST(n AS DOUBLE)) AS mu,
+         var_samp(CAST(n AS DOUBLE)) AS v
+  FROM daily GROUP BY is_weekend
+)
+SELECT ROUND(a.mu, 6) AS mean_weekday,
+       ROUND(b.mu, 6) AS mean_weekend,
+       ROUND((a.mu - b.mu)
+             / sqrt(a.v / a.k + b.v / b.k), 6) AS t_stat,
+       ROUND(pow(a.v / a.k + b.v / b.k, 2)
+             / (pow(a.v / a.k, 2) / (a.k - 1)
+                + pow(b.v / b.k, 2) / (b.k - 1)), 4) AS welch_dof
+FROM g a, g b
+WHERE a.is_weekend = false AND b.is_weekend = true
+""",
+    doc="Welch's unequal-variance t-test: does weekday daily event "
+    "volume differ from weekend volume? Group means/variances fold "
+    "through one (day, class) aggregate then a 2-row class "
+    "aggregate — var_samp is algebraic, so the whole test is two "
+    "stacked partial-combined groupBys; the t statistic and "
+    "Welch-Satterthwaite dof are scalar arithmetic on the 2-row "
+    "result. Spark dayofweek() is 1..7 Sunday=1, DuckDB 0..6 "
+    "Sunday=0 — weekend is {1,7} vs {0,6} respectively. The "
+    "p-value lookup (t CDF) is left to the caller, as in every "
+    "SQL-side stats stack.",
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g = daily.groupBy("is_weekend").agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.avg(F.col("n").cast("double")).alias("mu"),
+        F.var_samp(F.col("n").cast("double")).alias("v"),
+    )
+    a = g.filter(~F.col("is_weekend")).select(
+        F.col("k").alias("ka"), F.col("mu").alias("mua"), F.col("v").alias("va")
+    )
+    b = g.filter(F.col("is_weekend")).select(
+        F.col("k").alias("kb"), F.col("mu").alias("mub"), F.col("v").alias("vb")
+    )
+    se2 = F.col("va") / F.col("ka") + F.col("vb") / F.col("kb")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.round("mua", 6).alias("mean_weekday"),
+        F.round("mub", 6).alias("mean_weekend"),
+        F.round((F.col("mua") - F.col("mub")) / F.sqrt(se2), 6).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("ka"), 2) / (F.col("ka") - 1)
+                + F.pow(F.col("vb") / F.col("kb"), 2) / (F.col("kb") - 1)
+            ),
+            4,
+        ).alias("welch_dof"),
+    )

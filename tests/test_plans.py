@@ -105,6 +105,8 @@ BRUTE_FORCE_OK = {
                              # cross join over the 24-row aggregate
     "market_basket_lift",    # 1-row order-count broadcast cross
                              # join feeding support/lift
+    "stat_welch_ttest",      # 1-row weekday-stats x 1-row
+                             # weekend-stats broadcast cross join
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
