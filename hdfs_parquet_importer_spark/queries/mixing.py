@@ -784,3 +784,64 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+grams AS (
+  SELECT doc_id, unnest({_shingles_sql(5)}) AS g
+  FROM toks WHERE len(t) >= 5
+),
+first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN first_seen.first_doc = grams.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN first_seen.first_doc = grams.doc_id
+                      THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM grams JOIN first_seen USING (g)
+WHERE grams.doc_id < 50
+GROUP BY grams.doc_id ORDER BY grams.doc_id
+""",
+    doc="N-gram novelty in ingestion order: per document, the "
+    "fraction of its distinct 5-gram shingles whose FIRST corpus "
+    "occurrence (min doc_id) is this document — the diminishing-"
+    "returns curve dedup-aware crawl curation watches (novelty "
+    "collapsing toward 0 means the crawl is re-reading the web). "
+    "First-seen assignment is one min-aggregate over the gram "
+    "vocabulary; scoring joins the scored docs' grams back on the "
+    "GRAM equi-key. A doc whose every gram first appears in an "
+    "earlier doc scores 0 even if no single document contains it "
+    "wholesale — novelty is finer than document-level dedup. "
+    "Integer counts; exact ratio parity.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", D.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 5
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D.shingles_of_tokens(F.col("t"), 5))
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = grams.filter(F.col("doc_id") < 50).join(first_seen, "g")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(
+                novel / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
