@@ -1016,3 +1016,47 @@ def events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr")
     )
+
+
+@register(
+    "events_cumulative_reach",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d FROM events
+  GROUP BY user_id
+),
+daily_new AS (SELECT d, COUNT(*) AS n_new FROM first_day GROUP BY d)
+SELECT strftime(d, '%Y-%m-%d') AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS reach
+FROM daily_new ORDER BY day
+""",
+    doc="Cumulative reach curve: distinct users ever seen, by day. "
+    "The rolling COUNT(DISTINCT) rewrite: each user contributes on "
+    "exactly their FIRST-seen day (one min-aggregate per user, "
+    "map-side combined), daily new-user counts aggregate to ~30 "
+    "rows, and the cumulative sum runs over that aggregate-bounded "
+    "series — no day-by-day distinct scans (the naive form rescans "
+    "the table once per day). Same first-occurrence decomposition "
+    "as window_running_distinct, applied at corpus-growth scale.",
+)
+def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d")
+    )
+    daily_new = first_day.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily_new.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_new",
+            F.sum("n_new").over(w).cast("bigint").alias("reach"),
+        )
+        .orderBy("day")
+    )
