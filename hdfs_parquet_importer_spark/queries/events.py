@@ -1060,3 +1060,58 @@ def events_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "events_error_rate_sli",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d,
+         COUNT(*) AS n_total,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       n_total, CAST(n_err AS BIGINT) AS n_err,
+       ROUND(n_err / CAST(n_total AS DOUBLE), 6) AS error_rate,
+       ROUND(SUM(n_err) OVER w / CAST(SUM(n_total) OVER w AS DOUBLE), 6)
+         AS error_rate_7d
+FROM daily
+WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+""",
+    doc="Error-rate SLI with a trailing-7-day burn window: daily "
+    "error share plus the rolling ratio-of-sums (NOT mean-of-"
+    "ratios — low-traffic days must not dominate the weekly SLI, "
+    "the standard SRE aggregation rule). One (day, counts) "
+    "aggregate over events; both the daily ratio and the 7-day "
+    "frame run over the ~30-row day series (aggregate-bounded "
+    "window). Integer counts divide to engine-identical doubles.",
+)
+def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_total",
+            F.col("n_err").cast("bigint").alias("n_err"),
+            F.round(
+                F.col("n_err") / F.col("n_total").cast("double"), 6
+            ).alias("error_rate"),
+            F.round(
+                F.sum("n_err").over(w)
+                / F.sum("n_total").over(w).cast("double"),
+                6,
+            ).alias("error_rate_7d"),
+        )
+        .orderBy("day")
+    )

@@ -845,3 +845,50 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mix_source_dup_rate",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({_NORM_SQL}) AS f FROM documents
+),
+sizes AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sizes.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_in_dup_group,
+       ROUND(SUM(CASE WHEN sizes.n > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM fp JOIN sizes USING (f)
+GROUP BY source ORDER BY source
+""",
+    doc="Per-source duplication diagnostics: the share of each "
+    "source's documents whose normalized-text fingerprint is shared "
+    "with at least one other document — the dashboard number that "
+    "tells you WHICH feed is flooding the corpus with copies "
+    "(dedup_exact lists the groups; this attributes them). "
+    "Fingerprint group sizes fold once (map-side), join back on the "
+    "fingerprint equi-key, one ratio per source. A doc counts as "
+    "in-dup-group even when its twin lives in a DIFFERENT source — "
+    "cross-source contamination shows up in both sources' rates.",
+)
+def mix_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", F.md5(D.normalize_text(F.col("text"))).alias("f")
+    )
+    sizes = fp.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
+    in_dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+    return (
+        fp.join(sizes, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            in_dup.cast("bigint").alias("n_in_dup_group"),
+            F.round(
+                in_dup / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
