@@ -1955,3 +1955,61 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_small", "id_big")
     )
+
+
+@register(
+    "eval_langid_confusion",
+    oracle=f"""
+WITH s AS (SELECT lang,
+  {_EN} AS en_hits, {_DE} AS de_hits, {_ES} AS es_hits, {_FR} AS fr_hits,
+  {_HAN} AS han_chars
+FROM documents),
+pred AS (
+  SELECT lang AS actual,
+    CASE WHEN han_chars > 0 THEN 'zh'
+         WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+         WHEN en_hits >= de_hits AND en_hits >= es_hits
+              AND en_hits >= fr_hits THEN 'en'
+         WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+         WHEN es_hits >= fr_hits THEN 'es'
+         ELSE 'fr' END AS predicted
+  FROM s)
+SELECT actual, predicted, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*))
+               OVER (PARTITION BY actual) AS DOUBLE), 6) AS row_share
+FROM pred GROUP BY actual, predicted
+ORDER BY actual, predicted
+""",
+    doc="Classifier evaluation AT SCALE, eating our own dog food: "
+    "the confusion matrix of text_langid's marker-argmax heuristic "
+    "against the ground-truth lang label, with per-actual recall "
+    "shares. One scan pass computes prediction per row (pure "
+    "Catalyst regex arithmetic), one groupBy builds the matrix "
+    "(bounded by |langs|^2), the row-share window runs over the "
+    "matrix itself. This is the standard distributed model-eval "
+    "shape — swap in any UDF-scored prediction column and the plan "
+    "is unchanged. The diagonal IS the per-language recall.",
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("actual"),
+        T.lang_id(F.col("text")).alias("predicted"),
+    )
+    counts = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual")
+    return (
+        counts.select(
+            "actual",
+            "predicted",
+            "n",
+            F.round(
+                F.col("n") / F.sum("n").over(w).cast("double"), 6
+            ).alias("row_share"),
+        )
+        .orderBy("actual", "predicted")
+    )
