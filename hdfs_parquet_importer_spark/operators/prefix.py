@@ -34,24 +34,29 @@ _BASE = "__psbase"
 _ONE = "__psone"
 
 
-def prefix_sum(
+def prefix_sums(
     df: DataFrame,
     order_col: str | Sequence[str],
-    value_col: str,
+    value_cols: Sequence[str],
     bucket: Column,
-    out_col: str = "offset",
+    out_cols: Sequence[str],
 ) -> DataFrame:
-    """Append the EXCLUSIVE prefix sum of ``value_col`` in
-    ``order_col`` order (a column name or a list of names — composite
-    orders break ties, e.g. ``["n_chars", "doc_id"]``) as ``out_col``.
+    """Append the EXCLUSIVE prefix sum of EACH ``value_cols[i]`` in
+    ``order_col`` order as ``out_cols[i]`` — all value columns ride
+    ONE bucketed pass (one partitioned window, one bucket-total
+    aggregate, one broadcast join), so rank + running-sum combos cost
+    the same machinery as a single prefix.
 
-    ``bucket`` must be a monotone function of the PRIMARY order column
-    (bucket ids ascend with the order key and group contiguous
-    ranges) — e.g. ``F.floor(F.col("n_chars") / K)``. Rows tied on
-    the primary column share its bucket, so a composite order stays
-    consistent with bucketing. Monotonicity is what lets per-bucket
-    sums compose into a global prefix.
+    ``order_col`` is a column name or list of names (composite orders
+    break ties, e.g. ``["n_chars", "doc_id"]``). ``bucket`` must be a
+    monotone function of the PRIMARY order column (bucket ids ascend
+    with the order key and group contiguous ranges) — e.g.
+    ``F.floor(F.col("n_chars") / K)``. Rows tied on the primary
+    column share its bucket, so a composite order stays consistent
+    with bucketing. Monotonicity is what lets per-bucket sums compose
+    into a global prefix.
     """
+    assert len(value_cols) == len(out_cols) and value_cols
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     b = df.withColumn(_BUCKET, bucket.cast("long"))
     local_w = (
@@ -59,24 +64,44 @@ def prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    b = b.withColumn(_LOCAL, F.sum(value_col).over(local_w))
+    locals_ = [f"{_LOCAL}{i}" for i in range(len(value_cols))]
+    for v, lc in zip(value_cols, locals_):
+        b = b.withColumn(lc, F.sum(v).over(local_w))
 
-    totals = b.groupBy(_BUCKET).agg(F.sum(value_col).alias("_tot"))
+    totals = b.groupBy(_BUCKET).agg(
+        *[F.sum(v).alias(f"_tot{i}") for i, v in enumerate(value_cols)]
+    )
     # Exclusive running total over bucket ids: tiny (n_buckets rows),
     # the ONLY single-partition window in the plan.
     tot_w = (
         Window.orderBy(_BUCKET)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    bases = totals.withColumn(
-        _BASE, F.sum("_tot").over(tot_w) - F.col("_tot")
-    ).select(_BUCKET, _BASE)
+    bases = []
+    for i in range(len(value_cols)):
+        totals = totals.withColumn(
+            f"{_BASE}{i}", F.sum(f"_tot{i}").over(tot_w) - F.col(f"_tot{i}")
+        )
+        bases.append(f"{_BASE}{i}")
+    base_df = totals.select(_BUCKET, *bases)
 
-    return (
-        b.join(F.broadcast(bases), _BUCKET)
-        .withColumn(out_col, F.col(_BASE) + F.col(_LOCAL) - F.col(value_col))
-        .drop(_BUCKET, _LOCAL, _BASE)
-    )
+    out = b.join(F.broadcast(base_df), _BUCKET)
+    for i, (v, oc) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(
+            oc, F.col(f"{_BASE}{i}") + F.col(locals_[i]) - F.col(v)
+        )
+    return out.drop(_BUCKET, *locals_, *bases)
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str | Sequence[str],
+    value_col: str,
+    bucket: Column,
+    out_col: str = "offset",
+) -> DataFrame:
+    """Single-value convenience wrapper over :func:`prefix_sums`."""
+    return prefix_sums(df, order_col, [value_col], bucket, [out_col])
 
 
 def dist_rank(

@@ -25,13 +25,15 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 WITH s AS (
   SELECT
     COUNT(*) AS n_checked,
-    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price,
-    SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
-      AS v_status,
-    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+      AS v_price,
+    CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END)
+      AS BIGINT) AS v_status,
+    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
               AND o_orderdate < TIMESTAMP '2003-01-01'
-             THEN 0 ELSE 1 END) AS v_date,
-    SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_null
+             THEN 0 ELSE 1 END) AS BIGINT) AS v_date,
+    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+      AS v_null
   FROM orders
 ),
 fk AS (

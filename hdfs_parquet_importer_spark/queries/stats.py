@@ -539,14 +539,20 @@ FROM ranked
     "should fit slope ~ -1; strong deviation flags synthetic or "
     "template-heavy text (a data-quality screen for generated "
     "content). Term counting is the usual vocab-bounded groupBy; "
-    "the rank window runs over the AGGREGATED term table "
-    "(vocabulary-bounded — at web scale feed it "
-    "operators/prefix.py dist_rank, identical ranks), and the fit "
-    "itself is the algebraic regr_slope/r2 aggregate. Deterministic "
-    "term tiebreak; ROUND(6) absorbs log-sum accumulation drift.",
+    "the frequency rank comes from operators/prefix.py dist_rank "
+    "(two-phase bucketed prefix counts — NO unpartitioned window "
+    "over the vocabulary; VERDICT r5 item 4), bucketed on "
+    "(-f, first char of term): monotone in the (f DESC, term ASC) "
+    "rank order, and the first-char split keeps the heavy f=1/f=2 "
+    "tie plateaus from collapsing into one task. The fit itself is "
+    "the algebraic regr_slope/r2 aggregate. Deterministic term "
+    "tiebreak; ROUND(6) absorbs log-sum accumulation drift. Oracle "
+    "keeps the naive row_number formulation as the correctness "
+    "reference — identical ranks.",
 )
 def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators import dedup as D
+    from hdfs_parquet_importer_spark.operators.prefix import dist_rank
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(D.tokens(F.col("text"))).alias("term"))
@@ -555,8 +561,17 @@ def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    w = Window.orderBy(F.col("f").desc(), "term")
-    ranked = tf.select("f", F.row_number().over(w).alias("rnk"))
+    # Rank by f DESC, term ASC == ascending (-f, term). Bucket id
+    # -f*128 + ascii(term[0]) is monotone in that composite order
+    # (ascii < 128), so per-bucket windows compose into the exact
+    # global row_number; ties on f split across ~36 first-char cells.
+    neg = tf.withColumn("negf", -F.col("f"))
+    ranked = dist_rank(
+        neg,
+        ["negf", "term"],
+        F.col("negf") * 128 + F.ascii(F.substring("term", 1, 1)),
+        out_col="rnk",
+    ).select("f", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
         F.round(F.regr_slope(F.log("f"), F.log("rnk")), 6).alias(

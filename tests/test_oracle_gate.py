@@ -69,14 +69,31 @@ def test_every_query_is_oracle_backed_or_documented():
 
 
 @pytest.mark.parametrize("name", _ORACLED)
+def test_oracle_never_emits_hugeint(name, duck):
+    """Registry lint (VERDICT r5 item 2): no oracle may type an output
+    column HUGEINT/UHUGEINT. DuckDB types an uncast integer SUM() as
+    HUGEINT; the driver's pandas fetch decays HUGEINT to float64 while
+    Spark emits int64, so such a column hash-mismatches under the
+    driver even when every value is identical. The fix at the source:
+    CAST(SUM(...) AS BIGINT) in the oracle SQL."""
+    rows = duck.execute("DESCRIBE " + _REG[name].oracle).fetchall()
+    bad = [(r[0], r[1]) for r in rows if "HUGEINT" in str(r[1]).upper()]
+    assert not bad, (
+        f"oracle output columns typed HUGEINT (driver pandas fetch "
+        f"decays these to float64): {bad} — CAST(... AS BIGINT) them"
+    )
+
+
+@pytest.mark.parametrize("name", _ORACLED)
 def test_oracle_parity(name, spark, duck, checker):
     q = _REG[name]
     sdf = q.fn(spark, SF_DIR)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = list(sdf.columns)
-    orel = duck.execute(q.oracle)
-    ocols = [d[0] for d in orel.description]
-    orows = orel.fetchall()
+    # Driver-parity fetch: BOTH sides through pandas (toPandas /
+    # .df()), NOT collect/fetchall — HUGEINT decays to float64 and
+    # NULL ints/doubles decay identically on this path, exactly as
+    # under the driver (VERDICT r5 "What's wrong" 1-3).
+    scols, srows = checker.fetch_spark(sdf)
+    ocols, orows = checker.fetch_oracle(duck, q.oracle)
     assert len(srows) == len(orows), f"rowcount spark={len(srows)} duckdb={len(orows)}"
     assert sorted(scols) == sorted(ocols), f"columns spark={sorted(scols)} duckdb={sorted(ocols)}"
     assert checker.digest(srows, scols) == checker.digest(orows, ocols), (
