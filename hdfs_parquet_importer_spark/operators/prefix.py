@@ -130,6 +130,26 @@ def dist_rank(
     return ranked.withColumn(out_col, F.col(out_col) + F.lit(1)).drop(_ONE)
 
 
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Exact ``ntile(k)`` bucket from a 1-based dense row rank and the
+    total row count — SQL-standard ntile semantics: the first
+    ``n mod k`` buckets hold ``ceil(n/k)`` rows, the rest ``floor``.
+
+    This is how a quantile score survives scale: compute the rank with
+    :func:`dist_rank` (bucketed two-phase, no global window), broadcast
+    the single-row count, and assign buckets arithmetically — versus
+    ``ntile(k) OVER (ORDER BY ...)`` which serializes every row
+    through one task. Bit-identical to the window function for any
+    (rank, n), including n < k and tie-broken orders.
+    """
+    q = F.floor(n / k)
+    rem = n % k
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
+    return F.when(rank <= big, F.ceil(rank / (q + 1))).otherwise(
+        rem + F.ceil((rank - big) / q)
+    ).cast("int")
+
+
 def banded_range_agg(
     df: DataFrame,
     order_col: str,

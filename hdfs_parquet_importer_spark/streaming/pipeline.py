@@ -399,7 +399,16 @@ def write_stream_upsert(
     Per batch: read current target (if any), union the batch, keep
     the newest row per key (operators/upsert.latest_per_key — the
     same deterministic (ts, tiebreak) argmax the batch `etl_upsert`
-    query uses), rewrite atomically via a temp-dir swap. Late or
+    query uses), rewrite via a CRASH-SAFE three-step swap: rename the
+    live dir aside (``path -> path__old``), rename the freshly
+    written staging dir into place, then drop the aside copy — every
+    step is a same-filesystem rename, so at no instant is the target
+    both absent and unrecoverable. On (re)start a leftover
+    ``path__old`` with no live dir is restored first (crash landed
+    between the two renames), stale asides and staging dirs are
+    swept, and THEN the redelivered micro-batch merges against the
+    restored pre-crash table — so replay can never collapse the
+    target to just the batch's own keys (ADVICE r5). Late or
     replayed rows can never regress a key (argmax is idempotent and
     order-insensitive), so redelivered micro-batches after a crash
     recover exactly-once table state from the checkpointed source
@@ -407,12 +416,28 @@ def write_stream_upsert(
     (dynamic partition overwrite) or a format with real MERGE; the
     per-batch plan is identical.
     """
+    import glob as _glob
     import os
     import shutil
 
     from hdfs_parquet_importer_spark.operators.upsert import latest_per_key
 
+    aside = f"{path}__old"
+
+    def recover() -> None:
+        # Crash between rename-aside and rename-into-place leaves no
+        # live dir but a complete aside copy: restore it.
+        if not os.path.isdir(path) and os.path.isdir(aside):
+            shutil.move(aside, path)
+        # A surviving aside next to a live dir means the swap finished
+        # but its cleanup didn't; stale staging dirs are incomplete
+        # writes from a dead batch. Both are safe to drop.
+        shutil.rmtree(aside, ignore_errors=True)
+        for stale in _glob.glob(f"{path}__staging_*"):
+            shutil.rmtree(stale, ignore_errors=True)
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover()
         spark = batch_df.sparkSession
         if os.path.isdir(path):
             merged = latest_per_key(
@@ -427,8 +452,10 @@ def write_stream_upsert(
             )
         tmp = f"{path}__staging_{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isdir(path):
+            shutil.move(path, aside)
         shutil.move(tmp, path)
+        shutil.rmtree(aside, ignore_errors=True)
 
     return (
         stream_df.writeStream.foreachBatch(merge_batch)

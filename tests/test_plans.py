@@ -107,19 +107,51 @@ BRUTE_FORCE_OK = {
                              # join feeding support/lift
     "stat_welch_ttest",      # 1-row weekday-stats x 1-row
                              # weekend-stats broadcast cross join
+    "events_rfm_segmentation",  # 1-row user-count broadcast cross
+                             # join feeding ntile_from_rank (r6
+                             # de-single-reducer rewrite)
+    "report_pareto_concentration",  # 1-row total/count broadcast
+                             # cross join feeding the 80/20 cutoffs
+                             # (r6 de-single-reducer rewrite)
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
-# bounded by an Aggregate/Limit below it (see
-# test_no_unbounded_global_windows). Everything else must either
-# partition its windows or feed them aggregate-/limit-bounded inputs
-# — the stat_spearman_rank r4 anti-pattern (global row_number over the
-# full table) can never come back silently.
+# bounded by a Limit below it (see test_no_unbounded_global_windows).
+# Everything else must partition its windows, feed them limit-bounded
+# inputs, or ride the prefix machinery — the stat_spearman_rank r4
+# anti-pattern (global row_number over the full table) can never come
+# back silently.
 GLOBAL_WINDOW_OK = {
     "window_ntile_global",   # the labeled single-task demo: its doc
                              # names the scalable twin
                              # (window_quartile_scalable) as the one
                              # to reach for at scale
+}
+
+# VERDICT r5 item 5: "Aggregate below the window" is NOT sufficient —
+# an aggregate keyed on user_id/term/suppkey grows with the data, so
+# its output through one window task dies at 100x (the r5 zipf / RFM /
+# pareto mistake, all three now on operators/prefix.py machinery).
+# An unpartitioned window over an aggregate therefore needs an entry
+# HERE, and the justification must name the CONSTANT (or value-domain-
+# bounded) grouping domain that caps the window's input independent of
+# row count. Windows ordering on __psbucket are exempt structurally:
+# that column only exists inside operators/prefix.py's bucket-total
+# pass, whose input cardinality is rows/bucket_width by construction.
+GLOBAL_WINDOW_AGG_OK = {
+    "dq_benford_digits": "grouped by leading digit — domain {1..9}",
+    "events_cumulative_reach": "window input grouped by January day "
+    "(<=31 rows); the per-user first-seen aggregate sits below a "
+    "second, day-keyed aggregate",
+    "events_error_rate_sli": "grouped by January day (<=31 rows)",
+    "report_mom_yoy": "grouped by calendar month of the 7-year "
+    "orders range (<=84 rows; bounded by the date domain, not rows)",
+    "window_share_of_total": "grouped by nation name (25 values, "
+    "fixed reference dimension)",
+    "stat_ks_two_sample": "ECDF steps grouped by distinct n_chars "
+    "values — bounded by the document-length DOMAIN (chars per doc), "
+    "not document count; a 100TB corpus still has <~1e5 distinct "
+    "lengths",
 }
 
 
@@ -154,14 +186,17 @@ def _logical_nodes(node):
 
 def test_no_unbounded_global_windows(dfs):
     """An unpartitioned Window moves ALL its input through one task —
-    fine over an aggregate's group rows or a limit's survivors (both
-    bounded far below row count), death over a raw table at 100 TB.
-    Every unpartitioned Window in every registered query must have an
-    Aggregate or Limit strictly below it in the optimized logical
-    plan, except the explicitly-labeled single-task demos."""
+    fine over a limit's survivors or a constant-domain aggregate's
+    group rows, death over anything that grows with the data. Every
+    unpartitioned Window in every registered query must have a Limit
+    strictly below it in the optimized logical plan, order on the
+    prefix machinery's bucket-total column, or carry a justified
+    GLOBAL_WINDOW_AGG_OK entry naming the constant domain — a bare
+    Aggregate below no longer passes (VERDICT r5 item 5: user/term/
+    suppkey-keyed aggregates grow with the data)."""
     offenders = []
     for name, df in dfs.items():
-        if name in GLOBAL_WINDOW_OK:
+        if name in GLOBAL_WINDOW_OK or name in GLOBAL_WINDOW_AGG_OK:
             continue
         plan = df._jdf.queryExecution().optimizedPlan()
         for node in _logical_nodes(plan):
@@ -169,17 +204,44 @@ def test_no_unbounded_global_windows(dfs):
                 continue
             if not node.partitionSpec().isEmpty():
                 continue
+            if "__psbucket" in node.orderSpec().toString():
+                continue
             subtree = list(_logical_nodes(node))[1:]
             bounded = any(
-                n.nodeName() in ("Aggregate", "GlobalLimit", "LocalLimit")
+                n.nodeName() in ("GlobalLimit", "LocalLimit")
                 for n in subtree
             )
             if not bounded:
                 offenders.append(name)
                 break
     assert not offenders, (
-        f"unpartitioned windows over unbounded input in: {offenders}"
+        f"unpartitioned windows over unbounded input in: {offenders} — "
+        "partition the window, bound it with a Limit, route it through "
+        "operators/prefix.py, or add a justified GLOBAL_WINDOW_AGG_OK "
+        "entry"
     )
+
+
+def test_global_window_agg_allowlist_is_tight(dfs):
+    """Every GLOBAL_WINDOW_AGG_OK entry must still be needed: if the
+    query no longer has a non-machinery unpartitioned window, the
+    entry is stale and must go (allowlists only ever grow unless
+    something prunes them)."""
+    stale = []
+    for name in GLOBAL_WINDOW_AGG_OK:
+        plan = dfs[name]._jdf.queryExecution().optimizedPlan()
+        found = False
+        for node in _logical_nodes(plan):
+            if (
+                node.nodeName() == "Window"
+                and node.partitionSpec().isEmpty()
+                and "__psbucket" not in node.orderSpec().toString()
+            ):
+                found = True
+                break
+        if not found:
+            stale.append(name)
+    assert not stale, f"stale GLOBAL_WINDOW_AGG_OK entries: {stale}"
 
 
 def test_no_accidental_cartesian(plans):

@@ -429,3 +429,58 @@ def test_streaming_upsert_checkpoint_prevents_reprocessing(spark, tmp_path):
     run(str(tmp_path / "ckpt2"), target)
     third = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert third == first
+
+
+def test_streaming_upsert_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash-safety of the three-step swap (ADVICE r5): simulate a
+    death BETWEEN the rename-aside and the rename-into-place — the
+    live dir is gone, the complete pre-crash table sits at
+    ``<target>__old`` and a half-written staging dir lingers. A
+    redelivered batch (fresh checkpoint) must first RESTORE the aside
+    copy and merge against it, so keys absent from the replayed batch
+    survive. Under the old rmtree+move swap this state lost every
+    previously-upserted key not in the batch."""
+    import os
+    import shutil
+
+    src = tmp_path / "crash_src"
+    src.mkdir()
+    _write_events_file(
+        str(src / "a_events.parquet"),
+        [(1, _ns(1, 0), 1, "view", 10.0), (2, _ns(1, 5), 2, "view", 20.0)],
+    )
+
+    def run(ckpt: str, target: str):
+        stream = (
+            spark.readStream.schema(ST.pipeline.EVENTS_SCHEMA)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = ST.pipeline.write_stream_upsert(
+            stream, target, ckpt,
+            keys=["user_id"], ts_col="ts", tiebreak_cols=["event_id"],
+        )
+        _drain(q)
+
+    target = str(tmp_path / "crash_target")
+    run(str(tmp_path / "ckpt1"), target)
+    assert {r.user_id for r in spark.read.parquet(target).collect()} == {1, 2}
+
+    # Forge the mid-swap crash state.
+    shutil.move(target, target + "__old")
+    os.makedirs(target + "__staging_99")
+    with open(target + "__staging_99/part-00000.parquet.tmp", "w") as fh:
+        fh.write("half-written")
+    assert not os.path.isdir(target)
+
+    # Redeliver only user 3 (fresh source file + fresh checkpoint):
+    # users 1 and 2 exist only in the aside copy.
+    _write_events_file(
+        str(src / "b_events.parquet"), [(5, _ns(2, 0), 3, "signup", 1.0)]
+    )
+    run(str(tmp_path / "ckpt2"), target)
+
+    got = {r.user_id for r in spark.read.parquet(target).collect()}
+    assert got == {1, 2, 3}, got
+    assert not os.path.isdir(target + "__old")
+    assert not os.path.isdir(target + "__staging_99")
