@@ -97,20 +97,38 @@ def pagerank(
 
     Per-iteration cost is ONE equi-join of the rank vector to the
     normalized edge list plus a groupBy-sum on the destination — the
-    standard distributed formulation; every scalar (node count,
-    dangling mass) reaches the plan as a broadcast 1-row aggregate,
-    never a ``collect``. At web scale, partition ``edges`` by ``src``
-    once upfront so every iteration's join reuses the layout, and set
-    ``checkpoint_every`` (e.g. 5) so lineage stays bounded — with it
-    at 0 the plan grows linearly in ``n_iter``, which Catalyst
-    handles fine for the single-digit iteration counts fixed-point
-    analytics use.
+    standard distributed formulation. The dangling mass rides MASS
+    CONSERVATION instead of a second pass over the rank vector:
+    PageRank keeps total rank at exactly 1, and each source's
+    outgoing probabilities sum to 1, so
+
+        dangling_mass = 1 - SUM(contributions)
+
+    — a 1-row aggregate over the (in-degree-bounded) contribution
+    table, not an anti-join over ranks. That makes the contribution
+    table the ONLY per-iteration state: with ``materialize`` it
+    checkpoints once per iteration (tiny — one row per in-linked
+    node) and everything else derives lazily at constant plan depth.
+    Every scalar (node count, conserved dangling mass) reaches the
+    plan as a broadcast 1-row aggregate, never a ``collect``. At web
+    scale, partition ``edges`` by ``src`` once upfront so every
+    iteration's join reuses the layout; ``checkpoint_every``
+    additionally checkpoints the derived rank vector itself every k
+    iterations if the per-iteration contrib checkpoint is disabled
+    (``materialize=False``) — with both at 0/False the whole
+    computation is one lazy plan growing linearly in ``n_iter``.
     """
     e = edges.select(
         F.col(src).alias("_src"),
         F.col(dst).alias("_dst"),
         (F.col(weight) if weight else F.lit(1.0)).cast("double").alias("_w"),
     )
+    if materialize:
+        # Materialize the (possibly expensive) upstream edge pipeline
+        # ONCE; nodes/out-weights/normalized edges below all derive
+        # from this table, so each of their checkpoint jobs reads the
+        # cached edge rows instead of re-running the pipeline.
+        e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -123,12 +141,11 @@ def pagerank(
     )
     if materialize:
         # Spark does not dedupe common subplans: every iteration
-        # references nodes/en/outw, so the pure-lazy form re-derives
-        # the edge list once per reference. Materialize the loop
+        # references nodes/en, so the pure-lazy form re-derives the
+        # edge list once per reference. Materialize the loop
         # invariants once — at web scale this is "pre-partition the
         # edge list and keep it", the standard PageRank layout.
         nodes = nodes.localCheckpoint(eager=True)
-        outw = outw.localCheckpoint(eager=True)
         en = en.localCheckpoint(eager=True)
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -140,9 +157,19 @@ def pagerank(
             .groupBy("_dst")
             .agg(F.sum(F.col("rank") * F.col("_p")).alias("_contrib"))
         )
-        dangling = (
-            ranks.join(outw, ranks.node == outw._src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
+        if materialize:
+            # The only per-iteration job: one shuffle join + partial
+            # agg, one row per in-linked node. ranks below derives
+            # from THIS table lazily, so plan depth stays constant
+            # without ever materializing the rank vector.
+            contrib = contrib.localCheckpoint(eager=True)
+        # Mass conservation: sum(r) == 1 every iteration and each
+        # source's outgoing p sums to 1, so the rank mass that did NOT
+        # arrive as a contribution is exactly the dangling mass.
+        dangling = contrib.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("_contrib"), F.lit(0.0))).alias(
+                "_dmass"
+            )
         )
         ranks = (
             nodes.join(contrib, nodes.node == contrib._dst, "left")

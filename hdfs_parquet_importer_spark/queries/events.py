@@ -373,6 +373,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
     """Unroll the exact power iterations pagerank() runs, one CTE
     trio (contributions, dangling mass, new ranks) per iteration.
+    Dangling mass uses the same mass-conservation identity as the
+    Spark operator (1 - SUM(contrib) — see operators/graph.py).
     Damping constants are emitted as repr'd doubles so both engines
     parse the identical IEEE-754 values Python handed Spark."""
     base = (1.0 - d) / 1.0  # (1-d) as the same double Spark uses
@@ -391,8 +393,7 @@ r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn)"""
             f""",
 c{i} AS (SELECT en.dst AS node, SUM(r.rank * en.p) AS contrib
         FROM r{i - 1} r JOIN en ON r.node = en.src GROUP BY en.dst),
-d{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dmass FROM r{i - 1}
-        WHERE node NOT IN (SELECT src FROM outw)),
+d{i} AS (SELECT 1.0 - COALESCE(SUM(contrib), 0.0) AS dmass FROM c{i}),
 r{i} AS (SELECT nodes.node,
         CAST({base!r} AS DOUBLE) / nn.n
         + CAST({d!r} AS DOUBLE)
@@ -412,26 +413,21 @@ SELECT node AS event_type, ROUND(rank, 6) AS pagerank FROM r{n_iter}"""
     doc="Weighted PageRank (damping 0.85, 5 fixed power iterations, "
     "uniform dangling-mass redistribution) over the event-type "
     "transition graph. Each iteration is ONE rank-to-edges equi-join "
-    "+ groupBy(dst) partial-agg sum; node count and dangling mass "
-    "enter as broadcast 1-row aggregates (never a collect), and the "
-    "oracle unrolls the identical iterations CTE-for-CTE. The loop "
-    "invariants (normalized edges, out-weights, nodes) materialize "
-    "ONCE — Spark does not dedupe common subplans, so the pure-lazy "
-    "form re-derived the edge list per iteration reference. At web "
-    "scale checkpoint_every=5 additionally bounds rank lineage "
-    "(operators/graph.py:pagerank).",
+    "+ groupBy(dst) partial-agg sum — the dangling mass is NOT a "
+    "second pass over ranks but the mass-conservation identity "
+    "1 - SUM(contrib) as a broadcast 1-row aggregate (r6: halves "
+    "the per-iteration DAG vs the old rank-checkpoint + anti-join "
+    "loop); the oracle unrolls the identical iterations CTE-for-CTE "
+    "with the same identity. The loop invariants (normalized edges, "
+    "nodes) materialize ONCE and the per-iteration contribution "
+    "table (one row per in-linked node) is the only iterated "
+    "checkpoint (operators/graph.py:pagerank).",
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.graph import pagerank
 
     ev = load_table(spark, sf_dir, "events")
     edges = _transition_edges(ev)
-    # checkpoint_every=1: each iteration references the previous rank
-    # vector TWICE (contrib join + dangling-mass agg) and Spark does
-    # not dedupe common subplans, so the pure-lazy chain re-executes
-    # 2^n_iter tiny stage DAGs — measured 3x slower at sf0.1. The
-    # rank vector is |nodes| rows, so per-iteration materialization
-    # costs nothing and is the standard Pregel-style loop shape.
     pr = pagerank(
         edges,
         "src",
@@ -439,7 +435,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight="n_trans",
         damping=0.85,
         n_iter=5,
-        checkpoint_every=1,
     )
     return pr.select(
         F.col("node").alias("event_type"),
