@@ -134,9 +134,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_bm25_search",
     "text_keyword_extraction",
     "dedup_containment",
-    "eval_langid_confusion",
     "scd2_temporal_join",
     "snapshot_diff",
+    # (P1) graph_pagerank's r6 rewrite changed the dangling-mass
+    # FORMULATION (mass-conservation identity on both engines) — not
+    # value-neutral, so it re-verifies now; eval_langid_confusion
+    # yields its slot to the r7 queue (the one backlog deferral,
+    # chosen as the simplest never-windowed oracle).
+    "graph_pagerank",
     "source_python_datasource",
     "dq_benford_digits",
     "dq_table_checksum",
@@ -164,7 +169,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     window_first_last, window_ntile_global, window_rank_dense,
 #     func_explode_outer plus func_string's r5 green stays) and the
 #     oldest r2 greens (etl_cleanse, etl_array_parse, dedup_exact, ...);
-# (c) any query whose code changes in r6 after this window froze.
+# (c) eval_langid_confusion — the one r6 backlog deferral (P3,
+#     displaced by graph_pagerank's P1 re-verification);
+# (d) the r6 value-neutral plan-only cohort (P4): dedup_simhash
+#     (verification-subset cap), text_boilerplate_blocks (shared
+#     exchange), text_quality + corpus_source_overlap
+#     (ensure_parallelism / array_distinct) — all value-identical by
+#     construction and locally pandas-fetch-gated this session.
 
 
 def registry() -> dict[str, Query]:

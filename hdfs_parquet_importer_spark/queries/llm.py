@@ -609,7 +609,11 @@ FROM s
     "so doubles match bit-for-bit.",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    # Four regex passes per row are CPU-bound — spread a narrow
+    # (single-file) input across cores first.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1241,6 +1245,13 @@ def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(T.token_blocks(F.col("_t"), 10)).alias("blk"),
         )
         .select("doc_id", "source", F.md5(F.col("blk")).alias("h"))
+        # One explicit hash exchange on the block hash, shared by BOTH
+        # consumers below (Spark reuses identical exchange subplans):
+        # without it the tokenize+block+md5 projection runs twice —
+        # once under the df groupBy, once under the join-back — and
+        # with it the df groupBy and the h equi-join are both
+        # exchange-free on the already-partitioned data.
+        .repartition("h")
     )
     bdf = blocks.groupBy("h").agg(
         F.countDistinct("doc_id").alias("blk_df")
@@ -1802,29 +1813,53 @@ LIMIT 10
     "length normalization from a corpus doc-length aggregate, "
     "corpus stats as a broadcast 1-row scalar — every join is a "
     "term or doc_id equi-join and the top-10 plans as "
-    "TakeOrderedAndProject. Ranking compares ROUNDED scores with a "
-    "doc_id tiebreak on BOTH engines, so float accumulation drift "
-    "cannot reorder the boundary. The full-index twin at 100 TB is "
-    "the persisted postings layout of operators/tfidf.py.",
+    "TakeOrderedAndProject. r6 plan: ONE tokenize pass computes "
+    "doc length and all query-term frequencies as array "
+    "expressions per row (size(filter(tokens, = t)) — no explode, "
+    "no (doc, term) shuffle at all), then stack() unpivots the "
+    "tiny per-doc row; at 100 TB the per-doc counts table is "
+    "O(n_docs x query_len), never O(total tokens). Ranking "
+    "compares ROUNDED scores with a doc_id tiebreak on BOTH "
+    "engines, so float accumulation drift cannot reorder the "
+    "boundary. The full-index twin at 100 TB is the persisted "
+    "postings layout of operators/tfidf.py.",
 )
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators import dedup as D
 
     k1, b = 1.2, 0.75
+    qterms = ["spark", "join", "stream"]
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(D.tokens(F.col("text"))).alias("term")
+    tokc = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
+
+    def _term_count(term: str):
+        # NB: the filter lambda must be unary — a second parameter
+        # would be bound to the ELEMENT INDEX by the HOF protocol.
+        return (
+            F.size(F.filter("_t", lambda x: x == F.lit(term)))
+            .cast("long")
+            .alias(f"f_{term}")
+        )
+
+    per_doc = tokc.select(
+        "doc_id",
+        F.size("_t").alias("len"),
+        *[_term_count(t) for t in qterms],
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    stats = dl.agg(
+    # Three consumers (corpus stats, the unpivot, and through it the
+    # df agg) of a 4-ints-per-doc table: materialize once so the
+    # tokenize pass runs exactly once.
+    per_doc = per_doc.localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("len").alias("avgdl"),
     )
-    tf = (
-        tok.filter(F.col("term").isin("spark", "join", "stream"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("f"))
-    )
+    stack_args = ", ".join(f"'{t}', f_{t}" for t in qterms)
+    tf = per_doc.selectExpr(
+        "doc_id",
+        "len",
+        f"stack({len(qterms)}, {stack_args}) AS (term, f)",
+    ).filter(F.col("f") > 0)
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
@@ -1842,7 +1877,6 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.sum(score_term).alias("score"))
