@@ -366,15 +366,25 @@ def write_stream_parquet(
     foreachBatch hands each micro-batch over as a *batch* DataFrame,
     unlocking every batch sink/feature (overwrite-by-partition MERGE
     patterns, JDBC, multi-sink fan-out). Exactly-once comes from the
-    checkpointed batch id + an idempotent write. The direct
-    ``format("parquet")`` sink would also work for pure append; the
-    foreachBatch form is the production template.
+    checkpointed batch id + an IDEMPOTENT write: each batch lands in
+    its own ``_batch_id=N`` partition under dynamic partition
+    overwrite, so a batch redelivered after a crash (offsets
+    committed to the checkpoint only after the sink returns)
+    OVERWRITES its own partition instead of appending a duplicate
+    copy — plain ``mode("append")`` here would double rows on every
+    replay. The direct ``format("parquet")`` sink would also work
+    for pure append; the foreachBatch form is the production
+    template.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(path)
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -92,6 +92,40 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == back.count()
 
 
+def test_foreachbatch_parquet_sink_redelivery_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Checkpoint LOSS (fresh checkpoint, same source, same target)
+    redelivers every micro-batch. The per-batch dynamic partition
+    overwrite must land each redelivered batch in its own _batch_id
+    partition — replacing, not appending — so the target holds each
+    source row exactly once. Under the old mode("append") write this
+    exact scenario doubled every row."""
+    events = ST.read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    out = str(tmp_path / "out")
+    q = ST.write_stream_parquet(
+        events.select("event_id", "event_type", "value"),
+        out,
+        str(tmp_path / "ckpt1"),
+    )
+    _drain(q)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(out).count() == n_src
+
+    # Full redelivery with a FRESH checkpoint.
+    q2 = ST.write_stream_parquet(
+        ST.read_events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+            "event_id", "event_type", "value"
+        ),
+        out,
+        str(tmp_path / "ckpt2"),
+    )
+    _drain(q2)
+    back = spark.read.parquet(out)
+    assert back.count() == n_src
+    assert back.select("event_id").distinct().count() == n_src
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Run 1 drains a file whose max event time is 13:00, committing a
     watermark of 11:00 (2h delay) into the checkpoint. Run 2 — same
