@@ -243,8 +243,10 @@ FROM orders ORDER BY o_orderkey
 """,
     doc=(
         "GLOBAL window (no partition) — surface demo only: Spark executes "
-        "this in ONE task; at 100 TB use range-partitioned percentiles "
-        "(approx_percentile or a two-pass rank) instead."
+        "this in ONE task; at 100 TB use the scalable twins instead — "
+        "window_quartile_scalable, or operators/prefix.py dist_rank + "
+        "ntile_from_rank (bit-equal ntile(k) from a bucketed rank, the "
+        "events_rfm_segmentation shape)."
     ),
 )
 def window_ntile_global(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,9 +3,12 @@
 Root cause of the r1 `window_moving_avg` driver hash-fail: the driver
 canonicalizes results through pandas DataFrames, where value identity
 is dtype-sensitive — an int64 123 (Spark) and a float64 123.0 (DuckDB
-HUGEINT sums decay to float64 in `fetchdf`) hash differently, even
-though the repo's own `tools/check_oracle.py` `canon()` collapses both
-to "123" and reports a pass.
+HUGEINT sums decay to float64 in `fetchdf`) hash differently. Since
+r6 `tools/check_oracle.py` fetches BOTH engines through pandas
+(`fetch_spark` / `fetch_oracle`) with a dtype-strict `canon()`, so
+the replica reproduces this class directly; this audit remains the
+fast column-level lens (dtype kinds only, no value hashing) for
+localizing WHICH column diverges.
 
 This audit runs every oracle-backed query on BOTH engines and compares
 the pandas dtype *kind* per column (int-family vs float vs object vs
