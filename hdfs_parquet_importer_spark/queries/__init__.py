@@ -171,6 +171,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     oldest r2 greens (etl_cleanse, etl_array_parse, dedup_exact, ...);
 # (c) eval_langid_confusion — the one r6 backlog deferral (P3,
 #     displaced by graph_pagerank's P1 re-verification);
+# (c2) the two operators ADDED in r6 (P3 new-code rows):
+#     stat_bootstrap_ci (Poisson bootstrap CI) and mix_upsample_rare
+#     (capped rare-domain replication);
 # (d) the r6 value-neutral plan-only cohort (P4): dedup_simhash
 #     (verification-subset cap), text_boilerplate_blocks (shared
 #     exchange), text_quality + corpus_source_overlap

@@ -904,3 +904,70 @@ def mix_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mix_upsample_rare",
+    oracle="""
+WITH shares AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY source),
+mx AS (SELECT MAX(n) AS mx FROM shares),
+f AS (SELECT source, n,
+             least(4, greatest(1, mx // n)) AS factor
+      FROM shares, mx),
+up AS (SELECT d.source, d.doc_id,
+              unnest(range(1, f.factor + 1)) AS copy
+       FROM documents d JOIN f USING (source))
+SELECT u.source,
+       ANY_VALUE(f.n) AS n_before,
+       CAST(ANY_VALUE(f.factor) AS BIGINT) AS factor,
+       CAST(COUNT(*) AS BIGINT) AS n_after,
+       CAST(SUM(u.doc_id) AS BIGINT) AS id_sum
+FROM up u JOIN f ON u.source = f.source
+GROUP BY u.source ORDER BY u.source
+""",
+    doc="Rare-domain upsampling — the other half of corpus mixing "
+    "next to mix_temperature_sampling's downsampling: each source "
+    "repeats ceil-ish (largest_source // n, integer division so "
+    "both engines branch identically) times, capped at 4 epochs — "
+    "the 'repeat small high-quality domains up to k epochs' rule "
+    "every pretraining mix uses (replication factors are policy, "
+    "the cap keeps memorization bounded). Plan: per-source counts "
+    "fold to a SOURCE-bounded factor dim that broadcasts back; the "
+    "replication itself is explode(sequence(1, factor)) — a "
+    "scan-side row generator, no shuffle, no join amplification; "
+    "the verification aggregate re-reduces per source. At 100 TB "
+    "the explode multiplies only rare sources (bounded by the 4x "
+    "cap), and the factor table stays tiny.",
+)
+def mix_upsample_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shares = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mx = shares.agg(F.max("n").alias("mx"))
+    f = shares.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n",
+        F.least(
+            F.lit(4).cast("long"),
+            F.greatest(F.lit(1).cast("long"), F.expr("mx div n")),
+        ).alias("factor"),
+    )
+    up = docs.select("source", "doc_id").join(F.broadcast(f), "source").select(
+        "source",
+        "doc_id",
+        "n",
+        "factor",
+        F.explode(F.sequence(F.lit(1), F.col("factor"))).alias("copy"),
+    )
+    return (
+        up.groupBy("source")
+        .agg(
+            F.first("n").alias("n_before"),
+            F.first("factor").cast("bigint").alias("factor"),
+            F.count(F.lit(1)).cast("bigint").alias("n_after"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -651,3 +651,125 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_dof"),
     )
+
+
+# Poisson(1) CDF constants, emitted as repr'd doubles so both engines
+# compare the identical IEEE-754 values (F(k) = e^-1 * sum 1/i!).
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726562,
+    0.9994058151824182,
+    0.999916758850712,
+)
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    + " ELSE 7 END"
+)
+
+
+@register(
+    "stat_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (SELECT CAST(b AS INT) AS b FROM range(1, 65) t(b)),
+u AS (
+  SELECT r.b,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         ('0x' || substr(md5(o.o_orderkey::VARCHAR || ':'
+                             || r.b::VARCHAR), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM orders o CROSS JOIN reps r),
+k AS (SELECT b, cents, {_POIS_CASE_SQL} AS c FROM u),
+m AS (SELECT b, CAST(SUM(c * cents) AS BIGINT) AS swt,
+             CAST(SUM(c) AS BIGINT) AS sw
+      FROM k GROUP BY b),
+means AS (SELECT swt / CAST(nullif(sw, 0) AS DOUBLE) AS mb FROM m)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       ROUND(AVG(mb), 4) AS boot_mean_cents,
+       ROUND(quantile_cont(mb, 0.025), 4) AS ci_lo_cents,
+       ROUND(quantile_cont(mb, 0.975), 4) AS ci_hi_cents
+FROM means
+""",
+    doc="Poisson bootstrap 95% confidence interval for the mean order "
+    "value — THE scalable bootstrap: classic resampling-with-"
+    "replacement needs the global row count per draw, but for large "
+    "n each row's multiplicity in a resample is Poisson(1) "
+    "independently, so every row computes its own 64 replicate "
+    "weights from a deterministic md5 coin (u -> inverse-CDF chain "
+    "of repr'd constants, identical branches both engines) with NO "
+    "coordination. Plan: 64x row explode -> groupBy(replicate) with "
+    "map-side partial aggregation (each partition reduces to <=64 "
+    "rows before the shuffle; at extreme width use 2x64 aggregate "
+    "columns instead of the explode). Replicate means divide exact "
+    "integer cent sums; the CI is an exact percentile over the "
+    "64-row replicate-mean table (bounded), R-7 interpolation on "
+    "both engines. ROUND(4) absorbs the 64-double AVG accumulation "
+    "order.",
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rep = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    c = None
+    for k, cdf in enumerate(_POIS_CDF):
+        branch = F.when(u < F.lit(cdf), F.lit(k))
+        c = branch if c is None else c.when(u < F.lit(cdf), F.lit(k))
+    c = c.otherwise(F.lit(7))
+    m = (
+        rep.withColumn("c", c)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("c") * F.col("cents")).cast("long").alias("swt"),
+            F.sum("c").cast("long").alias("sw"),
+        )
+    )
+    means = m.select(
+        F.expr("swt / CAST(nullif(sw, 0) AS DOUBLE)").alias("mb")
+    )
+    n_rows = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        means.agg(
+            F.count(F.lit(1)).alias("n_replicates"),
+            F.round(F.avg("mb"), 4).alias("boot_mean_cents"),
+            F.round(F.percentile("mb", 0.025), 4).alias("ci_lo_cents"),
+            F.round(F.percentile("mb", 0.975), 4).alias("ci_hi_cents"),
+        )
+        .crossJoin(F.broadcast(n_rows))
+        .select(
+            "n_rows",
+            "n_replicates",
+            "boot_mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
