@@ -83,6 +83,8 @@ HEADLINE = [
     # r5 fourth batch: ranked retrieval + the bitmap dashboard.
     "text_bm25_search",
     "events_dau_wau_mtd",
+    # r6: the new distributed-statistics operator, benched from birth.
+    "stat_bootstrap_ci",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -88,3 +88,29 @@ def test_no_rdd_api_in_package():
             if re.search(r"\.rdd\b", code) and '``' not in line:
                 offenders.append(f"{py.name}:{lineno}")
     assert not offenders, offenders
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver records only the LAST 2000 bytes of bench stdout;
+    the r5 35-query line overflowed it and lost the headline total
+    (VERDICT r5). Guard the worst-case compact-line size for the
+    CURRENT headline list — if this fails, bench.py's top-30 fallback
+    still keeps the line parseable, but the full list should normally
+    fit."""
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "headline_total_sec",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 99.999 for n in bench.HEADLINE},
+        "runs": 9,
+        "sf": 0.1,
+    }
+    line = json.dumps(worst, separators=(",", ":"))
+    assert len(line) <= 1900, (
+        f"compact bench line would be {len(line)} bytes; trim HEADLINE "
+        "or rely on the top-30 fallback"
+    )
