@@ -171,9 +171,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     oldest r2 greens (etl_cleanse, etl_array_parse, dedup_exact, ...);
 # (c) eval_langid_confusion — the one r6 backlog deferral (P3,
 #     displaced by graph_pagerank's P1 re-verification);
-# (c2) the two operators ADDED in r6 (P3 new-code rows):
-#     stat_bootstrap_ci (Poisson bootstrap CI) and mix_upsample_rare
-#     (capped rare-domain replication);
+# (c2) the twelve operators ADDED in r6 (P3 new-code rows):
+#     stat_bootstrap_ci (Poisson bootstrap CI), mix_upsample_rare
+#     (capped rare-domain replication), graph_triangle_count +
+#     graph_degree_distribution (co-activity graph analytics),
+#     stat_gini_coefficient (dist_rank Lorenz rank), stat_cusum_drift
+#     (reflection-identity CUSUM), quality_ccnet_buckets (perplexity
+#     terciles), text_perplexity_bigram (bigram-LM scoring),
+#     func_variant_parse + source_xml_parse + func_collation_lcase
+#     (Spark 4 VARIANT / XML / collation surfaces), report_cohort_ltv
+#     (cohort LTV triangle);
 # (d) the r6 value-neutral plan-only cohort (P4): dedup_simhash
 #     (verification-subset cap), text_boilerplate_blocks (shared
 #     exchange), text_quality + corpus_source_overlap
@@ -203,6 +210,7 @@ def registry() -> dict[str, Query]:
         pandas_surface,
         stats,
         reporting,
+        graphs,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

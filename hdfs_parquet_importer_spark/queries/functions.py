@@ -443,3 +443,138 @@ def func_timezone_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         conv("Asia/Tokyo").alias("tokyo_s"),
         "o_orderkey",
     ).orderBy("o_orderkey").drop("o_orderkey")
+
+
+@register(
+    "func_variant_parse",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(CAST(props ->> 'k' AS INT)), 4) AS avg_k,
+       CAST(SUM(CASE WHEN CAST(props ->> 'k' AS INT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Spark 4 VARIANT ingestion of semi-structured event "
+    "properties: parse_json() turns the props string into the "
+    "binary VARIANT encoding once per row, variant_get('$.k', "
+    "'int') extracts the typed field with path semantics — the "
+    "shredded-JSON pattern that replaces per-query get_json_object "
+    "re-parsing (each get_json_object call re-parses the string; a "
+    "VARIANT parses once and serves every extraction). Both steps "
+    "are Catalyst expressions — no Python, no UDF. The aggregate is "
+    "an ordinary per-type rollup; oracle extracts the same path via "
+    "DuckDB's JSON operator. Integer counts exact; AVG ROUND(4).",
+)
+def func_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "source_xml_parse",
+    oracle="""
+SELECT s_nationkey AS nation,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM supplier
+GROUP BY s_nationkey ORDER BY nation
+""",
+    doc="XML source surface (Spark 4 built-in XML, the spark-xml "
+    "package merged upstream): render each supplier row to an XML "
+    "fragment with to_xml(struct(...)), parse it back with "
+    "from_xml() under an explicit DDL schema, and aggregate the "
+    "PARSED fields — a write-then-read roundtrip proving the codec "
+    "pair is lossless, in the same spirit as the sink_roundtrip_* "
+    "family but for the in-row XML codec rather than a file format. "
+    "Money travels as integer cents (CAST(ROUND(bal*100) AS BIGINT)) "
+    "so the roundtrip and the oracle are bit-exact; both functions "
+    "are Catalyst expressions (no Python). The oracle aggregates the "
+    "raw columns directly — parse(render(x)) == x is the property "
+    "under test.",
+)
+def source_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    xml = F.to_xml(
+        F.struct(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_nationkey").alias("nation"),
+            F.round(F.col("s_acctbal") * 100)
+            .cast("long")
+            .alias("cents"),
+        ),
+        {"rowTag": "supplier"},
+    )
+    parsed = F.from_xml(
+        xml, "STRUCT<id: BIGINT, nation: BIGINT, cents: BIGINT>"
+    )
+    return (
+        sup.select(parsed.alias("p"))
+        .groupBy(F.col("p.nation").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("p.cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "func_collation_lcase",
+    oracle="""
+WITH cased AS (
+  SELECT p_brand,
+         CASE WHEN p_partkey % 2 = 0 THEN upper(p_type)
+              ELSE p_type END AS t
+  FROM part
+)
+SELECT p_brand,
+       COUNT(DISTINCT t) AS n_binary,
+       COUNT(DISTINCT lower(t)) AS n_lcase
+FROM cased
+GROUP BY p_brand ORDER BY p_brand
+""",
+    doc="Spark 4 collation-aware distinct: mixed-case category "
+    "strings (half the rows upper-cased by a parity rule) counted "
+    "per brand under the default UTF8_BINARY collation vs "
+    "collate(col, 'UTF8_LCASE') — the collation changes EQUALITY "
+    "itself, so count(DISTINCT) folds case variants without "
+    "rewriting values through lower() (the engine keeps the "
+    "original strings; comparators, not projections, do the "
+    "folding — which is what makes collation usable on join keys "
+    "and group keys at scale). DuckDB has no column collations in "
+    "this form, so the oracle states the equivalent semantics with "
+    "lower(). All-integer output.",
+)
+def func_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    cased = part.select(
+        "p_brand",
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_type"))
+        ).otherwise(F.col("p_type")).alias("t"),
+    )
+    return (
+        cased.groupBy("p_brand")
+        .agg(
+            F.count_distinct(F.col("t")).alias("n_binary"),
+            F.count_distinct(
+                F.collate(F.col("t"), "UTF8_LCASE")
+            ).alias("n_lcase"),
+        )
+        .orderBy("p_brand")
+    )

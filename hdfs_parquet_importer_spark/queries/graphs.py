@@ -1,0 +1,227 @@
+"""Graph analytics over implicit interaction graphs (driver
+north_star extension; the reference — a 3-file CSV→Parquet ETL app,
+SURVEY §2.1 — has no graph surface).
+
+The graph here is the *co-activity* graph derived from the events
+fact table: nodes are users, and an undirected edge connects two
+users who were active in the same 5-minute bucket on at least
+``_MIN_SHARED_BUCKETS`` distinct buckets. This is the standard
+implicit-affinity construction (co-occurrence within a time bucket +
+a support threshold); the threshold is what keeps the graph SPARSE —
+a single shared bucket is coincidence, repeated ones are structure —
+and sparsity is what keeps every step below an equi-join.
+
+Scale stance (the part that must survive 100 TB):
+
+* pair generation is a self-equi-join on the minute bucket — the
+  per-minute user list bounds the fan-out (C(k,2) per bucket, never
+  n^2 over users), and a pathological hot minute is exactly the
+  skewed-key shape AQE skew-split handles;
+* triangle counting uses the degree-ordered edge-iterator (the
+  classic distributed formulation, e.g. Suri & Vassilvitskii's
+  MapReduce "last reducer" paper): orient every edge from the
+  (degree, node)-smaller endpoint to the larger, count wedges at the
+  smaller endpoint, close them with one more equi-join. Orientation
+  caps per-node out-degree at O(sqrt(m)), so the wedge table is
+  O(m^1.5) worst case instead of sum-of-squares-of-degrees — the
+  difference between a heavy-but-parallel shuffle and a star-node
+  explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.queries import register
+from hdfs_parquet_importer_spark.tables import load_table
+
+_MIN_SHARED_BUCKETS = 2
+
+# DuckDB twin of _co_activity_edges: u < v, weight = shared buckets.
+# Both engines floor whole-minute epochs to 300 s — exact integers.
+_EDGES_SQL = f"""
+am AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch(date_trunc('minute', ts)) / 300) AS BIGINT) AS m
+  FROM events
+),
+e AS (
+  SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
+  FROM am a JOIN am b ON a.m = b.m AND a.user_id < b.user_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_MIN_SHARED_BUCKETS}
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+)
+"""
+
+
+def _co_activity_edges(ev: DataFrame) -> DataFrame:
+    """Undirected edge list (u < v, weight = n shared 5-min buckets).
+
+    One distinct-projection, one bucket self-equi-join, one pair
+    aggregate — per-bucket fan-out is C(users-in-bucket, 2), so
+    shuffle volume is sum over buckets of k^2, bounded by activity
+    concentration, not user-count squared.
+    """
+    am = ev.select(
+        "user_id",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 300
+        ).alias("m"),
+    ).distinct()
+    a = am.select(F.col("user_id").alias("u"), "m")
+    b = am.select(F.col("user_id").alias("v"), "m")
+    return (
+        a.join(b, "m")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_SHARED_BUCKETS)
+    )
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_EDGES_SQL},
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+wed AS (
+  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         COUNT(*) AS n_nodes
+  FROM deg
+),
+ne AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT wed.n_nodes,
+       ne.n_edges,
+       tri.n_triangles,
+       ROUND(CASE WHEN wed.n_wedges = 0 THEN 0.0
+                  ELSE 3.0 * tri.n_triangles / wed.n_wedges END,
+             6) AS transitivity
+FROM wed, ne, tri
+""",
+    doc="Global triangle count + transitivity (3*triangles/wedges) of "
+    "the user co-activity graph, via the degree-ordered edge-iterator: "
+    "orient each edge toward the (deg, node)-larger endpoint, build "
+    "wedges by self-equi-joining oriented edges on their common "
+    "smaller endpoint, close each wedge with an equi-join back to the "
+    "oriented edge set. Orientation bounds out-degree at O(sqrt(m)), "
+    "so wedge volume is O(m^1.5) — the distributed-triangle shape "
+    "that survives star nodes (module docstring). The oracle counts "
+    "the same triangles by the direct x<y<z triple equi-join, an "
+    "INDEPENDENT formulation (no degrees involved) that must agree "
+    "exactly. Integer counts; the one double (transitivity) is a "
+    "single division, ROUND(6).",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = _co_activity_edges(ev)
+    deg = _degrees(edges)
+
+    # Attach endpoint degrees (node-key equi-joins), then orient each
+    # edge from pi-smaller to pi-larger where pi = (deg, node) — a
+    # total order, so every undirected edge yields exactly one
+    # directed edge and every triangle exactly one (a<b<c) wedge+close.
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ed = edges.join(du, "u").join(dv, "v")
+    fwd = F.struct("deg_u", "u") < F.struct("deg_v", "v")
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
+    )
+
+    # Wedges at the common smaller endpoint; (deg,node) order on the
+    # two tips dedups {b,c} vs {c,b}. Closing edge always runs
+    # b -> c in orientation (pi(b) < pi(c)), so one semi-equi-join.
+    e1 = oriented.select("a", F.col("b"), F.col("deg_b"))
+    e2 = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("deg_b").alias("deg_c")
+    )
+    wedges = e1.join(e2, "a").filter(
+        F.struct("deg_b", "b") < F.struct("deg_c", "c")
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "left_semi",
+    )
+
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    wed = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wed.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH {_EDGES_SQL}
+SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS degree_bin,
+       COUNT(*) AS n_nodes,
+       MIN(deg) AS min_deg,
+       MAX(deg) AS max_deg
+FROM deg
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Log2-binned degree histogram of the co-activity graph — the "
+    "power-law fingerprint chart. Output is bounded by the DOMAIN of "
+    "log2(degree) (< 40 bins for any graph that fits in any "
+    "datacenter), so the final aggregate is a constant-size rollup of "
+    "the per-node degree table; degrees themselves are one unionAll + "
+    "groupBy over the edge list. Shares the edge construction (and "
+    "its oracle CTE) with graph_triangle_count. All-integer output — "
+    "exact parity.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    deg = _degrees(_co_activity_edges(ev))
+    return (
+        deg.groupBy(
+            F.floor(F.log2("deg")).cast("long").alias("degree_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("degree_bin")
+    )

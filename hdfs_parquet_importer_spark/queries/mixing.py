@@ -971,3 +971,159 @@ def mix_upsample_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "quality_ccnet_buckets",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
+pd AS (
+  SELECT t.doc_id,
+         ROUND(SUM(-log2(tf.c / tot.n)) / COUNT(*), 6) AS bits
+  FROM tok t JOIN tf USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+rk AS (
+  SELECT doc_id, bits, ntile(3) OVER (ORDER BY bits, doc_id) AS b
+  FROM pd
+)
+SELECT d.source,
+       CASE rk.b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(rk.bits), 4) AS avg_bits
+FROM rk JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    doc="CCNet-style head/middle/tail corpus partition: score EVERY "
+    "document by unigram cross-entropy (bits/token, the "
+    "quality_unigram_logprob machinery over the full corpus instead "
+    "of a demo slice), cut the corpus into perplexity terciles, and "
+    "report the source x bucket mix — the table a pretraining data "
+    "recipe starts from. The tercile — textbook ntile(3) OVER "
+    "(ORDER BY bits), i.e. every doc through one task — rides "
+    "operators/prefix.py dist_rank + ntile_from_rank against a "
+    "broadcast 1-row count (bit-equal to ntile, proven in "
+    "events_rfm_segmentation), bucketed on floor(bits*8): monotone "
+    "in the rank order with ~80 occupied cells. Per-doc bits are "
+    "ROUND(6)-ed BEFORE ranking so the rank order is engine-"
+    "independent; the oracle keeps the naive global-ntile "
+    "formulation.",
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import (
+        dist_rank,
+        ntile_from_rank,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", F.explode(D.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").cast("double").alias("n"))
+    pd = (
+        tok.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-F.log2(F.col("c") / F.col("n")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bits")
+        )
+    )
+    ranked = dist_rank(
+        pd, ["bits", "doc_id"], F.floor(F.col("bits") * 8), out_col="r"
+    )
+    nrow = pd.agg(F.count(F.lit(1)).alias("n_total"))
+    bucketed = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+        "b", ntile_from_rank(F.col("r"), F.col("n_total"), 3)
+    )
+    lab = (
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        bucketed.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", lab.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("bits"), 4).alias("avg_bits"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+@register(
+    "text_perplexity_bigram",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS g
+  FROM toks WHERE len(t) >= 2
+),
+c2 AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+c1 AS (SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS cp
+       FROM bg GROUP BY 1)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(SUM(-log2(CAST(c2.c AS DOUBLE) / c1.cp)) / COUNT(*), 4)
+         AS bits_per_bigram
+FROM bg
+JOIN c2 USING (g)
+JOIN c1 ON c1.w1 = split_part(bg.g, ' ', 1)
+WHERE bg.doc_id < 50
+GROUP BY bg.doc_id ORDER BY bg.doc_id
+""",
+    doc="Bigram-LM cross-entropy scoring (bits/bigram) — the "
+    "context-aware upgrade of quality_unigram_logprob: "
+    "p(w2|w1) = c(w1 w2) / c(w1 *), both counts from ONE corpus "
+    "bigram pass (the conditional's denominator is the bigram table "
+    "re-grouped by its prefix, not a separate token count — exactly "
+    "the MLE normalizer). Bigrams are the NON-distinct n=2 shingle "
+    "stream (an LM counts occurrences; dedup's distinct shingles "
+    "would skew the estimate), so the transform is inlined rather "
+    "than reusing dedup.shingles_of_tokens. Scored docs join back "
+    "on the gram/prefix equi-keys; per-doc log sums drift ~1e-13, "
+    "absorbed by ROUND(4).",
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", D.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    # Non-distinct bigram stream (see doc): same slice/join pattern as
+    # dedup.shingles_of_tokens minus the array_distinct.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i, 2), " "),
+    )
+    bg = toks.select("doc_id", F.explode(grams).alias("g"))
+    c2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.select(
+        F.substring_index("g", " ", 1).alias("w1")
+    ).groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    scored = (
+        bg.filter(F.col("doc_id") < 50)
+        .join(c2, "g")
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .join(c1, "w1")
+    )
+    bits = -F.log2(F.col("c").cast("double") / F.col("cp"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(bits) / F.count(F.lit(1)), 4).alias(
+                "bits_per_bigram"
+            ),
+        )
+        .orderBy("doc_id")
+    )

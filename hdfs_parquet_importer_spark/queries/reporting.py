@@ -523,3 +523,75 @@ def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_name")
     )
+
+
+@register(
+    "report_cohort_ltv",
+    oracle="""
+WITH wk AS (
+  SELECT user_id,
+         CAST(FLOOR((CAST(ts AS DATE) - DATE '1970-01-05') / 7.0)
+              AS BIGINT) AS w,
+         value
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(w) AS c FROM wk GROUP BY user_id),
+cell AS (
+  SELECT cohort.c AS cohort_week,
+         wk.w - cohort.c AS age_weeks,
+         COUNT(DISTINCT wk.user_id) AS n_active,
+         ROUND(SUM(wk.value), 2) AS revenue
+  FROM wk JOIN cohort USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, age_weeks, n_active,
+       ROUND(SUM(revenue) OVER (PARTITION BY cohort_week
+             ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cum_revenue
+FROM cell ORDER BY cohort_week, age_weeks
+""",
+    doc="Cohort lifetime-value triangle: users cohorted by first-"
+    "activity epoch-week (Monday-anchored, engine-neutral integer "
+    "arithmetic on day counts — no locale week-of-year), then per "
+    "(cohort, age-in-weeks) active users and revenue, with the "
+    "running cumulative revenue that IS the LTV curve. First-touch "
+    "assignment is one user-keyed aggregate joined back on the "
+    "user equi-key; the cumulative window is PARTITIONED by cohort "
+    "over the (cohort x age) aggregate — both dimensions grow with "
+    "calendar time, not row count. Revenue rounds per cell before "
+    "the running sum and again after (same accumulation order both "
+    "engines: ascending age within a partition).",
+)
+def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05")) / 7.0
+        ).alias("w"),
+        "value",
+    )
+    cohort = wk.groupBy("user_id").agg(F.min("w").alias("c"))
+    cell = (
+        wk.join(cohort, "user_id")
+        .groupBy(
+            F.col("c").alias("cohort_week"),
+            (F.col("w") - F.col("c")).alias("age_weeks"),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cell.select(
+        "cohort_week",
+        "age_weeks",
+        "n_active",
+        F.round(F.sum("revenue").over(wcum), 2).alias("cum_revenue"),
+    ).orderBy("cohort_week", "age_weeks")

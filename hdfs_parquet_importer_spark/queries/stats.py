@@ -773,3 +773,147 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+@register(
+    "stat_gini_coefficient",
+    oracle="""
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS x
+  FROM lineitem GROUP BY l_suppkey
+),
+rk AS (
+  SELECT x, row_number() OVER (ORDER BY x, l_suppkey) AS r FROM rev
+)
+SELECT COUNT(*) AS n_suppliers,
+       ROUND(2.0 * SUM(r * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM rk
+""",
+    doc="Gini coefficient of supplier revenue concentration via the "
+    "rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over "
+    "ascending-revenue ranks. The revenue reduction is one partial-"
+    "aggregable groupBy; the rank — the step that is a global "
+    "row_number in textbook SQL — rides operators/prefix.py "
+    "dist_rank (two-phase bucketed prefix counts, revenue-range "
+    "bucket key), so no supplier-proportional input ever crosses one "
+    "task (VERDICT r5 item 4 discipline). Revenues are ROUND(2)-ed "
+    "BEFORE ranking on both engines so the rank order itself is "
+    "engine-independent; the final statistic is one algebraic "
+    "aggregate. Oracle keeps the naive window formulation.",
+)
+def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import dist_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("x")
+    )
+    # Bucket = floor(x / 50k): monotone in the primary order column x;
+    # supplier revenue concentrates in a band that widens only with
+    # per-supplier volume (not supplier count), so bucket occupancy
+    # stays balanced as the table scales out.
+    ranked = dist_rank(
+        rev,
+        ["x", "l_suppkey"],
+        F.floor(F.col("x") / F.lit(50_000.0)),
+        out_col="r",
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_suppliers"),
+        F.round(
+            2.0 * F.sum(F.col("r") * F.col("x")) / (n * F.sum("x"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "stat_cusum_drift",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, AVG(x) AS mu, stddev_pop(x) AS sig
+  FROM daily GROUP BY event_type
+),
+c AS (
+  SELECT daily.event_type, d, sig,
+         SUM(x - mu - 0.5 * sig)
+           OVER (PARTITION BY daily.event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct
+  FROM daily JOIN st USING (event_type)
+),
+s AS (
+  SELECT event_type, sig,
+         ct - LEAST(0, MIN(ct) OVER (PARTITION BY event_type ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS cusum
+  FROM c
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       ROUND(MAX(cusum), 4) AS max_cusum,
+       CAST(SUM(CASE WHEN cusum > 3 * sig THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms
+FROM s GROUP BY event_type ORDER BY event_type
+""",
+    doc="One-sided CUSUM drift detection over per-type daily volumes "
+    "(slack k = 0.5 sigma, alarm h = 3 sigma). The textbook CUSUM is "
+    "a sequential recursion S_t = max(0, S_{t-1} + x_t - mu - k) — "
+    "apparently unparallelizable — but the reflection identity "
+    "linearizes it: S_t = C_t - min(0, min_{j<t} C_j) where C is the "
+    "plain cumulative sum of deviations. Both passes are windows "
+    "PARTITIONED by event_type over the day-domain-bounded daily "
+    "aggregate (<=31 rows per type), so the 'recursive' control "
+    "chart costs exactly two partitioned window passes at any scale "
+    "and no applyInPandas fold. mu/sigma are algebraic aggregates; "
+    "identical left-to-right accumulation order both engines, "
+    "ROUND(4) absorbs fp drift.",
+)
+def stat_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    st = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sig")
+    )
+    j = daily.join(st, "event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wmin = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = j.withColumn(
+        "ct", F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sig")).over(wcum)
+    )
+    s = c.withColumn(
+        "cusum",
+        F.col("ct") - F.least(F.lit(0.0), F.min("ct").over(wmin)),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.max("cusum"), 4).alias("max_cusum"),
+            F.sum(
+                F.when(F.col("cusum") > 3 * F.col("sig"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_alarms"),
+        )
+        .orderBy("event_type")
+    )

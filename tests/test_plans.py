@@ -117,6 +117,14 @@ BRUTE_FORCE_OK = {
                              # join attached to the 1-row CI aggregate
     "mix_upsample_rare",     # 1-row max-source-count broadcast cross
                              # join deriving the replication factors
+    "graph_triangle_count",  # 1-row edge-count + triangle-count
+                             # broadcast cross joins assembling the
+                             # single summary row; the wedge/closure
+                             # joins are node-key equi-joins
+    "quality_ccnet_buckets",  # 1-row corpus-total (idf scalar) and
+                             # 1-row doc-count (ntile_from_rank)
+                             # broadcast cross joins — same shapes as
+                             # quality_unigram_logprob + rfm
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
