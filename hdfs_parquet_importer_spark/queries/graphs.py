@@ -2,21 +2,30 @@
 north_star extension; the reference — a 3-file CSV→Parquet ETL app,
 SURVEY §2.1 — has no graph surface).
 
-The graph here is the *co-activity* graph derived from the events
-fact table: nodes are users, and an undirected edge connects two
-users who were active in the same 5-minute bucket on at least
-``_MIN_SHARED_BUCKETS`` distinct buckets. This is the standard
-implicit-affinity construction (co-occurrence within a time bucket +
-a support threshold); the threshold is what keeps the graph SPARSE —
-a single shared bucket is coincidence, repeated ones are structure —
-and sparsity is what keeps every step below an equi-join.
+The graph here is the *mutual k-nearest-neighbor co-activity graph*
+derived from the events fact table: candidate affinities are user
+pairs sharing >= ``_MIN_SHARED_BUCKETS`` distinct 5-minute activity
+buckets; each user keeps its ``_KNN`` strongest partners (by shared
+buckets, partner-id tiebreak); an undirected edge survives only if
+BOTH endpoints keep each other. Mutual-kNN is the standard
+similarity-graph construction (clustering, manifold methods, social
+affinity) and the reason it is used here is structural: a fixed
+support threshold over co-occurrence noise densifies QUADRATICALLY
+as users grow (constant per-pair probability x C(n,2) pairs — the
+first draft of this module measured avg degree 140 at sf0.1 and
+would have been avg degree 1400 at sf1), while mutual-kNN caps
+degree at k by construction, so the edge list stays linear in users
+at every scale factor.
 
 Scale stance (the part that must survive 100 TB):
 
-* pair generation is a self-equi-join on the minute bucket — the
-  per-minute user list bounds the fan-out (C(k,2) per bucket, never
-  n^2 over users), and a pathological hot minute is exactly the
+* candidate generation is a self-equi-join on the time bucket — the
+  per-bucket user list bounds the fan-out (C(k,2) per bucket, never
+  n^2 over users), and a pathological hot bucket is exactly the
   skewed-key shape AQE skew-split handles;
+* the top-k cut is a per-user PARTITIONED window that Spark plans as
+  WindowGroupLimit (rank pushdown before the shuffle); mutuality is
+  one self-equi-join on the reversed pair key;
 * triangle counting uses the degree-ordered edge-iterator (the
   classic distributed formulation, e.g. Suri & Vassilvitskii's
   MapReduce "last reducer" paper): orient every edge from the
@@ -33,12 +42,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 from hdfs_parquet_importer_spark.queries import register
 from hdfs_parquet_importer_spark.tables import load_table
 
 _MIN_SHARED_BUCKETS = 2
+_KNN = 8
 
-# DuckDB twin of _co_activity_edges: u < v, weight = shared buckets.
+# DuckDB twin of _co_activity_edges: u < v, mutual top-k affinity.
 # Both engines floor whole-minute epochs to 300 s — exact integers.
 _EDGES_SQL = f"""
 am AS (
@@ -46,11 +57,29 @@ am AS (
          CAST(FLOOR(epoch(date_trunc('minute', ts)) / 300) AS BIGINT) AS m
   FROM events
 ),
-e AS (
+cand AS (
   SELECT a.user_id AS u, b.user_id AS v, COUNT(*) AS w
   FROM am a JOIN am b ON a.m = b.m AND a.user_id < b.user_id
   GROUP BY 1, 2
   HAVING COUNT(*) >= {_MIN_SHARED_BUCKETS}
+),
+dir AS (
+  SELECT u AS src, v AS dst, w FROM cand
+  UNION ALL
+  SELECT v AS src, u AS dst, w FROM cand
+),
+kept AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+             AS r
+    FROM dir
+  ) WHERE r <= {_KNN}
+),
+e AS (
+  SELECT a.src AS u, a.dst AS v
+  FROM kept a JOIN kept b ON a.src = b.dst AND a.dst = b.src
+  WHERE a.src < a.dst
 ),
 deg AS (
   SELECT node, COUNT(*) AS deg
@@ -61,27 +90,51 @@ deg AS (
 
 
 def _co_activity_edges(ev: DataFrame) -> DataFrame:
-    """Undirected edge list (u < v, weight = n shared 5-min buckets).
+    """Undirected mutual-kNN edge list (u < v), module docstring.
 
-    One distinct-projection, one bucket self-equi-join, one pair
-    aggregate — per-bucket fan-out is C(users-in-bucket, 2), so
-    shuffle volume is sum over buckets of k^2, bounded by activity
-    concentration, not user-count squared.
+    Candidates: one distinct-projection, one bucket self-equi-join,
+    one pair aggregate — per-bucket fan-out is C(users-in-bucket, 2),
+    so shuffle volume is sum over buckets of k^2, bounded by activity
+    concentration, not user-count squared. Top-k: per-user window
+    (WindowGroupLimit). Mutuality: reversed-key self-equi-join.
     """
-    am = ev.select(
-        "user_id",
-        F.floor(
-            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 300
-        ).alias("m"),
-    ).distinct()
+    from pyspark.sql import Window
+
+    am = (
+        ensure_parallelism(ev)
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_timestamp(F.date_trunc("minute", F.col("ts"))) / 300
+            ).alias("m"),
+        )
+        .distinct()
+    )
     a = am.select(F.col("user_id").alias("u"), "m")
     b = am.select(F.col("user_id").alias("v"), "m")
-    return (
+    cand = (
         a.join(b, "m")
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _MIN_SHARED_BUCKETS)
+    )
+    dirx = cand.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(
+        cand.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    kept = (
+        dirx.withColumn("r", F.row_number().over(wk))
+        .filter(F.col("r") <= _KNN)
+        .select("src", "dst")
+    )
+    rev = kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return (
+        kept.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
     )
 
 
@@ -119,7 +172,10 @@ SELECT wed.n_nodes,
 FROM wed, ne, tri
 """,
     doc="Global triangle count + transitivity (3*triangles/wedges) of "
-    "the user co-activity graph, via the degree-ordered edge-iterator: "
+    "the mutual-kNN co-activity graph (module docstring: top-8 "
+    "partners per user, both-directions kept — degree <= 8 by "
+    "construction, so the graph stays sparse at every scale factor), "
+    "via the degree-ordered edge-iterator: "
     "orient each edge toward the (deg, node)-larger endpoint, build "
     "wedges by self-equi-joining oriented edges on their common "
     "smaller endpoint, close each wedge with an equi-join back to the "
@@ -133,8 +189,13 @@ FROM wed, ne, tri
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    edges = _co_activity_edges(ev)
-    deg = _degrees(edges)
+    # The edge list feeds FIVE consumers (degrees, both orientation
+    # joins, the closure semi-join, the edge count); without a
+    # materialization Catalyst re-runs the bucket self-join + pair
+    # aggregate per consumer (measured 12.5 s -> 3 s at sf0.1).
+    # Same localCheckpoint pattern as pagerank's loop invariants.
+    edges = _co_activity_edges(ev).localCheckpoint(eager=True)
+    deg = _degrees(edges).localCheckpoint(eager=True)
 
     # Attach endpoint degrees (node-key equi-joins), then orient each
     # edge from pi-smaller to pi-larger where pi = (deg, node) — a
@@ -202,14 +263,16 @@ SELECT CAST(FLOOR(LOG2(deg)) AS BIGINT) AS degree_bin,
 FROM deg
 GROUP BY 1 ORDER BY 1
 """,
-    doc="Log2-binned degree histogram of the co-activity graph — the "
-    "power-law fingerprint chart. Output is bounded by the DOMAIN of "
-    "log2(degree) (< 40 bins for any graph that fits in any "
-    "datacenter), so the final aggregate is a constant-size rollup of "
-    "the per-node degree table; degrees themselves are one unionAll + "
-    "groupBy over the edge list. Shares the edge construction (and "
-    "its oracle CTE) with graph_triangle_count. All-integer output — "
-    "exact parity.",
+    doc="Log2-binned degree histogram of the mutual-kNN co-activity "
+    "graph — the degree-profile chart (for mutual-kNN the support is "
+    "capped at k=8, i.e. bins 0..3; for an unthresholded graph this "
+    "same rollup is the power-law fingerprint). Output is bounded by "
+    "the DOMAIN of log2(degree) (< 40 bins for any graph that fits "
+    "in any datacenter), so the final aggregate is a constant-size "
+    "rollup of the per-node degree table; degrees themselves are one "
+    "unionAll + groupBy over the edge list. Shares the edge "
+    "construction (and its oracle CTE) with graph_triangle_count. "
+    "All-integer output — exact parity.",
 )
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
