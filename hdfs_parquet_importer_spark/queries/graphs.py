@@ -188,46 +188,19 @@ FROM wed, ne, tri
     "single division, ROUND(6).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import triangles
+
     ev = load_table(spark, sf_dir, "events")
     # The edge list feeds FIVE consumers (degrees, both orientation
-    # joins, the closure semi-join, the edge count); without a
-    # materialization Catalyst re-runs the bucket self-join + pair
-    # aggregate per consumer (measured 12.5 s -> 3 s at sf0.1).
-    # Same localCheckpoint pattern as pagerank's loop invariants.
+    # joins inside triangles(), the closure semi-join, the edge
+    # count); without a materialization Catalyst re-runs the bucket
+    # self-join + pair aggregate per consumer (measured 12.5 s -> 3 s
+    # at sf0.1). Same localCheckpoint pattern as pagerank's loop
+    # invariants.
     edges = _co_activity_edges(ev).localCheckpoint(eager=True)
-    deg = _degrees(edges).localCheckpoint(eager=True)
+    deg = _degrees(edges)
 
-    # Attach endpoint degrees (node-key equi-joins), then orient each
-    # edge from pi-smaller to pi-larger where pi = (deg, node) — a
-    # total order, so every undirected edge yields exactly one
-    # directed edge and every triangle exactly one (a<b<c) wedge+close.
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    ed = edges.join(du, "u").join(dv, "v")
-    fwd = F.struct("deg_u", "u") < F.struct("deg_v", "v")
-    oriented = ed.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
-        F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
-    )
-
-    # Wedges at the common smaller endpoint; (deg,node) order on the
-    # two tips dedups {b,c} vs {c,b}. Closing edge always runs
-    # b -> c in orientation (pi(b) < pi(c)), so one semi-equi-join.
-    e1 = oriented.select("a", F.col("b"), F.col("deg_b"))
-    e2 = oriented.select(
-        F.col("a"), F.col("b").alias("c"), F.col("deg_b").alias("deg_c")
-    )
-    wedges = e1.join(e2, "a").filter(
-        F.struct("deg_b", "b") < F.struct("deg_c", "c")
-    )
-    closed = wedges.join(
-        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")),
-        ["b", "c"],
-        "left_semi",
-    )
-
-    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_tri = triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
     wed = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
         .cast("long")
