@@ -85,6 +85,11 @@ HEADLINE = [
     "events_dau_wau_mtd",
     # r6: the new distributed-statistics operator, benched from birth.
     "stat_bootstrap_ci",
+    # r6 second batch: one representative per new family — graph
+    # analytics (mutual-kNN triangles) and full-corpus quality
+    # partitioning (perplexity terciles) — benched from birth.
+    "graph_triangle_count",
+    "quality_ccnet_buckets",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

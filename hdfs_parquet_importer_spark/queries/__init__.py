@@ -180,7 +180,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     terciles), text_perplexity_bigram (bigram-LM scoring),
 #     func_variant_parse + source_xml_parse + func_collation_lcase
 #     (Spark 4 VARIANT / XML / collation surfaces), report_cohort_ltv
-#     (cohort LTV triangle);
+#     (cohort LTV triangle), pack_strategy_waste (packing-utilization
+#     comparison) and stat_mann_whitney (tie-corrected rank-sum U);
 # (d) the r6 value-neutral plan-only cohort (P4): dedup_simhash
 #     (verification-subset cap), text_boilerplate_blocks (shared
 #     exchange), text_quality + corpus_source_overlap

@@ -1022,7 +1022,16 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(D.tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # tf feeds two consumers (grand total, scoring join) and each
+    # would re-run the corpus tokenize+explode+groupBy; it is
+    # vocab-bounded, so materializing it once trades a small
+    # checkpoint for a full repeated corpus pass (same shared-subplan
+    # pattern as the tfidf fix, commit 6d14a0e).
+    tf = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     tot = tf.agg(F.sum("c").cast("double").alias("n"))
     pd = (
         tok.join(tf, "term")

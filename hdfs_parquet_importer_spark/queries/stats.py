@@ -917,3 +917,97 @@ def stat_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stat_mann_whitney",
+    oracle="""
+WITH v AS (
+  SELECT n_chars AS x,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+           AS ca,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS DOUBLE)
+           AS cb
+  FROM documents GROUP BY n_chars
+),
+r AS (
+  SELECT x, ca, cb, ca + cb AS c,
+         SUM(ca + cb) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (ca + cb) AS before
+  FROM v
+),
+s AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb, SUM(ca + cb) AS n,
+         SUM(ca * (before + (c + 1) / 2)) AS ra,
+         SUM(c * c * c - c) AS ties
+  FROM r
+)
+SELECT CAST(na AS BIGINT) AS n_en,
+       CAST(nb AS BIGINT) AS n_other,
+       ROUND(ra - na * (na + 1) / 2, 2) AS u_stat,
+       ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
+             / sqrt(na * nb / 12.0
+                    * ((n + 1) - ties / (n * (n - 1)))), 4) AS z_score
+FROM s
+""",
+    doc="Mann-Whitney U rank-sum test (tie-corrected normal "
+    "approximation): do English documents differ in length "
+    "distribution from the rest of the corpus? The textbook "
+    "formulation ranks every ROW through one sort; here ranks only "
+    "ever exist per DISTINCT value — group counts (ca, cb) per "
+    "n_chars, a cumulative window over the distinct-value table "
+    "gives each value its midrank before + (t+1)/2, and U folds as "
+    "sum(ca * midrank) - na(na+1)/2 with the standard tie "
+    "correction sum(t^3 - t). The window input is bounded by the "
+    "document-length DOMAIN, not document count — the "
+    "stat_ks_two_sample argument, and the same allowlist entry "
+    "class. Midranks are half-integers (exact in doubles), so U is "
+    "EXACT cross-engine; only z's sqrt gets ROUND(4).",
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("ca"),
+        F.sum(F.when(F.col("lang") == "en", 0).otherwise(1))
+        .cast("double")
+        .alias("cb"),
+    )
+    w = (
+        Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = v.withColumn("c", F.col("ca") + F.col("cb")).withColumn(
+        "before", F.sum(F.col("ca") + F.col("cb")).over(w) - F.col("c")
+    )
+    s = r.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") + F.col("cb")).alias("n"),
+        F.sum(
+            F.col("ca") * (F.col("before") + (F.col("c") + 1) / 2)
+        ).alias("ra"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties"),
+    )
+    u = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    sigma = F.sqrt(
+        F.col("na")
+        * F.col("nb")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("ties") / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    return s.select(
+        F.col("na").cast("long").alias("n_en"),
+        F.col("nb").cast("long").alias("n_other"),
+        F.round(u, 2).alias("u_stat"),
+        F.round(
+            (u - F.col("na") * F.col("nb") / 2) / sigma, 4
+        ).alias("z_score"),
+    )

@@ -125,6 +125,9 @@ BRUTE_FORCE_OK = {
                              # 1-row doc-count (ntile_from_rank)
                              # broadcast cross joins — same shapes as
                              # quality_unigram_logprob + rfm
+    "pack_strategy_waste",   # 1-row corpus-totals x 1-row band-packed
+                             # tail-count broadcast cross join feeding
+                             # the three strategy rows
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
@@ -164,6 +167,9 @@ GLOBAL_WINDOW_AGG_OK = {
     "values — bounded by the document-length DOMAIN (chars per doc), "
     "not document count; a 100TB corpus still has <~1e5 distinct "
     "lengths",
+    "stat_mann_whitney": "midrank window grouped by distinct n_chars "
+    "values — the same document-length DOMAIN bound as "
+    "stat_ks_two_sample",
 }
 
 
