@@ -249,7 +249,10 @@ GROUP BY 1 ORDER BY 1
 )
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    deg = _degrees(_co_activity_edges(ev))
+    # _degrees reads the edge list twice (one union branch per
+    # endpoint) and the mutual-kNN chain reads its own kept-set twice
+    # (forward + reversed) — checkpoint once, as in triangle_count.
+    deg = _degrees(_co_activity_edges(ev).localCheckpoint(eager=True))
     return (
         deg.groupBy(
             F.floor(F.log2("deg")).cast("long").alias("degree_bin")
