@@ -855,7 +855,7 @@ c AS (
 s AS (
   SELECT event_type, sig,
          ct - LEAST(0, MIN(ct) OVER (PARTITION BY event_type ORDER BY d
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS cusum
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
   FROM c
 )
 SELECT event_type,
@@ -869,8 +869,11 @@ FROM s GROUP BY event_type ORDER BY event_type
     "(slack k = 0.5 sigma, alarm h = 3 sigma). The textbook CUSUM is "
     "a sequential recursion S_t = max(0, S_{t-1} + x_t - mu - k) — "
     "apparently unparallelizable — but the reflection identity "
-    "linearizes it: S_t = C_t - min(0, min_{j<t} C_j) where C is the "
-    "plain cumulative sum of deviations. Both passes are windows "
+    "linearizes it: S_t = C_t - min(0, min_{j<=t} C_j) where C is "
+    "the plain cumulative sum of deviations (the min INCLUDES the "
+    "current prefix — with only strictly-earlier prefixes S_1 would "
+    "be C_1 instead of max(0, C_1); caught by the "
+    "test_cusum_reflection_identity hypothesis property). Both passes are windows "
     "PARTITIONED by event_type over the day-domain-bounded daily "
     "aggregate (<=31 rows per type), so the 'recursive' control "
     "chart costs exactly two partitioned window passes at any scale "
@@ -895,7 +898,7 @@ def stat_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     wmin = (
         Window.partitionBy("event_type")
         .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = j.withColumn(
         "ct", F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sig")).over(wcum)

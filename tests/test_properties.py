@@ -251,3 +251,52 @@ def test_banded_range_agg_property(spark):
             ).collect()
         }
         assert got == want, (width, n, mod)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=500),
+            min_size=2,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_cusum_reflection_identity(serieses):
+    """stat_cusum_drift's window formulation rests on the reflection
+    identity S_t = C_t - min(0, min_{j<=t} C_j) for the recursion
+    S_t = max(0, S_{t-1} + y_t). Prove equivalence against the
+    literal sequential fold on arbitrary integer series (pure-Python:
+    the identity is algebra, not Spark; the query's oracle parity
+    covers the engine side). The min must INCLUDE the current prefix:
+    the first draft used min_{j<t} and this test's shrunk
+    counterexample ([0, 1] -> S_1 = C_1 = -0.75 instead of 0) is why
+    the query's frame says CURRENT ROW."""
+    for xs in serieses:
+        mu = sum(xs) / len(xs)
+        var = sum((x - mu) ** 2 for x in xs) / len(xs)
+        k = 0.5 * var**0.5
+        ys = [x - mu - k for x in xs]
+
+        # Literal recursion.
+        s_seq = []
+        s = 0.0
+        for y in ys:
+            s = max(0.0, s + y)
+            s_seq.append(s)
+
+        # Reflection identity (the two-window form the query plans):
+        # running sum minus min(0, running min INCLUDING current row).
+        s_win = []
+        c = 0.0
+        min_prefix = 0.0
+        for y in ys:
+            c += y
+            min_prefix = min(min_prefix, c)
+            s_win.append(c - min(0.0, min_prefix))
+
+        for a, b in zip(s_seq, s_win):
+            assert abs(a - b) < 1e-9, (xs, s_seq, s_win)
