@@ -300,3 +300,62 @@ def test_cusum_reflection_identity(serieses):
 
         for a, b in zip(s_seq, s_win):
             assert abs(a - b) < 1e-9, (xs, s_seq, s_win)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_gini_rank_formula_matches_pairwise_definition(xs):
+    """stat_gini_coefficient uses the rank formulation
+    G = 2*sum(i * x_(i)) / (n * sum(x)) - (n + 1)/n. Prove it equals
+    the definitional mean-absolute-difference form
+    G = sum_ij |x_i - x_j| / (2 n^2 mu) on arbitrary nonnegative
+    samples (pure algebra — the engine side is oracle-gated)."""
+    if sum(xs) == 0:
+        return  # G undefined at zero total (no revenue): query N/A
+    n = len(xs)
+    srt = sorted(xs)
+    total = sum(xs)
+    g_rank = 2 * sum((i + 1) * x for i, x in enumerate(srt)) / (
+        n * total
+    ) - (n + 1) / n
+    mu = total / n
+    g_pair = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n * mu)
+    assert abs(g_rank - g_pair) < 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+)
+@settings(max_examples=100, deadline=None)
+def test_mann_whitney_midrank_u_matches_pair_counting(sa, sb):
+    """stat_mann_whitney folds U from distinct-value midranks:
+    U_a = sum(ca * midrank) - na(na+1)/2. Prove it equals the
+    definitional pair count #{a>b} + 0.5*#{a==b} on small integer
+    samples — the tie-heavy regime is exactly what midranks exist
+    for."""
+    na, nb = len(sa), len(sb)
+    # Midrank formulation over distinct values (the query's shape).
+    vals = sorted(set(sa + sb))
+    before = 0
+    ra = 0.0
+    for x in vals:
+        ca = sa.count(x)
+        cb = sb.count(x)
+        c = ca + cb
+        ra += ca * (before + (c + 1) / 2)
+        before += c
+    u_midrank = ra - na * (na + 1) / 2
+    # Definitional pair counting.
+    u_pairs = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0)
+        for a in sa
+        for b in sb
+    )
+    assert abs(u_midrank - u_pairs) < 1e-9
