@@ -192,7 +192,12 @@ def pagerank(
     return ranks
 
 
-def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+def triangles(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    deg: DataFrame | None = None,
+) -> DataFrame:
     """One row per triangle of an undirected simple graph — columns
     ``(a, b, c)`` in degree-order — via the degree-ordered
     edge-iterator (Suri & Vassilvitskii's distributed formulation).
@@ -215,15 +220,18 @@ def triangles(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     key; its triangles are counted at its lower-degree neighbors).
 
     Lazy: callers aggregate (count, per-node rollups) or join the
-    triangle rows onward.
+    triangle rows onward. ``deg`` (columns node, deg) lets a caller
+    that already aggregated degrees (e.g. for a wedge denominator)
+    share ONE degree pass instead of shuffling the edge list twice.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    if deg is None:
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     ed = e.join(du, "u").join(dv, "v")

@@ -905,29 +905,58 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = rfm.withColumn("negf", -F.col("frequency")).withColumn(
         "negm", -F.col("monetary_cents")
     )
-    # Recency: near-unique seconds; day-wide range cells.
+    # Recency: near-unique seconds; MINUTE range cells — occupied
+    # bucket count is bounded by the time domain (~43k/month) while
+    # per-cell occupancy is the per-minute cohort, so neither the
+    # bucket-totals pass nor any single cell grows with user count
+    # (day cells put 1/31 of all users through one partition).
     m = dist_rank(
         m,
         ["recency_s", "user_id"],
-        F.floor(F.col("recency_s") / 86400),
+        F.floor(F.col("recency_s") / 60),
         out_col="r_rnk",
     )
-    # Frequency / monetary DESC: plateau-heavy (small-int counts; 0
-    # cents for every non-purchaser), so each plateau value fans out
-    # over user-id blocks — monotone in (neg metric, user_id) as long
-    # as user_id < 256 * 4096 (stats-derived widths at scale).
+    # Frequency DESC: plateau-heavy small-int counts, so each plateau
+    # value fans out over user-id blocks — monotone in (negf,
+    # user_id) as long as user_id < 256 * 4096 (stats-derived widths
+    # at scale); occupied buckets <= n/256 + |distinct f|.
     m = dist_rank(
         m,
         ["negf", "user_id"],
         F.col("negf") * 4096 + F.floor(ublock),
         out_col="f_rnk",
     )
-    m = dist_rank(
-        m,
+    # Monetary DESC is BIMODAL: positives are near-unique (a
+    # value-keyed fan-out bucket would put one bucket per purchaser —
+    # an O(n) single-task totals pass), while zero holds every
+    # non-purchaser (a range bucket would put them all in ONE
+    # partition). Split at the zero plateau: positives range-bucket
+    # on $100 cells (occupied cells bounded by the spend DOMAIN);
+    # zeros rank by user_id over uid blocks and shift by the
+    # broadcast positive count. Zeros sort after every positive
+    # (negm = 0 > any negative), so the shifted union is exactly
+    # row_number over (negm, user_id).
+    pos = dist_rank(
+        m.filter(F.col("negm") < 0),
         ["negm", "user_id"],
-        F.col("negm") * 4096 + F.floor(ublock),
+        F.floor(F.col("negm") / 10_000),
         out_col="m_rnk",
     )
+    n_pos = m.filter(F.col("negm") < 0).agg(
+        F.count(F.lit(1)).alias("npos")
+    )
+    zer = (
+        dist_rank(
+            m.filter(F.col("negm") == 0),
+            ["user_id"],
+            F.floor(ublock),
+            out_col="m_rnk",
+        )
+        .crossJoin(F.broadcast(n_pos))
+        .withColumn("m_rnk", F.col("m_rnk") + F.col("npos"))
+        .drop("npos")
+    )
+    m = pos.unionByName(zer)
     n_users = rfm.agg(F.count(F.lit(1)).alias("nu"))
     nu = F.col("nu")
     scored = m.crossJoin(F.broadcast(n_users)).select(

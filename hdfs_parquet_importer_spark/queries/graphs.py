@@ -198,9 +198,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1). Same localCheckpoint pattern as pagerank's loop
     # invariants.
     edges = _co_activity_edges(ev).localCheckpoint(eager=True)
-    deg = _degrees(edges)
+    # One degree pass shared between the wedge denominator below and
+    # triangles()'s orientation (its deg parameter exists for this).
+    deg = _degrees(edges).localCheckpoint(eager=True)
 
-    n_tri = triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_tri = triangles(edges, deg=deg).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
     wed = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
         .cast("long")

@@ -1045,6 +1045,14 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits")
         )
     )
+    # pd's bits column is a ROUND(6) over a SHUFFLED double sum;
+    # dist_rank reads pd through two independent branches (local
+    # windows + bucket totals) and nrow is a third. Re-executions can
+    # accumulate in different orders, and a boundary-straddling sum
+    # could then round differently per branch — inconsistent rank
+    # bases. Materialize the scores ONCE so every consumer sees the
+    # same doubles (same reason events_rfm checkpoints its aggregate).
+    pd = pd.localCheckpoint(eager=True)
     ranked = dist_rank(
         pd, ["bits", "doc_id"], F.floor(F.col("bits") * 8), out_col="r"
     )

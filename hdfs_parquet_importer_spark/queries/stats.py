@@ -807,11 +807,17 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.prefix import dist_rank
 
     li = load_table(spark, sf_dir, "lineitem")
+    # x is a ROUND(2) over a shuffled double sum and dist_rank reads
+    # it through independent branches (local windows, bucket totals)
+    # plus the final aggregate — materialize once so a re-execution
+    # can't round a boundary-straddling sum differently per branch
+    # (same checkpoint discipline as report_pareto_concentration's
+    # identical rev aggregate).
     rev = li.groupBy("l_suppkey").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("x")
-    )
+    ).localCheckpoint(eager=True)
     # Bucket = floor(x / 50k): monotone in the primary order column x;
     # supplier revenue concentrates in a band that widens only with
     # per-supplier volume (not supplier count), so bucket occupancy
@@ -890,22 +896,20 @@ def stat_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("x").alias("mu"), F.stddev_pop("x").alias("sig")
     )
     j = daily.join(st, "event_type")
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wmin = (
+    # ONE frame serves both passes (running sum, then running min of
+    # that sum INCLUDING the current row — the reflection identity's
+    # frame; see doc).
+    w = (
         Window.partitionBy("event_type")
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = j.withColumn(
-        "ct", F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sig")).over(wcum)
+        "ct", F.sum(F.col("x") - F.col("mu") - 0.5 * F.col("sig")).over(w)
     )
     s = c.withColumn(
         "cusum",
-        F.col("ct") - F.least(F.lit(0.0), F.min("ct").over(wmin)),
+        F.col("ct") - F.least(F.lit(0.0), F.min("ct").over(w)),
     )
     return (
         s.groupBy("event_type")

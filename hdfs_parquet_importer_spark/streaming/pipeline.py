@@ -375,9 +375,27 @@ def write_stream_parquet(
     replay. The direct ``format("parquet")`` sink would also work
     for pure append; the foreachBatch form is the production
     template.
+
+    Contract notes: ``_batch_id`` is a PARTITION column, so readers
+    get its type from partition-value inference (IntegerType for
+    small ids), not the writer's long literal; and the target must
+    be fresh or already partition-laid-out — pointing this sink at a
+    directory holding unpartitioned parquet would silently mix
+    layouts, so the first batch fails fast instead.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if os.path.isdir(path):
+            entries = os.listdir(path)
+            flat = any(e.endswith(".parquet") for e in entries)
+            if flat and not any(e.startswith("_batch_id=") for e in entries):
+                raise ValueError(
+                    f"write_stream_parquet target {path!r} holds "
+                    "unpartitioned parquet files; refusing to mix "
+                    "layouts — use a fresh directory"
+                )
         (
             batch_df.withColumn("_batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -441,9 +459,12 @@ def write_stream_upsert(
             shutil.move(aside, path)
         # A surviving aside next to a live dir means the swap finished
         # but its cleanup didn't; stale staging dirs are incomplete
-        # writes from a dead batch. Both are safe to drop.
+        # writes from a dead batch. Both are safe to drop. The target
+        # path is data, not a pattern — escape it so a path containing
+        # glob metacharacters ([, ?, *) still matches its own staging
+        # dirs (and can't sweep a look-alike neighbor).
         shutil.rmtree(aside, ignore_errors=True)
-        for stale in _glob.glob(f"{path}__staging_*"):
+        for stale in _glob.glob(f"{_glob.escape(path)}__staging_*"):
             shutil.rmtree(stale, ignore_errors=True)
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
