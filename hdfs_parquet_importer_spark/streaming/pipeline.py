@@ -412,6 +412,35 @@ def write_stream_parquet(
     )
 
 
+def recover_upsert_target(path: str) -> None:
+    """Startup/pre-batch recovery for :func:`write_stream_upsert`'s
+    rename-aside swap (module-level so the sweep is unit-testable
+    without a stream).
+
+    * Crash between rename-aside and rename-into-place leaves no live
+      dir but a complete ``__old`` copy: restore it.
+    * A surviving ``__old`` next to a live dir means the swap finished
+      but its cleanup didn't; stale ``__staging_*`` dirs are
+      incomplete writes from a dead batch. Both are safe to drop.
+
+    The target path is data, not a pattern — it is glob-escaped so a
+    path containing metacharacters ([, ?, *) still matches its own
+    staging dirs and can't sweep a look-alike neighbor. (Spark itself
+    treats READ paths as Hadoop globs, so such targets can't round-
+    trip through the sink anyway — but recovery must never mis-sweep.)
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    aside = f"{path}__old"
+    if not os.path.isdir(path) and os.path.isdir(aside):
+        shutil.move(aside, path)
+    shutil.rmtree(aside, ignore_errors=True)
+    for stale in _glob.glob(f"{_glob.escape(path)}__staging_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def write_stream_upsert(
     stream_df: DataFrame,
     path: str,
@@ -444,7 +473,6 @@ def write_stream_upsert(
     (dynamic partition overwrite) or a format with real MERGE; the
     per-batch plan is identical.
     """
-    import glob as _glob
     import os
     import shutil
 
@@ -452,23 +480,8 @@ def write_stream_upsert(
 
     aside = f"{path}__old"
 
-    def recover() -> None:
-        # Crash between rename-aside and rename-into-place leaves no
-        # live dir but a complete aside copy: restore it.
-        if not os.path.isdir(path) and os.path.isdir(aside):
-            shutil.move(aside, path)
-        # A surviving aside next to a live dir means the swap finished
-        # but its cleanup didn't; stale staging dirs are incomplete
-        # writes from a dead batch. Both are safe to drop. The target
-        # path is data, not a pattern — escape it so a path containing
-        # glob metacharacters ([, ?, *) still matches its own staging
-        # dirs (and can't sweep a look-alike neighbor).
-        shutil.rmtree(aside, ignore_errors=True)
-        for stale in _glob.glob(f"{_glob.escape(path)}__staging_*"):
-            shutil.rmtree(stale, ignore_errors=True)
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        recover()
+        recover_upsert_target(path)
         spark = batch_df.sparkSession
         if os.path.isdir(path):
             merged = latest_per_key(

@@ -518,3 +518,74 @@ def test_streaming_upsert_recovers_mid_swap_crash(spark, tmp_path):
     assert got == {1, 2, 3}, got
     assert not os.path.isdir(target + "__old")
     assert not os.path.isdir(target + "__staging_99")
+
+
+def test_foreachbatch_parquet_sink_refuses_unpartitioned_target(
+    spark, sf_dir, tmp_path
+):
+    """Pointing the partition-overwrite sink at a directory holding
+    unpartitioned parquet would silently mix layouts; the first batch
+    must fail fast instead."""
+    import pyspark.errors
+
+    out = str(tmp_path / "out")
+    spark.range(5).write.parquet(out)  # old flat layout
+    q = ST.write_stream_parquet(
+        ST.read_events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+            "event_id", "event_type", "value"
+        ),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(
+        pyspark.errors.exceptions.base.PySparkException,
+        match="unpartitioned parquet",
+    ):
+        q.awaitTermination()
+    # Flat layout untouched.
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_recover_upsert_target_sweeps_glob_metachar_path(tmp_path):
+    """The recovery sweep escapes the target when globbing for stale
+    staging dirs: a path containing '[' must still sweep its own
+    leftovers (an unescaped glob treats '[..]' as a character class
+    and matches nothing), and must never sweep a look-alike
+    neighbor the pattern would otherwise match."""
+    import os
+
+    from hdfs_parquet_importer_spark.streaming.pipeline import (
+        recover_upsert_target,
+    )
+
+    out = str(tmp_path / "tbl[v2]")
+    stale = f"{out}__staging_7"
+    os.makedirs(stale)
+    # Neighbor an UNescaped glob 'tbl[v2]__staging_*' would match
+    # ('[v2]' as a character class matches the single char 'v').
+    lookalike = str(tmp_path / "tblv__staging_1")
+    os.makedirs(lookalike)
+    os.makedirs(out)
+    recover_upsert_target(out)
+    assert not os.path.isdir(stale), "own stale staging dir not swept"
+    assert os.path.isdir(lookalike), "look-alike neighbor wrongly swept"
+    assert os.path.isdir(out)
+
+
+def test_recover_upsert_target_restores_aside_copy(tmp_path):
+    """Crash between rename-aside and rename-into-place leaves only
+    the __old copy; recovery must restore it as the live target."""
+    import os
+
+    from hdfs_parquet_importer_spark.streaming.pipeline import (
+        recover_upsert_target,
+    )
+
+    out = str(tmp_path / "tbl")
+    aside = f"{out}__old"
+    os.makedirs(aside)
+    with open(os.path.join(aside, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    recover_upsert_target(out)
+    assert os.path.isdir(out) and not os.path.isdir(aside)
+    assert os.path.exists(os.path.join(out, "part-0.parquet"))
