@@ -171,7 +171,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     oldest r2 greens (etl_cleanse, etl_array_parse, dedup_exact, ...);
 # (c) eval_langid_confusion — the one r6 backlog deferral (P3,
 #     displaced by graph_pagerank's P1 re-verification);
-# (c2) the twelve operators ADDED in r6 (P3 new-code rows):
+# (c2) the seventeen operators ADDED in r6 (P3 new-code rows):
 #     stat_bootstrap_ci (Poisson bootstrap CI), mix_upsample_rare
 #     (capped rare-domain replication), graph_triangle_count +
 #     graph_degree_distribution (co-activity graph analytics),
@@ -181,7 +181,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     func_variant_parse + source_xml_parse + func_collation_lcase
 #     (Spark 4 VARIANT / XML / collation surfaces), report_cohort_ltv
 #     (cohort LTV triangle), pack_strategy_waste (packing-utilization
-#     comparison) and stat_mann_whitney (tie-corrected rank-sum U);
+#     comparison), stat_mann_whitney (tie-corrected rank-sum U),
+#     sql_pipe_syntax (Spark 4 |> pipeline SQL), func_try_arithmetic
+#     (ANSI-safe try_divide/try_cast) and agg_modern_surface
+#     (count_if / bool_and / bool_or / median / deterministic max_by);
 # (d) the r6 value-neutral plan-only cohort (P4): dedup_simhash
 #     (verification-subset cap), text_boilerplate_blocks (shared
 #     exchange), text_quality + corpus_source_overlap

@@ -578,3 +578,142 @@ def func_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="Spark 4 SQL pipe syntax (|>): the same filtered revenue "
+    "rollup q1 expresses classically, written as a linear pipeline "
+    "FROM -> WHERE -> EXTEND -> AGGREGATE ... GROUP BY -> ORDER BY. "
+    "Pipe stages are pure surface syntax — the parser lowers them to "
+    "the identical Catalyst logical plan, so pushdown/partial-agg "
+    "behavior matches the classical form (and the oracle IS the "
+    "classical form). Demonstrates the full stage set a reader "
+    "migrating from imperative dataflow APIs will reach for first.",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "pipe_lineitem"
+    )
+    return spark.sql("""
+FROM pipe_lineitem
+|> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+|> EXTEND l_extendedprice * (1 - l_discount) AS net
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+             ROUND(SUM(net), 2) AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+""").select(
+        "l_returnflag", "l_linestatus", "n_items", "revenue"
+    )
+
+
+@register(
+    "func_try_arithmetic",
+    oracle="""
+WITH t AS (
+  SELECT p_brand,
+         CASE WHEN p_size = 25 THEN NULL
+              ELSE p_retailprice / (p_size - 25) END AS ratio,
+         TRY_CAST(CASE WHEN p_size % 2 = 0
+                       THEN CAST(p_size AS VARCHAR)
+                       ELSE p_name END AS INTEGER) AS parsed
+  FROM part
+)
+SELECT p_brand,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_div_by_zero,
+       ROUND(SUM(COALESCE(ratio, 0)), 4) AS sum_ratio,
+       COUNT(parsed) AS n_parsed
+FROM t GROUP BY p_brand ORDER BY p_brand
+""",
+    doc="ANSI-safe arithmetic surface: Spark 4 runs under ANSI mode "
+    "by default, where x/0 and bad casts are runtime ERRORS — the "
+    "try_* family (try_divide, try_cast) returns NULL instead, "
+    "making declarative pipelines total without switching the whole "
+    "session out of ANSI. Exercised on real poison rows: p_size=25 "
+    "makes the divisor zero, odd-size rows feed a non-numeric "
+    "string to the cast. The oracle states the same semantics with "
+    "guarded CASE / TRY_CAST. Null-counting is exact; the one "
+    "double sum is ROUND(4).",
+)
+def func_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    ratio = F.try_divide(F.col("p_retailprice"), F.col("p_size") - 25)
+    mixed = F.when(
+        F.col("p_size") % 2 == 0, F.col("p_size").cast("string")
+    ).otherwise(F.col("p_name"))
+    t = part.select(
+        "p_brand",
+        ratio.alias("ratio"),
+        mixed.try_cast("int").alias("parsed"),
+    )
+    return (
+        t.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("ratio").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_div_by_zero"),
+            F.round(F.sum(F.coalesce("ratio", F.lit(0.0))), 4).alias(
+                "sum_ratio"
+            ),
+            F.count("parsed").alias("n_parsed"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "agg_modern_surface",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 99) AS any_near_max,
+       ROUND(median(value), 4) AS median_value,
+       (MAX({'v': value, 'e': event_id})).e AS top_event_id
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    doc="Modern aggregate surface in one rollup: count_if (filtered "
+    "count without the CASE boilerplate), bool_and/bool_or "
+    "(predicate folds), median (exact interpolated 50th percentile "
+    "— fine over grouped aggregates, the approx_percentile twin is "
+    "the streaming-scale path), and a DETERMINISTIC max_by: bare "
+    "max_by/arg_max is underspecified under ties, so the ordering "
+    "key is the (value, event_id) pair — both engines compare the "
+    "struct lexicographically (DuckDB spells it MAX(struct).e) — "
+    "making the winner unique and the result hash-stable "
+    "cross-engine.",
+)
+def agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 50).alias("n_high"),
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 99).alias("any_near_max"),
+            F.round(F.median("value"), 4).alias("median_value"),
+            F.max_by(
+                "event_id",
+                F.struct(
+                    F.col("value"),
+                    F.col("event_id").cast("double").alias("eid"),
+                ),
+            ).alias("top_event_id"),
+        )
+        .orderBy("event_type")
+    )
