@@ -113,10 +113,13 @@ def pagerank(
     plan as a broadcast 1-row aggregate, never a ``collect``. At web
     scale, partition ``edges`` by ``src`` once upfront so every
     iteration's join reuses the layout; ``checkpoint_every``
-    additionally checkpoints the derived rank vector itself every k
-    iterations if the per-iteration contrib checkpoint is disabled
-    (``materialize=False``) — with both at 0/False the whole
-    computation is one lazy plan growing linearly in ``n_iter``.
+    checkpoints the derived rank vector every k iterations and
+    applies ONLY when the per-iteration contrib checkpoint is
+    disabled (``materialize=False``) — with ``materialize=True`` the
+    plan depth is already constant, so the rank checkpoint would be
+    pure duplicate work and is skipped (ADVICE r6). With both at
+    0/False the whole computation is one lazy plan growing linearly
+    in ``n_iter``.
     """
     e = edges.select(
         F.col(src).alias("_src"),
@@ -187,7 +190,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        if (
+            checkpoint_every
+            and not materialize
+            and (i + 1) % checkpoint_every == 0
+        ):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

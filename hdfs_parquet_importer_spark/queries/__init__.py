@@ -80,116 +80,106 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 6 rotation.
-    # (P1+P2) The two r5 driver reds. Root cause was oracle dtype, not
-    # Spark logic: both oracles left an integer SUM uncast, DuckDB
-    # typed it HUGEINT, and the driver's pandas fetch decayed it to
-    # float64 while Spark emitted int64 (VERDICT r5 "What's wrong"
-    # 1-2). r6 adds CAST(... AS BIGINT) to both oracles; Spark code
-    # unchanged (value-verified correct in r5 and re-gated this
-    # session under the new pandas-fetch replica).
-    "stat_mad_outliers",
-    "dq_expectations",
-    # (P1/P3) The 46 queries registered in r5 past the window edge —
-    # none has ever had an authoritative driver row (VERDICT r5
-    # "What's missing" 1). All 46 rotate in now; all are green under
-    # the local pandas-fetch gate this session. Four of them also
-    # changed code in r6 and so sit at P1, not just P3:
-    #   stat_zipf_fit            — rank via dist_rank (no global window
-    #                              over the full vocabulary),
-    #   events_rfm_segmentation  — ntile(5)x3 replaced by percentile-
-    #                              boundary broadcast scoring,
-    #   report_pareto_concentration — rank+cumsum via dist_rank,
-    #   events_dau_wau_mtd       — day grid 1..30 -> 1..31 (ADVICE r5).
-    "stat_zipf_fit",
+    # -- Round 7 rotation (drains the driver-validation backlog to
+    # zero: after this round every query registered through r6 has a
+    # driver row, and no row predates r3 except the 17 r2-greens
+    # queued for r8 — see the r8 QUEUE below).
+    #
+    # (P1) Changed in r7 — ADVICE r6 fixes (all value-neutral by
+    # construction, but changed code never ships on a stale green):
+    #   events_rfm_segmentation — frequency-plateau block width now
+    #       derives from a broadcast MAX(user_id) instead of a fixed
+    #       256 (monotone at any id range);
+    #   stat_zipf_fit — first-char bucket component clamped to 127 so
+    #       a future non-ASCII tokenizer can't corrupt rank order;
+    #   dedup_simhash — verification-subset threshold moved into the
+    #       plan as a broadcast 1-row count (build-time count() job
+    #       removed); also covers its r6 subset-cap plan change;
+    #   quality_ccnet_buckets — scoring pass reuses the checkpointed
+    #       tokenized corpus instead of re-tokenizing (also P3:
+    #       never windowed).
     "events_rfm_segmentation",
-    "report_pareto_concentration",
-    "events_dau_wau_mtd",
-    # (P3) remaining backlog, registration order within family blocks.
-    "stat_ols_catalyst",
-    "stat_ks_two_sample",
-    "stat_autocorrelation",
-    "stat_welch_ttest",
-    "setop_union_evolved",
-    "setop_except_all",
-    "agg_partial_reaggregate",
-    "agg_string_concat",
-    "agg_activity_bitmap",
-    "join_shuffled_hash_hint",
-    "join_relational_division",
-    "profile_fk_inclusion",
-    "market_basket_lift",
-    "window_percent_rank_cume",
-    "window_running_distinct",
-    "window_max_drawdown",
-    "window_time_range_frame",
-    "sample_k_per_group",
-    "subq_not_in_null_trap",
-    "func_timezone_convert",
-    "quality_unigram_logprob",
-    "text_ngram_novelty",
-    "mix_source_dup_rate",
-    "multimodal_image_dhash_dedup",
-    "embedding_covariance",
-    "text_bm25_search",
-    "text_keyword_extraction",
-    "dedup_containment",
-    "scd2_temporal_join",
-    "snapshot_diff",
-    # (P1) graph_pagerank's r6 rewrite changed the dangling-mass
-    # FORMULATION (mass-conservation identity on both engines) — not
-    # value-neutral, so it re-verifies now; eval_langid_confusion
-    # yields its slot to the r7 queue (the one backlog deferral,
-    # chosen as the simplest never-windowed oracle).
-    "graph_pagerank",
-    "source_python_datasource",
-    "dq_benford_digits",
-    "dq_table_checksum",
-    "fuzzy_name_clusters",
-    "events_time_to_conversion",
-    "events_funnel_3step",
-    "events_peak_concurrency",
-    "events_audience_overlap",
-    "events_seasonality_index",
-    "events_cumulative_reach",
-    "events_error_rate_sli",
-    # (P5) family representatives — tpch and pandas_surface have no
-    # backlog member, so their OLDEST driver greens re-verify:
-    # q6_forecast_revenue (r3) and pandas_udf_log_price (r4).
-    "q6_forecast_revenue",
-    "pandas_udf_log_price",
+    "stat_zipf_fit",
+    "dedup_simhash",
+    "quality_ccnet_buckets",
+    # (P3) The 17 remaining never-windowed registrations: the r6
+    # additions (VERDICT r6 "What's missing" 1; Spark-4 engine
+    # surfaces early per VERDICT item 6) + eval_langid_confusion,
+    # the one r6 deferral.
+    "func_variant_parse",
+    "source_xml_parse",
+    "func_collation_lcase",
+    "sql_pipe_syntax",
+    "func_try_arithmetic",
+    "agg_modern_surface",
+    "stat_bootstrap_ci",
+    "stat_gini_coefficient",
+    "stat_cusum_drift",
+    "stat_mann_whitney",
+    "graph_triangle_count",
+    "graph_degree_distribution",
+    "text_perplexity_bigram",
+    "mix_upsample_rare",
+    "pack_strategy_waste",
+    "report_cohort_ltv",
+    "eval_langid_confusion",
+    # (P4) The 12-query ensure_parallelism narrowness-probe cohort
+    # deferred since r5 (dedup_simhash above carries the twelfth) —
+    # value-neutral (a repartition cannot change results), all
+    # r2/r3-green on current values and locally re-gated every run.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "text_fingerprint",
+    "multimodal_png_roundtrip",
+    "corpus_source_overlap",
+    "text_df_top_terms",
+    "text_mean_token_df",
+    # (P4) r6 value-neutral plan-only cohort (shared block-hash
+    # exchange; array_distinct): text_quality is also the oldest
+    # llm-module r2 green.
+    "text_boilerplate_blocks",
+    "text_quality",
+    # (P4) All 10 remaining r1 driver greens — after this round no
+    # row predates r2 anywhere, and these all predate r3.
+    "func_conditional",
+    "func_date_arith",
+    "func_nullsafe_eq",
+    "func_explode_outer",
+    "agg_distinct",
+    "setop_union",
+    "join_left_outer",
+    "window_first_last",
+    "window_ntile_global",
+    "window_rank_dense",
+    # (P4/P5) Oldest r2 greens chosen for family spread (the
+    # module-coverage gate): flagship + parity ops + subquery rep,
+    # plus the tpch and pandas_surface representatives (their oldest
+    # rows, r3/r4 — neither module has an r1/r2 row left).
+    "q1_pricing_summary",
+    "etl_cleanse",
+    "etl_array_parse",
+    "subq_exists_priority",
+    "q7_volume_shipping",
+    "udtf_text_chunks",
 )
-# r7 QUEUE (P4, committed now so the next rotation is mechanical):
-# (a) the 12 ensure_parallelism-probe-touched queries deferred from
-#     r5 (group-(3) cohort incl. dedup_minhash_lsh, dedup_simhash,
-#     both pre-tolerance as-of joins) — value-neutral change, all
-#     r3/r4-green on current values, locally re-gated every run;
-# (b) the 11 stale r1 greens (func_conditional, func_date_arith,
-#     agg_distinct, func_nullsafe_eq, setop_union, join_left_outer,
-#     window_first_last, window_ntile_global, window_rank_dense,
-#     func_explode_outer plus func_string's r5 green stays) and the
-#     oldest r2 greens (etl_cleanse, etl_array_parse, dedup_exact, ...);
-# (c) eval_langid_confusion — the one r6 backlog deferral (P3,
-#     displaced by graph_pagerank's P1 re-verification);
-# (c2) the seventeen operators ADDED in r6 (P3 new-code rows):
-#     stat_bootstrap_ci (Poisson bootstrap CI), mix_upsample_rare
-#     (capped rare-domain replication), graph_triangle_count +
-#     graph_degree_distribution (co-activity graph analytics),
-#     stat_gini_coefficient (dist_rank Lorenz rank), stat_cusum_drift
-#     (reflection-identity CUSUM), quality_ccnet_buckets (perplexity
-#     terciles), text_perplexity_bigram (bigram-LM scoring),
-#     func_variant_parse + source_xml_parse + func_collation_lcase
-#     (Spark 4 VARIANT / XML / collation surfaces), report_cohort_ltv
-#     (cohort LTV triangle), pack_strategy_waste (packing-utilization
-#     comparison), stat_mann_whitney (tie-corrected rank-sum U),
-#     sql_pipe_syntax (Spark 4 |> pipeline SQL), func_try_arithmetic
-#     (ANSI-safe try_divide/try_cast) and agg_modern_surface
-#     (count_if / bool_and / bool_or / median / deterministic max_by);
-# (d) the r6 value-neutral plan-only cohort (P4): dedup_simhash
-#     (verification-subset cap), text_boilerplate_blocks (shared
-#     exchange), text_quality + corpus_source_overlap
-#     (ensure_parallelism / array_distinct) — all value-identical by
-#     construction and locally pandas-fetch-gated this session.
+# r8 QUEUE (committed now so the next rotation is mechanical):
+# (a) new r7 registrations (P3, registration order) — the BPE
+#     tokenizer-encode family and any other r7 additions queue
+#     behind this window per the rotation contract;
+# (b) the 17 remaining r2 greens (P4, oldest-first):
+#     agg_approx_distinct, agg_percentiles, agg_rollup, dedup_exact,
+#     embedding_centroids, func_higher_order, multimodal_decode_stats,
+#     pivot_status_by_year, sample_systematic, subq_global_avg_anti,
+#     text_langid, text_rolling_hash, text_tokens, text_top_ngrams,
+#     window_distribution, window_moving_avg, window_quartile_scalable,
+#     window_topk_per_group — unchanged code, locally re-gated every
+#     pytest run; after they rotate, the whole registry's driver rows
+#     are r3+;
+# (c) then oldest r3 greens, family-spread, to fill the window.
 
 
 def registry() -> dict[str, Query]:

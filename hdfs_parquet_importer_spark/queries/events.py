@@ -870,8 +870,9 @@ ORDER BY r_score, f_score, m_score
     "to the window function the oracle keeps. Tie plateaus (every "
     "non-purchaser has monetary 0; frequency is small-int) bucket "
     "on plateau-value * user-id-block, monotone in the (metric, "
-    "user_id) rank order — at production scale block widths derive "
-    "from column stats. user_id tiebreaks make every quintile "
+    "user_id) rank order; the block width derives from a broadcast "
+    "MAX(user_id) so monotonicity holds at any id range (ADVICE "
+    "r6 — a fixed width broke past 2^20). user_id tiebreaks make every quintile "
     "assignment deterministic cross-engine; score-1 means best in "
     "each dimension (most recent / most frequent / highest spend). "
     "Output is the 5x5x5 segment-size cube.",
@@ -901,10 +902,23 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Four consumers (three rank passes + the count scalar):
     # materialize the per-user aggregate once.
     rfm = rfm.localCheckpoint(eager=True)
-    ublock = F.col("user_id") / F.lit(256)
-    m = rfm.withColumn("negf", -F.col("frequency")).withColumn(
-        "negm", -F.col("monetary_cents")
+    # Plateau fan-out block width DERIVED from the observed id range
+    # (ADVICE r6): the frequency bucket negf * 4096 + uid_block is
+    # monotone in (negf, user_id) only while uid_block < 4096. A
+    # fixed 256-wide block silently breaks once user_id >= 2^20, so
+    # the width comes from a broadcast MAX instead — uid_block =
+    # floor(user_id / ceil((max_uid + 1) / 4096)) <= 4095 at ANY
+    # scale, and monotonicity in user_id is preserved by floor.
+    uid_stats = rfm.agg(F.max("user_id").alias("_max_uid"))
+    m = (
+        rfm.withColumn("negf", -F.col("frequency"))
+        .withColumn("negm", -F.col("monetary_cents"))
+        .crossJoin(F.broadcast(uid_stats))
     )
+    bw = F.greatest(
+        F.floor(F.col("_max_uid") / 4096) + 1, F.lit(1)
+    )
+    ublock = F.floor(F.col("user_id") / bw)
     # Recency: near-unique seconds; MINUTE range cells — occupied
     # bucket count is bounded by the time domain (~43k/month) while
     # per-cell occupancy is the per-minute cohort, so neither the
@@ -917,13 +931,13 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="r_rnk",
     )
     # Frequency DESC: plateau-heavy small-int counts, so each plateau
-    # value fans out over user-id blocks — monotone in (negf,
-    # user_id) as long as user_id < 256 * 4096 (stats-derived widths
-    # at scale); occupied buckets <= n/256 + |distinct f|.
+    # value fans out over <= 4096 user-id blocks whose width derives
+    # from the broadcast max — monotone in (negf, user_id) at ANY id
+    # range (see bw above); occupied buckets <= 4096 * |distinct f|.
     m = dist_rank(
         m,
         ["negf", "user_id"],
-        F.col("negf") * 4096 + F.floor(ublock),
+        F.col("negf") * 4096 + ublock,
         out_col="f_rnk",
     )
     # Monetary DESC is BIMODAL: positives are near-unique (a
@@ -949,7 +963,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist_rank(
             m.filter(F.col("negm") == 0),
             ["user_id"],
-            F.floor(ublock),
+            ublock,
             out_col="m_rnk",
         )
         .crossJoin(F.broadcast(n_pos))

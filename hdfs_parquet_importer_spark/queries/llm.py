@@ -184,18 +184,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3, fp=fp)
 
     # Verification subset: deterministic xxhash coin over the CACHED
-    # fingerprint table (the count is a 1-long-per-doc action on an
-    # already-materialized checkpoint — bounded and cheap).
+    # fingerprint table. The subset rate depends on the corpus size,
+    # but the count stays IN the plan as a broadcast 1-row aggregate
+    # (ADVICE r6: a driver-side fp.count() here ran a Spark job at
+    # query-BUILD time, so every registry construction — plan lint,
+    # scaling tool, test fixtures — paid it; the builder convention
+    # is lazy). coin * max(n, cap) < 1e6 * cap is the integer-exact
+    # lazy form of coin < 1e6 * cap / n (with the n <= cap branch
+    # admitting everything).
     _cap = 1500
-    n_fp = fp.count()
-    _thresh = (
-        1_000_000 if n_fp <= _cap else int(1_000_000 * _cap / n_fp)
-    )
+    n_fp = fp.agg(F.count(F.lit(1)).alias("_nfp"))
 
     def _in_subset(idc):
-        return F.pmod(F.xxhash64(idc), F.lit(1_000_000)) < F.lit(_thresh)
+        return (
+            F.pmod(F.xxhash64(idc), F.lit(1_000_000))
+            * F.greatest(F.col("_nfp"), F.lit(_cap))
+        ) < F.lit(1_000_000) * F.lit(_cap)
 
-    vfp = fp.filter(_in_subset(F.col("id")))
+    vfp = fp.crossJoin(F.broadcast(n_fp)).filter(
+        _in_subset(F.col("id"))
+    ).drop("_nfp")
 
     a = vfp.select(F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
     b = vfp.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
@@ -214,9 +222,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # emitted a wrong pair/distance). The full-corpus banded pairs
     # narrow to subset-internal pairs by re-evaluating the same
     # deterministic coin on both ids — a scan-side filter, no join.
-    banded_sub = banded.filter(
+    banded_sub = banded.crossJoin(F.broadcast(n_fp)).filter(
         _in_subset(F.col("id_a")) & _in_subset(F.col("id_b"))
-    )
+    ).drop("_nfp")
     pair_diff = (
         banded_sub.withColumn("_banded", F.lit(1))
         .join(

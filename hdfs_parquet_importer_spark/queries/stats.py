@@ -562,14 +562,20 @@ def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
     )
     # Rank by f DESC, term ASC == ascending (-f, term). Bucket id
-    # -f*128 + ascii(term[0]) is monotone in that composite order
-    # (ascii < 128), so per-bucket windows compose into the exact
+    # -f*128 + least(ascii(term[0]), 127) is monotone in that
+    # composite order, so per-bucket windows compose into the exact
     # global row_number; ties on f split across ~36 first-char cells.
+    # The clamp (ADVICE r6) keeps monotonicity even if the tokenizer
+    # ever admits non-ASCII first chars (ascii() then returns the
+    # full codepoint >= 128, which would interleave plateaus);
+    # least() maps them all onto the last cell, still monotone
+    # because string order is by leading codepoint.
     neg = tf.withColumn("negf", -F.col("f"))
     ranked = dist_rank(
         neg,
         ["negf", "term"],
-        F.col("negf") * 128 + F.ascii(F.substring("term", 1, 1)),
+        F.col("negf") * 128
+        + F.least(F.ascii(F.substring("term", 1, 1)), F.lit(127)),
         out_col="rnk",
     ).select("f", "rnk")
     return ranked.agg(

@@ -382,6 +382,13 @@ def write_stream_parquet(
     be fresh or already partition-laid-out — pointing this sink at a
     directory holding unpartitioned parquet would silently mix
     layouts, so the first batch fails fast instead.
+
+    LOCAL-FILESYSTEM TARGETS ONLY (ADVICE r6): the mixed-layout
+    guard inspects ``path`` with driver-local ``os`` calls, so for a
+    remote URI (``hdfs://``, ``s3a://``) it silently no-ops and the
+    fail-fast contract does not hold (the write itself still works).
+    Porting to remote targets means routing the existence/listing
+    checks through the active session's Hadoop FileSystem API.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -428,6 +435,19 @@ def recover_upsert_target(path: str) -> None:
     staging dirs and can't sweep a look-alike neighbor. (Spark itself
     treats READ paths as Hadoop globs, so such targets can't round-
     trip through the sink anyway — but recovery must never mis-sweep.)
+
+    Contract (ADVICE r6 / VERDICT r6 item 7): LOCAL-FILESYSTEM
+    targets only — every check/rename here is driver-local
+    ``os``/``shutil``, so a remote URI target silently skips
+    recovery; remote support means the Hadoop FileSystem API. And
+    SINGLE WRITER only: recovery assumes no other process is mid-swap
+    on the same target. Structured Streaming enforces this for the
+    supported topology (one active query per checkpoint; a replayed
+    batch runs in the SAME restarted query, strictly after this
+    sweep). Two concurrent drivers pointed at one target — e.g. a
+    zombie driver's late batch racing a new driver's recovery — are
+    outside the contract, exactly as for any non-transactional
+    filesystem sink.
     """
     import glob as _glob
     import os
@@ -471,7 +491,9 @@ def write_stream_upsert(
     recover exactly-once table state from the checkpointed source
     offsets. At scale the rewrite narrows to changed partitions
     (dynamic partition overwrite) or a format with real MERGE; the
-    per-batch plan is identical.
+    per-batch plan is identical. Local-filesystem, single-writer
+    targets only — see :func:`recover_upsert_target` for the exact
+    contract and its boundary.
     """
     import os
     import shutil

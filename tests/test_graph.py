@@ -128,10 +128,18 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
 
 
 def test_pagerank_checkpointed_equals_unchckpointed(spark):
+    # checkpoint_every only applies on the lazy (materialize=False)
+    # path — with the per-iteration contrib checkpoint on it would be
+    # duplicate work and is skipped (ADVICE r6).
     edges = [("a", "b", 1.0), ("b", "a", 3.0), ("b", "c", 1.0), ("c", "a", 1.0)]
     lazy = _pagerank_spark(spark, edges, damping=0.85, n_iter=6)
     ckpt = _pagerank_spark(
-        spark, edges, damping=0.85, n_iter=6, checkpoint_every=2
+        spark,
+        edges,
+        damping=0.85,
+        n_iter=6,
+        checkpoint_every=2,
+        materialize=False,
     )
     for k in lazy:
         assert abs(lazy[k] - ckpt[k]) < 1e-15
