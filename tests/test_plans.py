@@ -128,6 +128,10 @@ BRUTE_FORCE_OK = {
     "pack_strategy_waste",   # 1-row corpus-totals x 1-row band-packed
                              # tail-count broadcast cross join feeding
                              # the three strategy rows
+    "tokenize_bpe_encode",   # 1-row merge-table (array of 16 pairs)
+                             # broadcast cross join feeding the encode
+                             # fold — the BPE "model broadcast"
+    "pack_bpe_sequences",    # same 1-row merge-table broadcast
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
