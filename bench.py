@@ -90,6 +90,11 @@ HEADLINE = [
     # partitioning (perplexity terciles) — benched from birth.
     "graph_triangle_count",
     "quality_ccnet_buckets",
+    # r7: one representative per new family — the BPE encode fold
+    # (tokenizer loop closed) and INT8 scalar quantization — benched
+    # from birth.
+    "tokenize_bpe_encode",
+    "embedding_quantize_int8",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -538,6 +538,43 @@ def wav_encode_samples(df: DataFrame) -> DataFrame:
     return df.mapInPandas(enc, out_schema)
 
 
+def wav_resample_half(df: DataFrame) -> DataFrame:
+    """Transform stage: decimate WAV PCM16 payloads 2:1 — decode,
+    average non-overlapping sample pairs (y[i] = floor((x[2i] +
+    x[2i+1]) / 2), the box low-pass that precedes naive decimation;
+    a trailing odd sample is dropped), re-encode at half the rate.
+    (media_id, payload) -> (media_id, payload), Arrow-batched, rows
+    never leave their task — the shape of every sample-rate
+    normalization pass an audio training pipeline runs before
+    featurization. floor() (not int()'s truncation) so the DuckDB
+    oracle's floor((a+b)/2.0) replays negative pairs identically."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def resample(
+        batches: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = decode_wav_pcm16(bytes(payload))
+                y = [
+                    (x[2 * i] + x[2 * i + 1]) // 2
+                    for i in range(len(x) // 2)
+                ]
+                ids.append(mid)
+                payloads.append(encode_wav_pcm16(y, rate=rate // 2))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(resample, out_schema)
+
+
 AUDIO_ENERGY_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

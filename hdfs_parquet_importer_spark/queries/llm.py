@@ -1658,6 +1658,60 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_resample",
+    oracle="""
+WITH g AS (SELECT doc_id AS media_id, 64 + doc_id % 50 AS n FROM documents),
+s AS (SELECT media_id, n,
+             [ (media_id * 41 + i * 17) % 2003 - 1001
+               for i in range(0, n) ] AS x
+      FROM g),
+r AS (SELECT media_id, n,
+             [ CAST(floor((x[2*i + 1] + x[2*i + 2]) / 2.0) AS BIGINT)
+               for i in range(0, n // 2) ] AS y
+      FROM s)
+SELECT media_id,
+       8000 AS rate,
+       CAST(n // 2 AS BIGINT) AS n_samples,
+       CAST(list_sum(y) AS BIGINT) AS sample_sum,
+       CAST(list_sum([v * v for v in y]) AS BIGINT) AS energy
+FROM r ORDER BY media_id
+""",
+    doc="Three REAL codec passes: deterministic PCM16 samples -> "
+    "encode_wav_pcm16 (RIFF @16 kHz) -> wav_resample_half (decode, "
+    "pair-average box filter + 2:1 decimation, re-encode @8 kHz) -> "
+    "audio_energy (header-validated decode, integer stats). The "
+    "sample-rate normalization every audio training pipeline runs "
+    "before featurization, and a value-exact proof that the encoder "
+    "and decoder survive a round-trip THROUGH a transformed payload "
+    "(rate halved in the header, floor((a+b)/2) samples — the "
+    "oracle replays both formula and filter; int()'s toward-zero "
+    "truncation instead of floor would break every negative pair). "
+    "Payloads never shuffle; all three passes are scan-side "
+    "mapInPandas stages.",
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gen = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(64) + F.col("doc_id") % 50).cast("int").alias("n"),
+    ).withColumn(
+        "samples",
+        F.transform(
+            F.sequence(F.lit(0), F.col("n") - 1),
+            lambda i: (
+                (F.col("media_id") * 41 + i * 17) % 2003 - 1001
+            ).cast("int"),
+        ),
+    )
+    return M.audio_energy(
+        M.wav_resample_half(M.wav_encode_samples(gen))
+    ).orderBy("media_id")
+
+
+@register(
     "multimodal_image_dhash_dedup",
     oracle="""
 WITH g AS (SELECT doc_id AS media_id,
@@ -1786,6 +1840,112 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
         )
         .orderBy("i", "j")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH dims AS (SELECT unnest(embedding) AS x,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings),
+st AS (SELECT pos, CAST(MIN(x) AS DOUBLE) AS mn,
+              CAST(MAX(x) AS DOUBLE) AS mx
+       FROM dims GROUP BY pos),
+pk AS (SELECT list(struct_pack(mn := mn, mx := mx) ORDER BY pos) AS st
+       FROM st),
+per AS (
+  SELECT label,
+         list_sum([CASE WHEN st[i].mx = st[i].mn THEN 0.0
+                   ELSE floor((CAST(embedding[i] AS DOUBLE) - st[i].mn)
+                              * 255 / (st[i].mx - st[i].mn) + 0.5)
+                   END for i in range(1, len(embedding) + 1)]) AS codesum,
+         list_max([CASE WHEN st[i].mx = st[i].mn THEN 0.0
+                   ELSE floor((CAST(embedding[i] AS DOUBLE) - st[i].mn)
+                              * 255 / (st[i].mx - st[i].mn) + 0.5)
+                   END for i in range(1, len(embedding) + 1)]) AS cmax,
+         list_sum([pow(CAST(embedding[i] AS DOUBLE)
+                       - (st[i].mn
+                          + (CASE WHEN st[i].mx = st[i].mn THEN 0.0
+                             ELSE floor((CAST(embedding[i] AS DOUBLE)
+                                         - st[i].mn) * 255
+                                        / (st[i].mx - st[i].mn) + 0.5)
+                             END) * (st[i].mx - st[i].mn) / 255), 2)
+                   for i in range(1, len(embedding) + 1)]) AS sqerr
+  FROM embeddings CROSS JOIN pk)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(codesum) AS BIGINT) AS code_checksum,
+       CAST(MAX(cmax) AS BIGINT) AS max_code,
+       ROUND(SUM(sqerr) * 1000, 4) AS sq_err_sum_x1k
+FROM per GROUP BY label ORDER BY label
+""",
+    doc="INT8 scalar quantization (SQ8) of the embedding table — the "
+    "standard vector-store compression (4x smaller than fp32, the "
+    "step below product quantization's ann_pq_adc): per-DIMENSION "
+    "min/max over the corpus (a d-row aggregate off one posexplode "
+    "pass, broadcast back as a single 64-struct array), then each "
+    "vector quantizes per-element to code = floor((x-mn)*255/"
+    "(mx-mn) + .5) in a pure scan-side projection. floor(v+.5) "
+    "replaces round() because the engines' round() half-rules "
+    "differ; all arithmetic is fp64 with identical operation order, "
+    "so the CODES are bit-exact cross-engine — proven by the "
+    "integer code_checksum and the max_code<=255 range check — "
+    "while reconstruction error ships as a rounded sum. At scale "
+    "this is one tiny stats broadcast + one linear pass; nothing "
+    "shuffles but the d-row stats and the label-bounded summary.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.selectExpr("posexplode(embedding) AS (pos, x)")
+    stats = dims.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("st")
+    )
+
+    def _code(x, s):
+        mn = s.getField("mn").cast("double")
+        mx = s.getField("mx").cast("double")
+        return F.when(mx == mn, F.lit(0.0)).otherwise(
+            F.floor(
+                (x.cast("double") - mn) * 255 / (mx - mn) + F.lit(0.5)
+            ).cast("double")
+        )
+
+    def _sqerr(x, s):
+        mn = s.getField("mn").cast("double")
+        mx = s.getField("mx").cast("double")
+        recon = mn + _code(x, s) * (mx - mn) / 255
+        return F.pow(x.cast("double") - recon, F.lit(2.0))
+
+    # posexplode's pos is 0-based; element_at is 1-based.
+    st_at = lambda i: F.element_at(F.col("st"), i + 1)  # noqa: E731
+    per = emb.crossJoin(F.broadcast(packed)).select(
+        "label",
+        F.aggregate(
+            F.transform("embedding", lambda x, i: _code(x, st_at(i))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("codesum"),
+        F.array_max(
+            F.transform("embedding", lambda x, i: _code(x, st_at(i)))
+        ).alias("cmax"),
+        F.aggregate(
+            F.transform("embedding", lambda x, i: _sqerr(x, st_at(i))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("sqerr"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("codesum").cast("bigint").alias("code_checksum"),
+            F.max("cmax").cast("bigint").alias("max_code"),
+            F.round(F.sum("sqerr") * 1000, 4).alias("sq_err_sum_x1k"),
+        )
+        .orderBy("label")
     )
 
 

@@ -610,19 +610,27 @@ _BPE_MERGES_SQL = f"""
         GROUP BY pair ORDER BY n DESC, pair LIMIT 16)
 """
 
-_BPE_ENCODE_SQL = (
-    "list_reduce("
-    "list_prepend('.' || regexp_replace(w, '(.)', '\\1.', 'g'), merges), "
-    "(s, m) -> list_reduce("
-    "  list_prepend('.', list_filter(string_split(s, '.'), t -> t != '')), "
-    "  (acc, t) -> CASE WHEN t = m[2:2] "
-    "                    AND ends_with(acc, '.' || m[1:1] || '.') "
-    "              THEN acc[1:len(acc)-1] || t || '.' "
-    "              ELSE acc || t || '.' END))"
-)
-_BPE_NTOK_SQL = (
-    f"len({_BPE_ENCODE_SQL}) - len(replace({_BPE_ENCODE_SQL}, '.', '')) - 1"
-)
+def _bpe_encode_sql(merges_expr: str = "merges") -> str:
+    return (
+        "list_reduce("
+        "list_prepend('.' || regexp_replace(w, '(.)', '\\1.', 'g'), "
+        f"{merges_expr}), "
+        "(s, m) -> list_reduce("
+        "  list_prepend('.', list_filter(string_split(s, '.'), t -> t != '')), "
+        "  (acc, t) -> CASE WHEN t = m[2:2] "
+        "                    AND ends_with(acc, '.' || m[1:1] || '.') "
+        "              THEN acc[1:len(acc)-1] || t || '.' "
+        "              ELSE acc || t || '.' END))"
+    )
+
+
+def _bpe_ntok_sql(merges_expr: str = "merges") -> str:
+    e = _bpe_encode_sql(merges_expr)
+    return f"len({e}) - len(replace({e}, '.', '')) - 1"
+
+
+_BPE_ENCODE_SQL = _bpe_encode_sql()
+_BPE_NTOK_SQL = _bpe_ntok_sql()
 
 
 @register(
@@ -743,6 +751,94 @@ def pack_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
         .limit(10)
+    )
+
+
+_SWEEP_KS = (0, 4, 8, 16)
+
+_SWEEP_ORACLE = (
+    "WITH toks AS (SELECT doc_id, " + _TOKS_SQL + " AS t FROM documents),\n"
+    "mg AS (" + _BPE_MERGES_SQL + ")\n"
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT {k} AS k_merges,
+       CAST(SUM(list_sum([{_bpe_ntok_sql(f"merges[1:{k}]")}
+                          for w in t if w != ''])) AS BIGINT)
+         AS n_tokens,
+       ROUND(CAST(SUM(list_sum([len(w) for w in t if w != '']))
+                  AS DOUBLE)
+             / SUM(list_sum([{_bpe_ntok_sql(f"merges[1:{k}]")}
+                             for w in t if w != ''])), 6)
+         AS chars_per_token
+FROM toks CROSS JOIN mg
+"""
+        for k in _SWEEP_KS
+    )
+    + "\nORDER BY k_merges"
+)
+
+
+@register(
+    "tokenize_bpe_vocab_sweep",
+    oracle=_SWEEP_ORACLE,
+    doc="Tokenizer-design sweep: corpus token count and compression "
+    "at merge-table sizes K in {0, 4, 8, 16} — the marginal-utility "
+    "curve (each doubling of the merge budget buys less compression) "
+    "that decides how large a vocabulary is worth training. ONE "
+    "corpus pass: every document folds all four table prefixes "
+    "(slice of the single broadcast 16-rule array) in the same "
+    "scan-side projection, explodes the 4-element (k, count) struct "
+    "array, and re-aggregates by k — the explode multiplies rows by "
+    "|K|=4, not by tokens. K=0 is the character baseline (tokens == "
+    "chars, so chars_per_token == 1 exactly — a built-in "
+    "self-check). Integer-exact cross-engine via the same nested "
+    "fold as tokenize_bpe_encode.",
+)
+def tokenize_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import bpe
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = bpe.learn_merges(docs, "text", k=16)
+    toks = docs.select(
+        "doc_id",
+        F.filter(D.tokens(F.col("text")), lambda w: w != "").alias("_t"),
+    )
+    def _counter(k: int):
+        # NB: a two-parameter lambda would make PySpark bind the
+        # second parameter to the ELEMENT INDEX (transform's (x, i)
+        # form) — close over k via a factory instead.
+        return lambda w: bpe.token_count(w, F.slice(F.col("merges"), 1, k))
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k_merges"),
+                F.aggregate(
+                    F.transform("_t", _counter(k)),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).alias("n_tok"),
+            )
+            for k in _SWEEP_KS
+        ]
+    )
+    per = toks.crossJoin(F.broadcast(merges)).select(
+        F.aggregate(
+            F.transform("_t", lambda w: F.length(w)),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("n_chars"),
+        F.explode(entries).alias("e"),
+    )
+    return (
+        per.groupBy(F.col("e.k_merges").alias("k_merges"))
+        .agg(
+            F.sum("e.n_tok").alias("n_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("e.n_tok"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("k_merges")
     )
 
 

@@ -227,6 +227,37 @@ def test_wav_energy_roundtrip_known_values(spark):
     assert got[2].energy == 25
 
 
+def test_wav_resample_half_known_values(spark):
+    """2:1 pair-average decimation: floor((a+b)/2) per pair (checks
+    the NEGATIVE-pair floor, where int()'s truncation would differ),
+    odd trailing sample dropped, rate halved in the re-encoded
+    header."""
+    from hdfs_parquet_importer_spark.operators.multimodal import (
+        audio_energy,
+        wav_encode_samples,
+        wav_resample_half,
+    )
+
+    src = spark.createDataFrame(
+        [(1, [10, 20, -5, -6, 7]), (2, [3, 4])],
+        "media_id long, samples array<int>",
+    )
+    got = {
+        r.media_id: r
+        for r in audio_energy(
+            wav_resample_half(wav_encode_samples(src))
+        ).collect()
+    }
+    r1 = got[1]
+    # pairs: (10,20)->15, (-5,-6)->floor(-5.5)=-6; trailing 7 dropped.
+    assert r1.rate == 8000
+    assert r1.n_samples == 2
+    assert r1.sample_sum == 15 - 6
+    assert r1.energy == 15**2 + 6**2
+    # (3,4) -> floor(3.5) = 3.
+    assert (got[2].n_samples, got[2].sample_sum) == (1, 3)
+
+
 def test_image_dhash_gradient_bit_semantics(spark):
     """A 9x8 image that increases left-to-right in every row hashes
     to all-ones (every adjacent pair ascends); flipping ONE adjacent

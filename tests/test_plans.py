@@ -132,6 +132,11 @@ BRUTE_FORCE_OK = {
                              # broadcast cross join feeding the encode
                              # fold — the BPE "model broadcast"
     "pack_bpe_sequences",    # same 1-row merge-table broadcast
+    "tokenize_bpe_vocab_sweep",  # same 1-row merge-table broadcast
+                             # (four sliced prefixes of one array)
+    "embedding_quantize_int8",  # 1-row per-dimension min/max stats
+                             # array broadcast cross join — the
+                             # quantizer "model broadcast"
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
