@@ -47,6 +47,11 @@ def asof_join(
     ``right_ts >= left_ts`` — the same union + ordered-window carry,
     just scanned from the other end, so both directions cost one
     key-partitioned window pass (no range self-join).
+    ``"nearest"`` matches whichever of those two candidates minimizes
+    ``|right_ts - left_ts|``, preferring the BACKWARD row on an exact
+    distance tie (deterministic; pandas leaves the tie unspecified) —
+    computed as both carries over the SAME union, so it still costs
+    one shuffle (two in-partition sorts, one per scan direction).
 
     ``tolerance_sec`` (pandas merge_asof's ``tolerance``): a match
     further than this many seconds from the left timestamp is
@@ -58,8 +63,10 @@ def asof_join(
     Payload columns appear as ``{prefix}{col}``; ``{prefix}ts`` carries
     the matched right timestamp.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     payload = F.struct(
         F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in right_payload]
     )
@@ -86,22 +93,49 @@ def asof_join(
     # Forward = the same carry scanned from the high end: descending
     # timestamp order turns last-non-null-before into
     # first-non-null-after.
-    ts_order = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
-    w = (
-        Window.partitionBy(on)
-        .orderBy(ts_order, F.col("_is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "_match", F.last("_payload", ignorenulls=True).over(w)
-    )
-    if tolerance_sec is not None:
-        gap = F.col("_ts").cast("long") - F.col("_match.ts").cast("long")
-        if direction == "forward":
-            gap = -gap
-        carried = carried.withColumn(
-            "_match", F.when(gap <= int(tolerance_sec), F.col("_match"))
+    def carry(d: str):
+        ts_order = F.col("_ts").asc() if d == "backward" else F.col("_ts").desc()
+        w = (
+            Window.partitionBy(on)
+            .orderBy(ts_order, F.col("_is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        return F.last("_payload", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # Both carries ride ONE hash exchange on the key (two window
+        # sort passes); the nearer candidate wins, backward on ties.
+        carried = unioned.withColumn("_mb", carry("backward")).withColumn(
+            "_mf", carry("forward")
+        )
+        gap_b = F.col("_ts").cast("long") - F.col("_mb.ts").cast("long")
+        gap_f = F.col("_mf.ts").cast("long") - F.col("_ts").cast("long")
+        carried = carried.withColumn(
+            "_match",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(gap_f < gap_b, F.col("_mf"))
+            .otherwise(F.col("_mb")),
+        ).drop("_mb", "_mf")
+        if tolerance_sec is not None:
+            # The chosen match is the global nearest: out-of-tolerance
+            # here implies no right row is in tolerance.
+            adist = F.abs(
+                F.col("_ts").cast("long") - F.col("_match.ts").cast("long")
+            )
+            carried = carried.withColumn(
+                "_match",
+                F.when(adist <= int(tolerance_sec), F.col("_match")),
+            )
+    else:
+        carried = unioned.withColumn("_match", carry(direction))
+        if tolerance_sec is not None:
+            gap = F.col("_ts").cast("long") - F.col("_match.ts").cast("long")
+            if direction == "forward":
+                gap = -gap
+            carried = carried.withColumn(
+                "_match", F.when(gap <= int(tolerance_sec), F.col("_match"))
+            )
     out = carried.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_left.{c}").alias(c) for c in left.columns],
         F.col("_match.ts").alias(f"{prefix}ts"),

@@ -527,6 +527,78 @@ def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_nearest",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, MIN(event_id) AS event_id FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         arg_min(v.event_id,
+                 2 * abs(date_diff('second', v.ts, p.ts))
+                 + CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END)
+           FILTER (WHERE v.user_id IS NOT NULL
+                   AND abs(date_diff('second', v.ts, p.ts)) <= 600)
+           AS view_id,
+         arg_min(date_diff('second', v.ts, p.ts),
+                 2 * abs(date_diff('second', v.ts, p.ts))
+                 + CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END)
+           FILTER (WHERE v.user_id IS NOT NULL
+                   AND abs(date_diff('second', v.ts, p.ts)) <= 600)
+           AS gap_s
+  FROM p LEFT JOIN v ON p.user_id = v.user_id
+  GROUP BY p.event_id, p.user_id
+)
+SELECT purchase_id, user_id,
+       COALESCE(view_id, -1) AS view_id,
+       CAST(gap_s AS BIGINT) AS gap_s
+FROM j ORDER BY purchase_id
+""",
+    doc="Nearest-direction as-of join (merge_asof direction='nearest' "
+    "with a 10-minute tolerance): each purchase matched to the "
+    "closest view either side, backward preferred on exact distance "
+    "ties (deterministic where pandas leaves it unspecified), views "
+    "pre-deduplicated to one per (user, ts) so the tie domain is "
+    "closed. Both direction carries ride ONE hash exchange on "
+    "user_id (two in-partition sort passes) — no range self-join "
+    "(operators/asof.py). Out-of-tolerance purchases keep the -1/"
+    "NULL sentinel: the nearest candidate being too far proves no "
+    "candidate is near enough. The oracle is the independent "
+    "arg_min-over-(distance, side) formulation on a bounded "
+    "per-user join; gap_s is SIGNED (positive = view before "
+    "purchase).",
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["event_id"],
+        direction="nearest",
+        tolerance_sec=600,
+    )
+    gap = F.col("ts").cast("long") - F.col("asof_ts").cast("long")
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
+        gap.cast("long").alias("gap_s"),
+    ).orderBy("purchase_id")
+
+
+@register(
     "window_share_of_total",
     oracle="""
 WITH rev AS (

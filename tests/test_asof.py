@@ -150,3 +150,63 @@ def test_tolerance_forward_direction(spark):
     }
     assert got[1] is None  # next match 20 min ahead > 10 min tolerance
     assert got[2] is None  # no future right row at all
+
+
+def test_nearest_direction_picks_closer_side(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T10:00:00"), lid=1),  # fwd closer
+            Row(k=1, ts=_ts("2024-01-01T11:59:00"), lid=2),  # bwd closer
+            Row(k=2, ts=_ts("2024-01-01T10:00:00"), lid=3),  # no rights
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T09:00:00"), rid=6),
+            Row(k=1, ts=_ts("2024-01-01T10:30:00"), rid=7),
+        ]
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"], direction="nearest",
+        ).collect()
+    }
+    assert out[1].asof_rid == 7  # 30 min forward beats 60 min back
+    assert out[2].asof_rid == 7  # both behind: 89 min beats 179 min
+    assert out[3].asof_rid is None
+
+
+def test_nearest_tie_prefers_backward(spark):
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T09:30:00"), rid=1),  # 30 min back
+            Row(k=1, ts=_ts("2024-01-01T10:30:00"), rid=2),  # 30 min fwd
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        right_payload=["rid"], direction="nearest",
+    ).collect()
+    assert out[0].asof_rid == 1
+
+
+def test_nearest_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T10:00:00"), lid=1),  # 30m -> in
+            Row(k=1, ts=_ts("2024-01-01T23:00:00"), lid=2),  # 12.5h -> out
+        ]
+    )
+    right = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T10:30:00"), rid=9)])
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_payload=["rid"], direction="nearest", tolerance_sec=3600,
+        ).collect()
+    }
+    assert out[1].asof_rid == 9
+    assert out[2].asof_rid is None
