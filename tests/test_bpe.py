@@ -89,3 +89,46 @@ def test_doc_token_counts_totals(spark):
         6,
         4,
     )
+
+
+def _ref_encode(word: str, merges: list[str]) -> list[str]:
+    """Pure-Python canonical greedy BPE: one left-to-right pass per
+    rule in priority order, merge when the previous token is exactly
+    L and the incoming one exactly R."""
+    toks = list(word)
+    for rule in merges:
+        left, right = rule[0], rule[1]
+        out: list[str] = []
+        for t in toks:
+            if out and out[-1] == left and t == right:
+                out[-1] = left + right
+            else:
+                out.append(t)
+        toks = out
+    return toks
+
+
+def test_encode_exhaustive_small_words(spark):
+    """Every word of length 1..6 over {a,b} against three rule sets
+    (incl. the chain-heavy self-pair and the order-flip), checked in
+    ONE Spark job against the Python reference — the overlap/chain
+    edge cases live entirely inside this space."""
+    import itertools
+
+    words = [
+        "".join(p)
+        for n in range(1, 7)
+        for p in itertools.product("ab", repeat=n)
+    ]
+    rule_sets = [["aa", "ab"], ["ab", "ba"], ["ba", "bb", "aa"]]
+    rows = [(w, rs) for w in words for rs in rule_sets]
+    df = spark.createDataFrame(
+        rows, "w string, merges array<string>"
+    ).select(
+        "w",
+        "merges",
+        bpe.encode_tokens(F.col("w"), F.col("merges")).alias("got"),
+    )
+    for r in df.collect():
+        want = _ref_encode(r.w, r.merges)
+        assert r.got == want, (r.w, r.merges, r.got, want)
