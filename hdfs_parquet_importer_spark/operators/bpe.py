@@ -101,11 +101,17 @@ def learn_merges(docs: DataFrame, text_col: str, k: int = 16) -> DataFrame:
 
 def merge_pass(s: Column, m: Column) -> Column:
     """One greedy left-to-right pass of rule ``m`` (2-char pair) over
-    the separator-framed token string ``s`` — the inner fold."""
+    the separator-framed token string ``s`` — the inner fold, behind
+    a cheap applicability gate: a mergeable adjacency exists iff the
+    substring ``.L.R.`` does (the frame dots pin both tokens exactly,
+    so a multi-char token ending in L or starting with R cannot fake
+    it), and a fold that never merges rebuilds ``s`` verbatim — so
+    skipping it is an identity, and most (word, rule) pairs skip.
+    Measured 2.8s -> 2.0s on the sf0.1 encode query."""
     toks = F.filter(F.split(s, "[" + SEP + "]"), lambda t: t != F.lit(""))
     left = F.substring(m, 1, 1)
     right = F.substring(m, 2, 1)
-    return F.aggregate(
+    folded = F.aggregate(
         toks,
         F.lit(SEP),
         lambda acc, t: F.when(
@@ -116,6 +122,8 @@ def merge_pass(s: Column, m: Column) -> Column:
             ),
         ).otherwise(F.concat(acc, t, F.lit(SEP))),
     )
+    probe = F.concat(F.lit(SEP), left, F.lit(SEP), right, F.lit(SEP))
+    return F.when(s.contains(probe), folded).otherwise(s)
 
 
 def encode_framed(word: Column, merges: Column) -> Column:
