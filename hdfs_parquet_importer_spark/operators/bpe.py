@@ -31,20 +31,35 @@ folds. The IDENTICAL fold runs in DuckDB as nested ``list_reduce``
 stays type-homogeneous via ``list_prepend``), giving a value-exact
 cross-engine oracle.
 
-One pass per rule in priority order IS full canonical BPE here: with
-depth-1 rules (both sides single characters — what one counting round
-yields), a merge never creates a NEW single-char adjacency, so an
-earlier rule can never become applicable again after a later one
-fires. The encode fold itself is depth-agnostic (L/R are compared as
-whole tokens), so multi-round merge tables plug straight in.
-~Workload of Sennrich et al. 2016 (public BPE algorithm); no
-reference-repo counterpart (the reference is a CSV->Parquet ETL,
-package.scala:108-164).
+Merge rules are whole-token pairs ``"L R"`` (space-separated; space
+is outside both the token alphabet and SEP), so multi-round tables
+whose sides are themselves merged tokens (``"ab c"``, ``"a bc"``)
+apply exactly — ADVICE r7 closed the old 2-char-positional format's
+latent hazard, and :func:`merge_pass` now REJECTS a rule without
+exactly one space at run time instead of misapplying it.
+
+Encode semantics: one ordered pass per rule replays EXACTLY the
+corpus state :func:`learn_merges_iterative` maintains during
+learning (round ``i`` applies rule ``i`` once to the
+rules-``1..i-1`` encoding — the fold is that same incremental
+application). With depth-1 rules this is also full canonical BPE (a
+merge never creates a new single-char adjacency). For multi-round
+tables it differs from the rescan-min-rank encoder (subword-nmt /
+HF) only when a LATER rule's output string collides with an EARLIER
+rule's operand via a second derivation (e.g. ``aab`` reachable as
+``aa+b`` and ``a+ab``) — impossible for the table's own learning
+corpus state, and self-consistent here because learn and encode
+share one semantics. ~Workload of Sennrich et al. 2016 (public BPE
+algorithm); no reference-repo counterpart (the reference is a
+CSV->Parquet ETL, package.scala:108-164).
 
 Scale: learning is one explode + partial-agg pair count (alphabet-
-bounded shuffle) + a 16-row TakeOrdered; encoding is a broadcast of
-the 1-row merge array cross-joined into a pure per-row projection —
-no shuffle at all on the encode pass, linear in corpus bytes (the
+bounded shuffle) + a 16-row TakeOrdered; iterative learning loops
+that same pass over the DISTINCT-WORDS table (vocabulary-sized, not
+corpus-sized — the classic Sennrich trainer reduction) with a
+localCheckpoint per round; encoding is a broadcast of the 1-row
+merge array cross-joined into a pure per-row projection — no
+shuffle at all on the encode pass, linear in corpus bytes (the
 per-word fold is O(len^2) string building, bounded by word length).
 """
 
@@ -56,14 +71,16 @@ from pyspark.sql import functions as F
 from hdfs_parquet_importer_spark.operators import dedup as D
 
 SEP = "."
+RULE_SEP = " "  # between L and R inside one rule; outside [a-z0-9] and SEP
 
 
 def learn_merges(docs: DataFrame, text_col: str, k: int = 16) -> DataFrame:
     """Top-``k`` adjacent character pairs by corpus count -> ONE row
-    holding ``merges: array<string>`` in priority order (count DESC,
-    pair ASC tiebreak). Stays a DataFrame so callers can broadcast it
-    into an encode pass without any driver-side collect (the registry
-    builder convention is lazy — ADVICE r6 on dedup_simhash)."""
+    holding ``merges: array<string>`` of ``"L R"`` rules in priority
+    order (count DESC, pair ASC tiebreak). Stays a DataFrame so
+    callers can broadcast it into an encode pass without any
+    driver-side collect (the registry builder convention is lazy —
+    ADVICE r6 on dedup_simhash)."""
     words = docs.select(
         F.explode(D.tokens(F.col(text_col))).alias("w")
     ).filter(F.length("w") >= 2)
@@ -71,7 +88,11 @@ def learn_merges(docs: DataFrame, text_col: str, k: int = 16) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.length("w") - 1),
-                lambda i: F.col("w").substr(i, F.lit(2)),
+                lambda i: F.concat(
+                    F.col("w").substr(i, F.lit(1)),
+                    F.lit(RULE_SEP),
+                    F.col("w").substr(i + 1, F.lit(1)),
+                ),
             )
         ).alias("pair")
     )
@@ -100,17 +121,24 @@ def learn_merges(docs: DataFrame, text_col: str, k: int = 16) -> DataFrame:
 
 
 def merge_pass(s: Column, m: Column) -> Column:
-    """One greedy left-to-right pass of rule ``m`` (2-char pair) over
-    the separator-framed token string ``s`` — the inner fold, behind
-    a cheap applicability gate: a mergeable adjacency exists iff the
-    substring ``.L.R.`` does (the frame dots pin both tokens exactly,
-    so a multi-char token ending in L or starting with R cannot fake
-    it), and a fold that never merges rebuilds ``s`` verbatim — so
-    skipping it is an identity, and most (word, rule) pairs skip.
-    Measured 2.8s -> 2.0s on the sf0.1 encode query."""
+    """One greedy left-to-right pass of rule ``m`` (``"L R"``,
+    whole-token sides) over the separator-framed token string ``s`` —
+    the inner fold, behind a cheap applicability gate: a mergeable
+    adjacency exists iff the substring ``.L.R.`` does (the frame dots
+    pin both tokens exactly, so a multi-char token ending in L or
+    starting with R cannot fake it), and a fold that never merges
+    rebuilds ``s`` verbatim — so skipping it is an identity, and most
+    (word, rule) pairs skip. Measured 2.8s -> 2.0s on the sf0.1
+    encode query. A rule that is not exactly two space-separated
+    sides raises at run time (ADVICE r7: never silently misapply)."""
     toks = F.filter(F.split(s, "[" + SEP + "]"), lambda t: t != F.lit(""))
-    left = F.substring(m, 1, 1)
-    right = F.substring(m, 2, 1)
+    parts = F.split(m, RULE_SEP)
+    left = F.when(F.size(parts) == 2, F.element_at(parts, 1)).otherwise(
+        F.raise_error(
+            F.concat(F.lit("BPE merge rule must be 'L R': got "), m)
+        )
+    )
+    right = F.element_at(parts, 2)
     folded = F.aggregate(
         toks,
         F.lit(SEP),
@@ -124,6 +152,84 @@ def merge_pass(s: Column, m: Column) -> Column:
     )
     probe = F.concat(F.lit(SEP), left, F.lit(SEP), right, F.lit(SEP))
     return F.when(s.contains(probe), folded).otherwise(s)
+
+
+def adjacent_pairs(framed: Column) -> Column:
+    """Adjacent token pairs of a framed token string, each as an
+    ``"L R"`` rule candidate — the recount step of iterative
+    learning. Pure array expressions (unframe, then zip the list
+    with itself shifted by one)."""
+    ts = F.filter(
+        F.split(framed, "[" + SEP + "]"), lambda t: t != F.lit("")
+    )
+    n = F.greatest(F.size(ts) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(ts, F.lit(1), n),
+        F.slice(ts, F.lit(2), n),
+        lambda a, b: F.concat(a, F.lit(RULE_SEP), b),
+    )
+
+
+def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct words with occurrence counts ``(w, wn)`` — the
+    Sennrich trainer reduction: pair recounts weighted by ``wn`` are
+    corpus-exact while every learning round's working set stays
+    vocabulary-sized (sublinear in corpus bytes)."""
+    return (
+        docs.select(F.explode(D.tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+
+
+def learn_merges_iterative(
+    docs: DataFrame, text_col: str, rounds: int
+) -> DataFrame:
+    """Real multi-round BPE learning (VERDICT r7 item 6): each round
+    re-encodes the vocabulary under the rules adopted so far,
+    recounts adjacent TOKEN pairs (frequency-weighted, so counts are
+    corpus-exact), and adopts the single top pair (count DESC, pair
+    ASC tiebreak) — Sennrich et al. 2016's trainer loop. Returns ONE
+    row ``merges: array<string>`` in adoption order; rules adopted in
+    later rounds may have multi-char sides (``"c ab"``), which the
+    encode fold applies as whole tokens.
+
+    Scale: the distinct-words table is computed once and
+    localCheckpoint-ed; each round is one explode + partial-agg
+    count + 1-row TakeOrdered over |vocab| rows, and the 1-row merge
+    state is localCheckpoint-ed per round (pagerank convention) so
+    the plan never deepens. ``rounds`` is bounded-N by contract —
+    the driver loop is N tiny jobs, not a long lineage. A corpus
+    with no remaining pairs stops adopting (merge state carried
+    unchanged), so ``rounds`` is always safe to overshoot."""
+    words = word_counts(docs, text_col).localCheckpoint()
+    merges = docs.sparkSession.createDataFrame(
+        [([],)], "merges array<string>"
+    )
+    for _ in range(int(rounds)):
+        enc = words.crossJoin(F.broadcast(merges)).select(
+            "wn", encode_framed(F.col("w"), F.col("merges")).alias("f")
+        )
+        top = (
+            enc.select(F.explode(adjacent_pairs(F.col("f"))).alias("pair"), "wn")
+            .groupBy("pair")
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+        )
+        merges = (
+            merges.join(F.broadcast(top), F.lit(True), "left")
+            .select(
+                F.when(
+                    F.col("pair").isNull(), F.col("merges")
+                )
+                .otherwise(F.array_append("merges", F.col("pair")))
+                .alias("merges")
+            )
+            .localCheckpoint()
+        )
+    return merges
 
 
 def encode_framed(word: Column, merges: Column) -> Column:

@@ -604,21 +604,24 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES_SQL = f"""
   SELECT list(pair ORDER BY n DESC, pair) AS merges
   FROM (SELECT pair, COUNT(*) AS n
-        FROM (SELECT unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+        FROM (SELECT unnest([w[i:i] || ' ' || w[i+1:i+1]
+                             for i in range(1, len(w))]) AS pair
               FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
               WHERE len(w) >= 2)
         GROUP BY pair ORDER BY n DESC, pair LIMIT 16)
 """
 
 def _bpe_encode_sql(merges_expr: str = "merges") -> str:
+    # Rules are whole-token "L R" pairs (ADVICE r7) — split on the
+    # space, compare whole tokens, exactly like operators/bpe.py.
     return (
         "list_reduce("
         "list_prepend('.' || regexp_replace(w, '(.)', '\\1.', 'g'), "
         f"{merges_expr}), "
         "(s, m) -> list_reduce("
         "  list_prepend('.', list_filter(string_split(s, '.'), t -> t != '')), "
-        "  (acc, t) -> CASE WHEN t = m[2:2] "
-        "                    AND ends_with(acc, '.' || m[1:1] || '.') "
+        "  (acc, t) -> CASE WHEN t = string_split(m, ' ')[2] "
+        "                    AND ends_with(acc, '.' || string_split(m, ' ')[1] || '.') "
         "              THEN acc[1:len(acc)-1] || t || '.' "
         "              ELSE acc || t || '.' END))"
     )
