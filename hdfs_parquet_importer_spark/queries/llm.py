@@ -55,6 +55,46 @@ def _shingles_sql(n: int = 3) -> str:
     )
 
 
+# DuckDB twin of operators/bpe.py — the learn-top-16 merge table and
+# the double-fold encode. Defined here (not queries/mixing.py, which
+# imports from this module) so the BPE-fed packing comparison below
+# and the tokenizer queries in mixing.py share one twin.
+_BPE_MERGES_SQL = f"""
+  SELECT list(pair ORDER BY n DESC, pair) AS merges
+  FROM (SELECT pair, COUNT(*) AS n
+        FROM (SELECT unnest([w[i:i] || ' ' || w[i+1:i+1]
+                             for i in range(1, len(w))]) AS pair
+              FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents)
+              WHERE len(w) >= 2)
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 16)
+"""
+
+
+def _bpe_encode_sql(merges_expr: str = "merges") -> str:
+    # Rules are whole-token "L R" pairs (ADVICE r7) — split on the
+    # space, compare whole tokens, exactly like operators/bpe.py.
+    return (
+        "list_reduce("
+        "list_prepend('.' || regexp_replace(w, '(.)', '\\1.', 'g'), "
+        f"{merges_expr}), "
+        "(s, m) -> list_reduce("
+        "  list_prepend('.', list_filter(string_split(s, '.'), t -> t != '')), "
+        "  (acc, t) -> CASE WHEN t = string_split(m, ' ')[2] "
+        "                    AND ends_with(acc, '.' || string_split(m, ' ')[1] || '.') "
+        "              THEN acc[1:len(acc)-1] || t || '.' "
+        "              ELSE acc || t || '.' END))"
+    )
+
+
+def _bpe_ntok_sql(merges_expr: str = "merges") -> str:
+    e = _bpe_encode_sql(merges_expr)
+    return f"len({e}) - len(replace({e}, '.', '')) - 1"
+
+
+_BPE_ENCODE_SQL = _bpe_encode_sql()
+_BPE_NTOK_SQL = _bpe_ntok_sql()
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -2246,7 +2286,15 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pack_strategy_waste",
     oracle=f"""
-WITH t AS (SELECT len({_TOKS_SQL}) AS n FROM documents),
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+mg AS ({_BPE_MERGES_SQL}),
+t AS (
+  SELECT n FROM (
+    SELECT CAST(list_sum([{_BPE_NTOK_SQL} for w in t if w != ''])
+                AS BIGINT) AS n
+    FROM toks CROSS JOIN mg)
+  WHERE n >= 1
+),
 base AS (
   SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
          CAST(SUM((n + 2047) // 2048) AS BIGINT) AS perdoc_seqs,
@@ -2288,24 +2336,35 @@ SELECT * FROM (
 """,
     doc="Padding-waste comparison of the three sequence-packing "
     "strategies a pretraining pipeline chooses between, at budget "
-    "L=2048: (1) pad_per_doc — each document padded to its own "
+    "L=2048, on REAL BPE token counts (VERDICT r7 item 5: the "
+    "per-document counts come from the same learned-merge encode "
+    "fold as pack_bpe_sequences, not a whitespace estimate — the "
+    "waste numbers now reflect the actual tokenizer): "
+    "(1) pad_per_doc — each document padded to its own "
     "ceil(n/L) sequences (the naive collator); (2) pad_bucketed — "
     "full L-chunks emitted unpadded, tail fragments grouped into "
     "256-token length bands and packed floor(L/band_width) to a "
     "sequence (fixed-shape batching); (3) concat_chunk — the "
     "pack_sequences stream layout, one padded tail for the whole "
-    "corpus. Everything is integer arithmetic over ONE token-count "
-    "scan: two 1-row aggregates plus a band-bounded (<=8 rows) "
-    "groupBy — no windows, no joins; utilization = "
-    "total/(n_seq*L) is the only double, ROUND(6). On this corpus "
-    "(short documents, ~54 tokens mean) the measured spread is "
-    "dramatic — per-doc ~0.03, bucketed ~0.21, concat ~0.95 — the "
-    "quantitative case for stream packing.",
+    "corpus. After the scan-side encode projection, everything is "
+    "integer arithmetic over ONE token-count pass: two 1-row "
+    "aggregates plus a band-bounded (<=8 rows) groupBy — no "
+    "windows, no joins; utilization = total/(n_seq*L) is the only "
+    "double, ROUND(6). Zero-token documents (possible in a real "
+    "corpus) pack no sequences and are filtered identically on "
+    "both engines — their (n-1) div L would otherwise floor "
+    "differently (Spark div truncates, DuckDB // floors).",
 )
 def pack_strategy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        T.ws_token_count(F.col("text")).cast("long").alias("n")
+    from hdfs_parquet_importer_spark.operators import bpe
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = bpe.learn_merges(docs, "text", k=16)
+    t = (
+        bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
+        .select(F.col("n_tokens_bpe").cast("long").alias("n"))
+        .filter(F.col("n") >= 1)
     )
     base = t.agg(
         F.sum("n").cast("long").alias("total_tokens"),
