@@ -40,6 +40,7 @@ def prefix_sums(
     value_cols: Sequence[str],
     bucket: Column,
     out_cols: Sequence[str],
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Append the EXCLUSIVE prefix sum of EACH ``value_cols[i]`` in
     ``order_col`` order as ``out_cols[i]`` — all value columns ride
@@ -55,12 +56,25 @@ def prefix_sums(
     column share its bucket, so a composite order stays consistent
     with bucketing. Monotonicity is what lets per-bucket sums compose
     into a global prefix.
+
+    ``group_cols`` (VERDICT r7 item 4) makes the prefix PER GROUP —
+    the running sum restarts for each distinct group-key value, i.e.
+    ``SUM(v) OVER (PARTITION BY group ORDER BY order)`` without a hot
+    group ever serializing through one task: the local phase
+    partitions by (group, bucket), and the base phase is a window
+    partitioned by GROUP over that group's ``n_buckets`` 1-row bucket
+    totals — parallel across groups, bounded within one. The base
+    table is n_groups x n_buckets rows; it is broadcast here (fine
+    for quota/domain workloads where groups are a dimension), and at
+    an unbounded group count the broadcast would become a shuffled
+    equi-join on (group, bucket) — same plan shape, no new machinery.
     """
     assert len(value_cols) == len(out_cols) and value_cols
+    gcols = list(group_cols)
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     b = df.withColumn(_BUCKET, bucket.cast("long"))
     local_w = (
-        Window.partitionBy(_BUCKET)
+        Window.partitionBy(*gcols, _BUCKET)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -68,13 +82,16 @@ def prefix_sums(
     for v, lc in zip(value_cols, locals_):
         b = b.withColumn(lc, F.sum(v).over(local_w))
 
-    totals = b.groupBy(_BUCKET).agg(
+    totals = b.groupBy(*gcols, _BUCKET).agg(
         *[F.sum(v).alias(f"_tot{i}") for i, v in enumerate(value_cols)]
     )
-    # Exclusive running total over bucket ids: tiny (n_buckets rows),
-    # the ONLY single-partition window in the plan.
+    # Exclusive running total over bucket ids: n_buckets rows per
+    # group. Ungrouped, this is the ONLY single-partition window in
+    # the plan; grouped, it partitions by the group key and stays
+    # parallel.
     tot_w = (
-        Window.orderBy(_BUCKET)
+        Window.partitionBy(*gcols)
+        .orderBy(_BUCKET)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bases = []
@@ -83,9 +100,9 @@ def prefix_sums(
             f"{_BASE}{i}", F.sum(f"_tot{i}").over(tot_w) - F.col(f"_tot{i}")
         )
         bases.append(f"{_BASE}{i}")
-    base_df = totals.select(_BUCKET, *bases)
+    base_df = totals.select(*gcols, _BUCKET, *bases)
 
-    out = b.join(F.broadcast(base_df), _BUCKET)
+    out = b.join(F.broadcast(base_df), [*gcols, _BUCKET])
     for i, (v, oc) in enumerate(zip(value_cols, out_cols)):
         out = out.withColumn(
             oc, F.col(f"{_BASE}{i}") + F.col(locals_[i]) - F.col(v)

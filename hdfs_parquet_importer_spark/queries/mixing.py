@@ -157,27 +157,43 @@ GROUP BY source ORDER BY source
     "budgets): within each source, order docs by the md5 coin (a "
     "deterministic shuffle, so the kept set is an unbiased sample of "
     "the source) and keep rows while the running char total stays "
-    "under the quota. One shuffle on the mixing key; the running sum "
-    "is a single window pass. The window orders by the FULL md5 (not "
+    "under the quota. The running sum orders by the FULL md5 (not "
     "the 4-hex coin prefix): prefix collisions within a source would "
     "let the two engines order collided rows differently and diverge "
     "the running sum right at the quota boundary — sf0.1 already has "
-    "7 such diverging groups (ADVICE r4). At 100 TB a hot source's "
-    "rows exceed one task — the same two-phase distributed prefix-sum "
-    "used by pack_sequences (operators/prefix.py) computes `cum` with "
-    "per-bucket offsets instead of one ordered partition; the quota "
-    "predicate is unchanged.",
+    "7 such diverging groups (ADVICE r4). VERDICT r7 item 4 rewrote "
+    "the cum from a per-source window (parallelism capped at "
+    "n_sources — one hot source serializes through ONE task at "
+    "100 TB) to the GROUPED two-phase prefix sum "
+    "(operators/prefix.py group_cols): local cumsums partition by "
+    "(source, md5-leading-byte) — 256-way parallel inside every "
+    "source — and the serialized base pass is 256 one-row bucket "
+    "totals PER SOURCE, windowed per source in parallel. cum = "
+    "exclusive offset + n_chars is bit-identical to the window form "
+    "(integer sums), so the oracle is unchanged.",
 )
 def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import prefix_sums
+
     docs = load_table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed = docs.select(
+        "source",
+        "n_chars",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    )
+    # Bucket = leading md5 byte: monotone in the order key (hex chars
+    # sort lexicographically = numerically), 256-way.
+    cum = prefix_sums(
+        keyed,
+        ["k", "doc_id"],
+        ["n_chars"],
+        bucket=F.conv(F.substring("k", 1, 2), 16, 10).cast("long"),
+        out_cols=["off"],
+        group_cols=["source"],
     )
     return (
-        docs.select("source", "n_chars", "doc_id", F.sum("n_chars").over(w).alias("cum"))
-        .filter(F.col("cum") <= 3000)
+        cum.filter(F.col("off") + F.col("n_chars") <= 3000)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),

@@ -14,6 +14,7 @@ from hdfs_parquet_importer_spark.operators.prefix import (
     dist_rank,
     pack_sequences,
     prefix_sum,
+    prefix_sums,
 )
 
 
@@ -213,3 +214,58 @@ def test_ntile_from_rank_matches_window_ntile_exhaustively(spark):
         }
         for key, v in gotk.items():
             assert v == ref[key], key
+
+
+def test_grouped_prefix_sums_match_per_group_window(spark):
+    """group_cols (VERDICT r7 item 4): the grouped two-phase prefix
+    sum must equal SUM(v) OVER (PARTITION BY g ORDER BY k) - v for
+    every row, including groups smaller than one bucket and order
+    keys colliding across groups."""
+    rows = [
+        (f"g{i % 5}", (i * 13) % 47, i, 1 + (i * 3) % 9)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, id long, v long").repartition(8)
+    got = {
+        (r.g, r.id): r.off
+        for r in prefix_sums(
+            df,
+            ["k", "id"],
+            ["v"],
+            bucket=F.expr("k div 8"),
+            out_cols=["off"],
+            group_cols=["g"],
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.id): r.cum - r.v
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_prefix_sums_windows_are_group_partitioned(spark):
+    """Grouped form: BOTH window nodes (local cumsum and bucket-total
+    bases) must carry a partition spec — no single-task pass at all."""
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, 1) for i in range(90)], "g string, k long, v long"
+    )
+    out = prefix_sums(
+        df, "k", ["v"], bucket=F.expr("k div 10"), out_cols=["off"],
+        group_cols=["g"],
+    )
+    jvm = spark._jvm
+    plan = out._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for s in specs:
+        assert "g#" in s, (s, plan)
