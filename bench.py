@@ -141,12 +141,37 @@ def main() -> int:
 
     total = round(sum(medians.values()), 3)
 
+    # Drift flags (VERDICT r7 item 7): compare each median against the
+    # PREVIOUS bench run's table (BENCH_LOCAL.json — the last run on
+    # this machine, whichever round it belonged to). The r7->r8
+    # adjudication of text_bm25_search showed WHY raw deltas mislead:
+    # the shared host drifts wholesale (r8 measured q1 +52%, simhash
+    # +6%, triangles +11%, bm25 +11% in one window — every unchanged
+    # query moved together), so the detector first estimates a global
+    # SPEED FACTOR (median of per-query new/old ratios — robust to a
+    # few real regressions) and then flags only queries that moved
+    # >2x the larger run's stdev (floored at 20 ms) RELATIVE to that
+    # factor. A structural regression flags 1-2 names; an ambient
+    # slowdown moves the factor and flags none.
+    prev = _load_prev_table(sf)
+    shared = [n for n in medians if n in prev.get("medians", {})]
+    ratios = sorted(
+        medians[n] / prev["medians"][n] for n in shared if prev["medians"][n]
+    )
+    speed_factor = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
+    drift: dict[str, float] = {}
+    for name in shared:
+        expected = prev["medians"][name] * speed_factor
+        sigma = max(stdevs[name], prev.get("stdevs", {}).get(name, 0.0), 0.02)
+        if abs(medians[name] - expected) > 2 * sigma:
+            drift[name] = round(medians[name] / prev["medians"][name], 2)
+
     # Full per-query table (median/stdev/min) persists in-repo: the
     # driver's tail capture keeps only the LAST 2000 stdout bytes, and
     # the 35-query r5 line overflowed it — BENCH_r05.json lost the
     # headline total and every median (VERDICT r5 "What's missing" 2).
     try:
-        _write_full_table(sf, total, medians, stdevs, mins)
+        _write_full_table(sf, total, medians, stdevs, mins, prev, drift, speed_factor)
     except OSError:
         pass  # bench must still report when the repo dir is read-only
 
@@ -160,6 +185,12 @@ def main() -> int:
         "queries": medians,
         "runs": max(3, RUNS),
         "sf": sf,
+        # Global machine-speed ratio vs the previous run (median of
+        # per-query ratios) and the >2-sigma RELATIVE movers after
+        # normalizing by it; drift == {} means nothing moved beyond
+        # noise once ambient host drift is factored out.
+        "speed_factor": speed_factor,
+        "drift": drift,
     }
     line = json.dumps(payload, separators=(",", ":"))
     if len(line) > 1900:
@@ -173,10 +204,30 @@ def main() -> int:
     return 0
 
 
-def _write_full_table(sf, total, medians, stdevs, mins) -> None:
+def _load_prev_table(sf) -> dict:
+    """Previous run's table (same sf) for drift comparison; {} if
+    absent/unreadable/different-sf."""
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+            prev = json.load(fh)
+        return prev if prev.get("sf") == sf else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def _write_full_table(sf, total, medians, stdevs, mins, prev, drift, speed_factor) -> None:
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def _drift_cell(n: str) -> str:
+        if n in drift:
+            pm = prev["medians"][n]
+            return f"{(medians[n] - pm) / pm:+.0%} rel>2σ"
+        return ""
+
     rows = "\n".join(
-        f"| {n} | {medians[n]:.3f} | {stdevs[n]:.3f} | {mins[n]:.3f} |"
+        f"| {n} | {medians[n]:.3f} | {stdevs[n]:.3f} | {mins[n]:.3f} "
+        f"| {_drift_cell(n)} |"
         for n in medians
     )
     with open(os.path.join(here, "BENCH_LOCAL.md"), "w") as fh:
@@ -185,11 +236,25 @@ def _write_full_table(sf, total, medians, stdevs, mins) -> None:
             f"sf={sf}, runs={max(3, RUNS)}, "
             f"headline_total_sec={total}\n\n"
             f"(Written by bench.py on every run; medians are the "
-            f"headline numbers, stdev/min give the noise floor. The "
-            f"driver's BENCH_r*.json keeps only a 2000-byte stdout "
-            f"tail, so this file is the durable full table.)\n\n"
-            f"| query | median_s | stdev_s | min_s |\n"
-            f"|---|---|---|---|\n{rows}\n"
+            f"headline numbers, stdev/min give the noise floor, and "
+            f"drift flags medians that moved more than 2x the larger "
+            f"run's stdev vs the previous run's BENCH_LOCAL.json "
+            f"AFTER normalizing by the global speed factor "
+            f"{speed_factor} (median per-query ratio vs previous run "
+            f"— ambient host drift moves the factor, a structural "
+            f"regression flags its name) — automated per VERDICT r7 "
+            f"item 7. The driver's "
+            f"BENCH_r*.json keeps only a 2000-byte stdout tail, so "
+            f"this file is the durable full table.)\n\n"
+            f"| query | median_s | stdev_s | min_s | drift |\n"
+            f"|---|---|---|---|---|\n{rows}\n"
+        )
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(
+            {"sf": sf, "total": total, "medians": medians,
+             "stdevs": stdevs, "mins": mins},
+            fh,
+            indent=1,
         )
 
 

@@ -74,112 +74,109 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #
 # New registrations land AFTER the window (registry() emits window
 # first) and queue at P3 for the NEXT round — so each round may add at
-# most ~50 queries without outrunning driver verification. Everything
+# most ~50 queries without outrunning driver verification. Amendment
+# (r8): a new registration MAY take a leftover slot in its own round
+# once P1/P2 and the committed queue are seated (the invariant is
+# never-outrun-verification, not the delay itself). Everything
 # outside the window holds its green from the round its code last
 # changed, and the FULL registry is re-gated locally every pytest run
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 7 rotation (drains the driver-validation backlog to
-    # zero: after this round every query registered through r6 has a
-    # driver row, and no row predates r3 except the 17 r2-greens
-    # queued for r8 — see the r8 QUEUE below).
+    # -- Round 8 rotation (executes the committed r8 QUEUE verbatim:
+    # the 7 r7-new registrations, then ALL 18 remaining r2 greens —
+    # after this round no driver row anywhere predates r3 — then
+    # oldest r3 greens, family-spread, to fill).
     #
-    # (P1) Changed in r7 — ADVICE r6 fixes (all value-neutral by
-    # construction, but changed code never ships on a stale green):
-    #   events_rfm_segmentation — frequency-plateau block width now
-    #       derives from a broadcast MAX(user_id) instead of a fixed
-    #       256 (monotone at any id range);
-    #   stat_zipf_fit — first-char bucket component clamped to 127 so
-    #       a future non-ASCII tokenizer can't corrupt rank order;
-    #   dedup_simhash — verification-subset threshold moved into the
-    #       plan as a broadcast 1-row count (build-time count() job
-    #       removed); also covers its r6 subset-cap plan change;
-    #   quality_ccnet_buckets — scoring pass reuses the checkpointed
-    #       tokenized corpus instead of re-tokenizing (also P3:
-    #       never windowed).
-    "events_rfm_segmentation",
-    "stat_zipf_fit",
-    "dedup_simhash",
-    "quality_ccnet_buckets",
-    # (P3) The 17 remaining never-windowed registrations: the r6
-    # additions (VERDICT r6 "What's missing" 1; Spark-4 engine
-    # surfaces early per VERDICT item 6) + eval_langid_confusion,
-    # the one r6 deferral.
-    "func_variant_parse",
-    "source_xml_parse",
-    "func_collation_lcase",
-    "sql_pipe_syntax",
-    "func_try_arithmetic",
-    "agg_modern_surface",
-    "stat_bootstrap_ci",
-    "stat_gini_coefficient",
-    "stat_cusum_drift",
-    "stat_mann_whitney",
-    "graph_triangle_count",
-    "graph_degree_distribution",
-    "text_perplexity_bigram",
-    "mix_upsample_rare",
+    # (P1) Changed in r8:
+    #   the BPE family — whole-token "L R" merge rules (ADVICE r7)
+    #       changed both the Spark fold and the DuckDB twin of
+    #       tokenize_bpe_encode / pack_bpe_sequences /
+    #       tokenize_bpe_vocab_sweep (also P3: never windowed);
+    #   pack_strategy_waste — now consumes REAL BPE token counts
+    #       (VERDICT r7 item 5), values changed;
+    #   mix_domain_quota — per-source cum rewritten onto the grouped
+    #       two-phase prefix sum (VERDICT r7 item 4), value-neutral.
+    "tokenize_bpe_encode",
+    "pack_bpe_sequences",
+    "tokenize_bpe_vocab_sweep",
     "pack_strategy_waste",
-    "report_cohort_ltv",
-    "eval_langid_confusion",
-    # (P4) The 12-query ensure_parallelism narrowness-probe cohort
-    # deferred since r5 (dedup_simhash above carries the twelfth) —
-    # value-neutral (a repartition cannot change results), all
-    # r2/r3-green on current values and locally re-gated every run.
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf",
-    "text_fingerprint",
-    "multimodal_png_roundtrip",
-    "corpus_source_overlap",
-    "text_df_top_terms",
-    "text_mean_token_df",
-    # (P4) r6 value-neutral plan-only cohort (shared block-hash
-    # exchange; array_distinct): text_quality is also the oldest
-    # llm-module r2 green.
-    "text_boilerplate_blocks",
-    "text_quality",
-    # (P4) All 10 remaining r1 driver greens — after this round no
-    # row predates r2 anywhere, and these all predate r3.
-    "func_conditional",
-    "func_date_arith",
-    "func_nullsafe_eq",
-    "func_explode_outer",
-    "agg_distinct",
-    "setop_union",
-    "join_left_outer",
-    "window_first_last",
-    "window_ntile_global",
-    "window_rank_dense",
-    # (P4/P5) Oldest r2 greens chosen for family spread (the
-    # module-coverage gate): flagship + parity ops + subquery rep,
-    # plus the tpch and pandas_surface representatives (their oldest
-    # rows, r3/r4 — neither module has an r1/r2 row left).
-    "q1_pricing_summary",
-    "etl_cleanse",
-    "etl_array_parse",
-    "subq_exists_priority",
-    "q7_volume_shipping",
-    "udtf_text_chunks",
+    "mix_domain_quota",
+    # (P3, AMENDED) tokenize_bpe_multiround registered THIS round but
+    # takes a window slot now rather than queuing for r9: VERDICT r7
+    # item 6's done-criterion is a passing CORRECTNESS entry for the
+    # multi-round trainer this round, and the queue left the window
+    # with free slots — the no-outrun invariant (every windowed name
+    # is locally oracle-gated before the driver sees it) holds.
+    # Policy note: new registrations MAY take leftover slots in their
+    # own round when P1/P2 and the committed queue are all seated;
+    # they still default to next-round P3 otherwise.
+    "tokenize_bpe_multiround",
+    # (P3) The remaining never-windowed r7 registrations.
+    "asof_join_nearest",
+    "embedding_quantize_int8",
+    "func_sql_udf",
+    "multimodal_audio_resample",
+    # (P4) ALL 18 remaining r2 greens (queue item b) — unchanged
+    # code, locally re-gated every pytest run; after these, the whole
+    # registry's driver rows are r3+.
+    "agg_approx_distinct",
+    "agg_percentiles",
+    "agg_rollup",
+    "dedup_exact",
+    "embedding_centroids",
+    "func_higher_order",
+    "multimodal_decode_stats",
+    "pivot_status_by_year",
+    "sample_systematic",
+    "subq_global_avg_anti",
+    "text_langid",
+    "text_rolling_hash",
+    "text_tokens",
+    "text_top_ngrams",
+    "window_distribution",
+    "window_moving_avg",
+    "window_quartile_scalable",
+    "window_topk_per_group",
+    # (P4) Oldest r3 greens (queue item c), 18 of 35, chosen for
+    # family spread: both r3 etl_parity rows, the six stalest tpch
+    # rows, and the agg/join/dedup/clustering representatives.
+    "etl_date_enrich",
+    "etl_upsert",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_salted_two_phase",
+    "agg_stats",
+    "corpus_contamination",
+    "dedup_clusters",
+    "embedding_kmeans",
+    "join_broadcast_dim",
+    "join_interval_bucketed",
+    # (P5) Module representatives for the four families whose oldest
+    # rows are r4/r5 (the module-coverage gate requires one each):
+    "events_funnel",
+    "stat_chi2_independence",
+    "fuzzy_name_pairs",
+    "pandas_grouped_regression",
 )
-# r8 QUEUE (committed now so the next rotation is mechanical):
-# (a) new r7 registrations (P3, registration order) — the BPE
-#     tokenizer-encode family and any other r7 additions queue
-#     behind this window per the rotation contract;
-# (b) the 17 remaining r2 greens (P4, oldest-first):
-#     agg_approx_distinct, agg_percentiles, agg_rollup, dedup_exact,
-#     embedding_centroids, func_higher_order, multimodal_decode_stats,
-#     pivot_status_by_year, sample_systematic, subq_global_avg_anti,
-#     text_langid, text_rolling_hash, text_tokens, text_top_ngrams,
-#     window_distribution, window_moving_avg, window_quartile_scalable,
-#     window_topk_per_group — unchanged code, locally re-gated every
-#     pytest run; after they rotate, the whole registry's driver rows
-#     are r3+;
-# (c) then oldest r3 greens, family-spread, to fill the window.
+# r9 QUEUE (committed now so the next rotation is mechanical):
+# (a) r8 registrations beyond tokenize_bpe_multiround (P3,
+#     registration order);
+# (b) the 17 remaining r3 greens (P4, oldest-first):
+#     agg_approx_percentile, join_salted_skew, pack_sequences,
+#     q14_promo_effect, q19_disjunctive_pred, q3_shipping_priority,
+#     q5_local_supplier, sample_bernoulli, setop_except,
+#     setop_union_by_name, subq_in_heavy_orders, subq_scalar_avg_qty,
+#     text_pii_scan, text_repetition, topk_orders,
+#     unpivot_brand_metrics, window_running_sum;
+# (c) then oldest r4 greens, family-spread, to fill the window.
 
 
 def registry() -> dict[str, Query]:

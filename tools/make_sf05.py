@@ -10,13 +10,24 @@ join fan-out 25x — a superlinear artifact of the construction, not of
 any plan). The tiny dimension tables (region, nation) keep their 25/5
 rows, matching how real TPC-H dims grow sublinearly.
 
-Honest caveats, documented in SCALING.md: text/embedding payloads are
-verbatim copies, so every document gains 4 exact twins — duplicate
-density is far ABOVE a real sf0.5, making dedup/LSH queries strictly
-harder (bucket depth 5x); and value distributions repeat rather than
-extend. Ratios from this point are therefore an upper bound for
-near-dup operators and representative for scan/join/agg/window
-operators. Keys shifted per table: customer.c_custkey,
+Payload variation (VERDICT r7 item 9 — v1 copied text/embedding
+payloads VERBATIM, giving every document 4 exact twins and inflating
+duplicate density far above a real sf0.5): each copy now re-keys its
+payloads deterministically —
+
+* documents.text: per-copy alphabet rotation (Caesar over [a-z] and
+  [0-9] by 5*k / 3*k via ``translate``). Word boundaries, every
+  length statistic, n_chars, and the Zipf shape survive exactly, but
+  cross-copy token overlap drops to ~0 — so exact/near-duplicate
+  density equals sf0.1's WITHIN-copy density, i.e. representative;
+* embeddings.embedding: per-copy circular rotation of the dimension
+  axis (shift 7*k). Norms and within-copy pairwise geometry are
+  preserved; cross-copy vectors decorrelate instead of arriving as
+  cosine-1.0 twins.
+
+Remaining caveat: TPC-H fact VALUES (prices, dates) still repeat 5x,
+which is representative for scan/join/agg/window and only understates
+distinct-value growth. Keys shifted per table: customer.c_custkey,
 supplier.s_suppkey, part.p_partkey, orders.o_{order,cust}key,
 lineitem.l_{order,part,supp}key, events.{event_id,user_id},
 documents.doc_id, embeddings.vec_id.
@@ -53,6 +64,37 @@ SHIFT_COLS = {
 }
 
 
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+
+
+def _vary_payload(c, table: str, k: int):
+    """Deterministic per-copy payload re-keying (copy 0 is verbatim
+    sf0.1), so replicas are DISTINCT content, not exact twins."""
+    if k == 0:
+        return c
+    if table == "documents":
+        rot = _LOWER[5 * k % 26 :] + _LOWER[: 5 * k % 26]
+        dig = _DIGIT[3 * k % 10 :] + _DIGIT[: 3 * k % 10]
+        return c.withColumn(
+            "text",
+            F.translate("text", _LOWER + _DIGIT, rot + dig),
+        )
+    if table == "embeddings":
+        shift = 7 * k
+        n = F.size("embedding")
+        return c.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda _x, i: F.element_at(
+                    "embedding", ((i + F.lit(shift)) % n) + 1
+                ),
+            ),
+        )
+    return c
+
+
 def generate(spark) -> str:
     marker = os.path.join(OUT_DIR, "_COMPLETE")
     if os.path.exists(marker):
@@ -67,7 +109,7 @@ def generate(spark) -> str:
                 c = src
                 for col in keys:
                     c = c.withColumn(col, F.col(col) + F.lit(k * OFFSET))
-                parts.append(c)
+                parts.append(_vary_payload(c, table, k))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
