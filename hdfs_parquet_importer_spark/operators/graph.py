@@ -261,3 +261,51 @@ def triangles(
         "left_semi",
     )
     return closed.select("a", "b", "c")
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    rounds: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list (each pair once, either order): every node
+    starts as its own label, and each round EVERY node simultaneously
+    adopts the most frequent label among its neighbors (count DESC,
+    label ASC tiebreak — deterministic, so all rounds are
+    bit-reproducible; a node's own label does not vote). Returns
+    (node, label) after ``rounds``.
+
+    Scale: each round is one edge-to-label equi-join, a (node, label)
+    partial-agg count, and a per-node WindowGroupLimit top-1; the
+    label state (one row per node) is localCheckpoint-ed per round
+    (pagerank convention), so lineage stays flat and the driver loop
+    is ``rounds`` bounded jobs.
+    """
+    from pyspark.sql import Window
+
+    nbr = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nb")
+    ).unionAll(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nb"))
+    )
+    lbl = (
+        nbr.select("node")
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
+    for _ in range(int(rounds)):
+        msgs = nbr.join(
+            lbl.withColumnRenamed("node", "nb"), "nb"
+        ).select("node", "label")
+        lbl = (
+            msgs.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return lbl

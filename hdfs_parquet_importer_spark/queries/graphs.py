@@ -268,3 +268,66 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_bin")
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_round_cte(k: int) -> str:
+    """Round-``k`` CTE of the synchronous label-propagation replay:
+    every node adopts the most frequent label among its neighbors
+    (count DESC, label ASC tiebreak), all nodes simultaneously."""
+    return f"""
+l{k} AS (
+  SELECT node, label FROM (
+    SELECT n.node, l.label,
+           row_number() OVER (PARTITION BY n.node
+                              ORDER BY COUNT(*) DESC, l.label) AS r
+    FROM nbr n JOIN l{k - 1} l ON l.node = n.nb
+    GROUP BY n.node, l.label
+  ) WHERE r = 1
+)"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_EDGES_SQL},
+nbr AS (
+  SELECT u AS node, v AS nb FROM e
+  UNION ALL
+  SELECT v AS node, u AS nb FROM e
+),
+l0 AS (SELECT node, node AS label FROM deg),
+{",".join(_lpa_round_cte(k) for k in range(1, _LPA_ROUNDS + 1))}
+SELECT label AS community, COUNT(*) AS size
+FROM l{_LPA_ROUNDS}
+GROUP BY 1 ORDER BY size DESC, community LIMIT 10
+""",
+    doc="Community detection by synchronous label propagation "
+    "(Raghavan et al. 2007) over the mutual-kNN co-activity graph "
+    "(module docstring), 4 bounded rounds, deterministic tiebreak "
+    "(neighbor-label count DESC, label ASC) — LPA is the linear-time "
+    "community baseline and, like pagerank here, a representative of "
+    "the iterate-join-reaggregate family: each round is ONE "
+    "edge-to-label equi-join + a (node, label) partial-agg count + a "
+    "per-node WindowGroupLimit top-1, with the label state "
+    "localCheckpoint-ed per round so lineage stays flat. Degree is "
+    "capped at k=8 by the mutual-kNN construction, so per-round "
+    "shuffle volume is O(k x nodes) at any corpus size; synchronous "
+    "updates + the deterministic tiebreak make all 4 rounds "
+    "bit-reproducible, and the oracle replays the identical rounds "
+    "as chained CTEs. Output: the 10 largest communities.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import label_propagation
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = _co_activity_edges(ev).localCheckpoint()
+    lbl = label_propagation(edges, "u", "v", rounds=_LPA_ROUNDS)
+    return (
+        lbl.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("size"))
+        .orderBy(F.desc("size"), "community")
+        .limit(10)
+    )

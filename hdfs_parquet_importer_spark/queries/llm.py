@@ -2423,3 +2423,174 @@ def pack_strategy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.orderBy("strategy")
+
+
+@register(
+    "ann_mips_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_inner_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+           AS dot
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, vec_id, ROUND(dot, 6) AS dot, rank,
+       TRUE AS reduction_agrees
+FROM r WHERE rank <= 10
+""",
+    doc="Maximum-inner-product search (MIPS) top-10 — retrieval where "
+    "magnitude matters (un-normalized rerankers, recommender dot "
+    "scores), NOT cosine: argmax dot(q,x). The classic reduction "
+    "(Bachrach et al. 2014 / Shrivastava & Li 2014) augments "
+    "x -> [x, sqrt(M^2-|x|^2)] (M = corpus max norm, one broadcast "
+    "1-row aggregate) and q -> [q, 0], making every candidate a "
+    "constant-norm vector so cos(aug_q, aug_x) = dot(q,x)/(|q| M) — "
+    "rank-equivalent to raw dot, which is what lets the existing "
+    "cosine LSH/IVF index structures serve MIPS. The plan is the "
+    "same two-phase salted exact top-k as ann_cosine_topk (partial "
+    "per salt bucket, final over k x buckets survivors), scored by "
+    "dot; a second rank over the identical survivor set orders by "
+    "the augmented cosine, and reduction_agrees asserts the two "
+    "rankings coincide IN-PLAN — if the reduction algebra or the "
+    "augmentation ever broke rank order, the oracle (brute-force raw "
+    "dot in DuckDB, TRUE literal) would fail on the boolean, not "
+    "just on ordering.",
+)
+def ann_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    mx = emb.agg(F.max(S.norm(F.col("embedding"))).alias("m"))
+    scored = (
+        ensure_parallelism(emb)
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "query_id",
+            "vec_id",
+            S.dot(F.col("query_vec"), F.col("embedding")).alias("dot"),
+            (
+                S.dot(F.col("query_vec"), F.col("embedding"))
+                / (S.norm(F.col("query_vec")) * F.col("m"))
+            ).alias("aug_cos"),
+        )
+    )
+    salt = F.pmod(F.col("vec_id"), F.lit(32))
+    partial_w = Window.partitionBy("query_id", salt).orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("vec_id")
+    )
+    aug_w = Window.partitionBy("query_id").orderBy(
+        F.desc("aug_cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("_prn", F.row_number().over(partial_w))
+        .filter(F.col("_prn") <= 10)
+        .withColumn("rank", F.row_number().over(final_w))
+        .withColumn("_arn", F.row_number().over(aug_w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("dot", 6).alias("dot"),
+            "rank",
+            (F.col("rank") == F.col("_arn")).alias("reduction_agrees"),
+        )
+    )
+
+
+@register(
+    "vocab_growth_heaps",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (SELECT term, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest(t) AS term FROM tok)
+        WHERE term != '' GROUP BY term),
+bi AS (SELECT g, MIN(doc_id) AS first_doc
+       FROM (SELECT doc_id,
+                    unnest([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, greatest(len(t)-1, 0)+1)])
+                      AS g
+             FROM tok WHERE len(t) >= 2)
+       GROUP BY g),
+ks AS (SELECT unnest([64, 128, 256, 512]) AS k)
+SELECT k AS n_docs_prefix,
+       CAST((SELECT COUNT(*) FROM uni WHERE first_doc < k) AS BIGINT)
+         AS vocab_unigrams,
+       CAST((SELECT COUNT(*) FROM bi WHERE first_doc < k) AS BIGINT)
+         AS vocab_bigrams
+FROM ks ORDER BY k
+""",
+    doc="Heaps'-law vocabulary growth: distinct unigram and bigram "
+    "type counts over growing corpus prefixes (doc_id < k for k in "
+    "64..512) — the curve that sizes tokenizer vocabularies and "
+    "predicts novel-type rates at 100x the corpus (Heaps 1978: "
+    "V(n) ~ K n^beta; the unigram curve here saturates — synthetic "
+    "closed vocabulary — while bigrams keep growing, and comparing "
+    "the two IS the diagnostic). One pass: explode to types, "
+    "MIN(doc_id) partial-agg per type (the only shuffle, keyed by "
+    "type), then every prefix count reads the tiny firsts table "
+    "against the 4-row k list — prefix counts are NOT 4 corpus "
+    "passes, and never re-scan the documents.",
+)
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", D.tokens(F.col("text")).alias("t"))
+    uni = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", F.lit(1), n),
+                    F.slice("t", F.lit(2), n),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("g"),
+        )
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ks = spark.createDataFrame([(64,), (128,), (256,), (512,)], "k int")
+    ucnt = (
+        uni.crossJoin(F.broadcast(ks))
+        .filter(F.col("first_doc") < F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab_unigrams"))
+    )
+    bcnt = (
+        bi.crossJoin(F.broadcast(ks))
+        .filter(F.col("first_doc") < F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("vocab_bigrams"))
+    )
+    return (
+        ks.join(ucnt, "k", "left")
+        .join(bcnt, "k", "left")
+        .select(
+            F.col("k").alias("n_docs_prefix"),
+            F.coalesce("vocab_unigrams", F.lit(0)).alias("vocab_unigrams"),
+            F.coalesce("vocab_bigrams", F.lit(0)).alias("vocab_bigrams"),
+        )
+        .orderBy("n_docs_prefix")
+    )

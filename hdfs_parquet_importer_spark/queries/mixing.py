@@ -1498,3 +1498,245 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mix_quota_by_quality",
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id, n_chars,
+         1.0 - CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / nullif(length(text), 0) AS neg_alpha
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, n_chars, neg_alpha,
+         SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY neg_alpha, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM scored)
+SELECT source, COUNT(*) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       ROUND(AVG(1.0 - neg_alpha), 6) AS avg_alpha_kept
+FROM ranked WHERE cum <= 3000
+GROUP BY source ORDER BY source
+""",
+    doc="Quality-greedy per-domain quota (the curation upgrade of "
+    "mix_domain_quota's unbiased-sample quota: spend each source's "
+    "char budget on its BEST documents first — how a mixture recipe "
+    "with per-domain budgets actually selects): order docs within "
+    "each source by alphabetic-character ratio DESCENDING (one regex "
+    "pass; integer-lengths division, so the score is bit-identical "
+    "cross-engine), keep while the running char total fits. The "
+    "running sum rides the GROUPED two-phase prefix sum "
+    "(operators/prefix.py group_cols, bucketed on floor(64x the "
+    "descending-order key) — 64-way parallel inside every source, no "
+    "per-source single-task window). cum = exclusive offset + "
+    "n_chars, same algebra as mix_domain_quota.",
+)
+def mix_quota_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import prefix_sums
+
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
+        "double"
+    ) / F.nullif(F.length("text"), F.lit(0))
+    scored = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.lit(1.0) - alpha).alias("neg_alpha"),
+    )
+    cum = prefix_sums(
+        scored,
+        ["neg_alpha", "doc_id"],
+        ["n_chars"],
+        bucket=F.floor(F.col("neg_alpha") * 64),
+        out_cols=["off"],
+        group_cols=["source"],
+    )
+    return (
+        cum.filter(F.col("off") + F.col("n_chars") <= 3000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.sum("doc_id").alias("id_sum"),
+            F.round(F.avg(F.lit(1.0) - F.col("neg_alpha")), 6).alias(
+                "avg_alpha_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pack_sorted_stream",
+    oracle=f"""
+WITH mg AS ({_BPE_MERGES_SQL}),
+enc AS (
+  SELECT doc_id,
+         CAST(list_sum([{_BPE_NTOK_SQL} for w in t if w != ''])
+              AS BIGINT) AS n
+  FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents) CROSS JOIN mg
+),
+ok AS (SELECT doc_id, n FROM enc WHERE n >= 1),
+by_id AS (
+  SELECT n, COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM ok),
+by_len AS (
+  SELECT n, COALESCE(SUM(n) OVER (ORDER BY n DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+  FROM ok)
+SELECT * FROM (
+  SELECT 'by_id' AS strategy, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN o // 2048 != (o + n - 1) // 2048
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+         ROUND(SUM(CASE WHEN o // 2048 != (o + n - 1) // 2048
+                   THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS straddle_rate
+  FROM by_id
+  UNION ALL
+  SELECT 'len_desc', COUNT(*),
+         CAST(SUM(CASE WHEN o // 2048 != (o + n - 1) // 2048
+                  THEN 1 ELSE 0 END) AS BIGINT),
+         ROUND(SUM(CASE WHEN o // 2048 != (o + n - 1) // 2048
+                   THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+  FROM by_len
+) ORDER BY strategy
+""",
+    doc="Chunk-boundary fragmentation of the concat-then-chunk stream "
+    "under two document orders, on REAL BPE token counts: a document "
+    "straddling a 2048-token chunk border is split across training "
+    "sequences (attention can't see the whole doc), so packing "
+    "recipes sort long-docs-first to push fragmentation into fewer, "
+    "longer documents. Both orders ride the two-phase bucketed "
+    "prefix sum (by_id buckets on doc_id ranges; len_desc on the "
+    "NEGATED token count, monotone in the descending order), so the "
+    "comparison itself is the scale path, not a window. Straddle "
+    "test (o div L != (o+n-1) div L) uses non-negative operands only "
+    "— Spark's truncating div and DuckDB's flooring // agree; "
+    "zero-token docs are filtered identically on both engines.",
+)
+def pack_sorted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import bpe
+    from hdfs_parquet_importer_spark.operators.prefix import prefix_sum
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = bpe.learn_merges(docs, "text", k=16)
+    per_doc = (
+        bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
+        .select("doc_id", F.col("n_tokens_bpe").alias("n"))
+        .filter(F.col("n") >= 1)
+        # Two independent orderings consume the same encode pass:
+        # materialize once (same convention as text_bm25_search).
+        .localCheckpoint(eager=True)
+    )
+    straddle = (
+        F.expr("o div 2048") != F.expr("(o + n - 1) div 2048")
+    ).cast("double")
+
+    def leg(df, order_cols, bucket, label):
+        off = prefix_sum(df, order_cols, "n", bucket, out_col="o")
+        return off.agg(
+            F.lit(label).alias("strategy"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(straddle.cast("long")).alias("n_straddlers"),
+            F.round(F.sum(straddle) / F.count(F.lit(1)), 6).alias(
+                "straddle_rate"
+            ),
+        )
+    by_id = leg(per_doc, "doc_id", F.floor(F.col("doc_id") / 256), "by_id")
+    by_len = leg(
+        per_doc.withColumn("neg_n", -F.col("n")),
+        ["neg_n", "doc_id"],
+        F.floor(F.col("neg_n") / 16),
+        "len_desc",
+    )
+    return by_id.unionByName(by_len).orderBy("strategy")
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT unnest([array_to_string(t[i:i+1], ' ')
+                 for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS g
+  FROM toks WHERE len(t) >= 2),
+c2 AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+ctx AS (SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(c) AS BIGINT) AS cp,
+               COUNT(*) AS n1f
+        FROM c2 GROUP BY 1),
+cont AS (SELECT split_part(g, ' ', 2) AS w2, COUNT(*) AS n1b
+         FROM c2 GROUP BY 1),
+nbg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_types FROM c2)
+SELECT c2.g AS bigram, CAST(c2.c AS BIGINT) AS c,
+       ROUND((c2.c - 0.75) / ctx.cp
+             + 0.75 * ctx.n1f / ctx.cp * (cont.n1b / nbg.n_types), 6)
+         AS p_kn
+FROM c2
+JOIN ctx ON ctx.w1 = split_part(c2.g, ' ', 1)
+JOIN cont ON cont.w2 = split_part(c2.g, ' ', 2)
+CROSS JOIN nbg
+ORDER BY c DESC, bigram LIMIT 15
+""",
+    doc="Interpolated Kneser-Ney bigram probabilities (discount "
+    "D=0.75) — the smoothing every count-based LM actually ships "
+    "(Kneser & Ney 1995; Chen & Goodman 1999): "
+    "P(w2|w1) = (c(w1w2)-D)/c(w1.) + D*N1+(w1.)/c(w1.) * "
+    "N1+(.w2)/|bigram types|, where the continuation weight counts "
+    "DISTINCT contexts, not occurrences. All four count tables "
+    "derive from ONE corpus bigram pass re-grouped three ways "
+    "(by gram, by prefix, by suffix) — partial-agg shuffles on "
+    "gram-sized keys, broadcast of the 1-row type count; no row "
+    "explosion beyond the token stream itself. Top-15 most frequent "
+    "bigrams ship with exact counts and ROUND(6) smoothed "
+    "probability (pure integer-derived arithmetic, identical "
+    "operation order both engines; max(c-D,0) is omitted because "
+    "every counted bigram has c >= 1 > D).",
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(D.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.greatest(F.size("t") - 1, F.lit(0))
+    bg = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n),
+                F.slice("t", F.lit(2), n),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g")
+    )
+    c2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    ctx = (
+        c2.withColumn("w1", F.substring_index("g", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c").alias("cp"), F.count(F.lit(1)).alias("n1f"))
+    )
+    cont = (
+        c2.withColumn("w2", F.substring_index("g", " ", -1))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n1b"))
+    )
+    nbg = c2.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    p_kn = (F.col("c") - 0.75) / F.col("cp") + F.lit(0.75) * F.col(
+        "n1f"
+    ) / F.col("cp") * (F.col("n1b") / F.col("n_types"))
+    return (
+        c2.withColumn("w1", F.substring_index("g", " ", 1))
+        .withColumn("w2", F.substring_index("g", " ", -1))
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbg))
+        .select(
+            F.col("g").alias("bigram"),
+            "c",
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c"), "bigram")
+        .limit(15)
+    )

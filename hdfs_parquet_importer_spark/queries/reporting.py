@@ -595,3 +595,116 @@ def report_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.sum("revenue").over(wcum), 2).alias("cum_revenue"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+@register(
+    "dq_psi_drift",
+    oracle="""
+WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+           FROM events),
+bounds AS (SELECT MIN(es) AS e0, MAX(es) AS e1 FROM e),
+tagged AS (
+  SELECT value, es < (b.e0 + b.e1) // 2 AS is_ref
+  FROM e, bounds b),
+rv AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax
+       FROM tagged WHERE is_ref),
+binned AS (
+  SELECT is_ref,
+         GREATEST(LEAST(CAST(floor((value - rv.vmin)
+                        / ((rv.vmax - rv.vmin) / 10.0)) AS BIGINT),
+                        9), 0) AS bin
+  FROM tagged, rv),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_cur
+  FROM binned GROUP BY bin),
+spine AS (SELECT unnest(range(10)) AS bin),
+filled AS (
+  SELECT s.bin, COALESCE(c.n_ref, 0) AS n_ref,
+         COALESCE(c.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN counts c ON s.bin = c.bin),
+tot AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+               CAST(SUM(n_cur) AS BIGINT) AS tc FROM filled)
+SELECT bin, n_ref, n_cur,
+       ROUND((n_ref + 1.0) / (tot.tr + 10), 6) AS p_ref,
+       ROUND((n_cur + 1.0) / (tot.tc + 10), 6) AS p_cur,
+       ROUND(((n_cur + 1.0) / (tot.tc + 10)
+              - (n_ref + 1.0) / (tot.tr + 10))
+             * ln(((n_cur + 1.0) / (tot.tc + 10))
+                  / ((n_ref + 1.0) / (tot.tr + 10))), 6) AS psi_term
+FROM filled, tot ORDER BY bin
+""",
+    doc="Population Stability Index — THE production drift monitor "
+    "for feature/score distributions (credit-risk lineage; PSI > "
+    "0.25 conventionally triggers retraining): split the event "
+    "stream at its epoch midpoint into reference/current halves, bin "
+    "values into 10 fixed-width bins derived from the REFERENCE "
+    "half's min/max (clamped at the edges so current-half outliers "
+    "land in the boundary bins), Laplace-smooth the shares "
+    "(+1/+10 — a structurally-empty bin contributes finitely and "
+    "identically on both engines, no div-by-zero epsilon fudge), "
+    "psi_term = (q-p) ln(q/p) per bin. Plan: ONE scan -> 1-row "
+    "epoch-bounds broadcast -> 1-row reference-min/max broadcast -> "
+    "bin partial-agg (10 groups) joined to a 10-row spine, 1-row "
+    "totals broadcast — nothing row-proportional past the first "
+    "aggregate. Timestamps compare as floor(epoch) BIGINTs (DuckDB "
+    "epoch() keeps microseconds as fraction; Spark unix_timestamp "
+    "truncates — floor makes them identical).",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("es"), "value"
+    )
+    bounds = ev.agg(F.min("es").alias("e0"), F.max("es").alias("e1"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "value", (F.col("es") < F.expr("(e0 + e1) div 2")).alias("is_ref")
+    )
+    rv = tagged.filter("is_ref").agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = tagged.crossJoin(F.broadcast(rv)).select(
+        "is_ref",
+        F.greatest(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / ((F.col("vmax") - F.col("vmin")) / 10.0)
+                ),
+                F.lit(9),
+            ),
+            F.lit(0),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("bin"))
+    filled = (
+        spine.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p = (F.col("n_ref") + 1.0) / (F.col("tr") + 10)
+    q = (F.col("n_cur") + 1.0) / (F.col("tc") + 10)
+    return (
+        filled.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p, 6).alias("p_ref"),
+            F.round(q, 6).alias("p_cur"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -143,3 +143,52 @@ def test_pagerank_checkpointed_equals_unchckpointed(spark):
     )
     for k in lazy:
         assert abs(lazy[k] - ckpt[k]) < 1e-15
+
+
+def _ref_lpa(edge_list, rounds):
+    """Pure-Python synchronous LPA, tiebreak (count DESC, label ASC)."""
+    from collections import Counter, defaultdict
+
+    nbrs = defaultdict(list)
+    for u, v in edge_list:
+        nbrs[u].append(v)
+        nbrs[v].append(u)
+    lbl = {n: n for n in nbrs}
+    for _ in range(rounds):
+        lbl = {
+            n: min(
+                Counter(lbl[x] for x in ns).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for n, ns in nbrs.items()
+        }
+    return lbl
+
+
+def test_label_propagation_matches_reference(spark):
+    # Two triangles joined by a bridge + a pendant: communities must
+    # form around the triangles; the pendant follows its neighbor.
+    edge_list = [
+        (1, 2), (2, 3), (1, 3),
+        (10, 11), (11, 12), (10, 12),
+        (3, 10), (12, 13),
+    ]
+    from hdfs_parquet_importer_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    for rounds in (1, 2, 4):
+        got = {
+            r.node: r.label
+            for r in label_propagation(edges, rounds=rounds).collect()
+        }
+        assert got == _ref_lpa(edge_list, rounds), rounds
+
+
+def test_label_propagation_deterministic(spark):
+    edge_list = [(i, (i * 3) % 17) for i in range(17) if i != (i * 3) % 17]
+    from hdfs_parquet_importer_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(edge_list, "u long, v long")
+    a = sorted((r.node, r.label) for r in label_propagation(edges, rounds=3).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(edges, rounds=3).collect())
+    assert a == b

@@ -137,3 +137,32 @@ def test_frac_threshold_monotone_selection(spark):
     assert len(picked[1.0]) == 1000
     # and rates land near their targets (binomial 5-sigma)
     assert abs(len(picked[0.3]) - 300) < 5 * (1000 * 0.3 * 0.7) ** 0.5
+
+
+def test_kneser_ney_hand_computed(spark, tmp_path):
+    """KN-smoothed bigram probabilities on a corpus small enough to
+    hand-derive: 'a b a b a c' -> c(ab)=2, c(ba)=2, c(ac)=1;
+    contexts a: cp=3, N1+(a.)=2; b: cp=2, N1+(b.)=1; continuations
+    N1+(.a)=N1+(.b)=N1+(.c)=1; 3 bigram types."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from hdfs_parquet_importer_spark.queries.mixing import (
+        text_kneser_ney_bigram,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c", "en", "src0", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.bigram: (r.c, r.p_kn)
+        for r in text_kneser_ney_bigram(spark, str(tmp_path)).collect()
+    }
+    want = {
+        # (c - .75)/cp + .75 * n1f/cp * n1b/3
+        "a b": (2, round((2 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3), 6)),
+        "b a": (2, round((2 - 0.75) / 2 + 0.75 * 1 / 2 * (1 / 3), 6)),
+        "a c": (1, round((1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3), 6)),
+    }
+    assert got == want

@@ -137,6 +137,27 @@ BRUTE_FORCE_OK = {
     "embedding_quantize_int8",  # 1-row per-dimension min/max stats
                              # array broadcast cross join — the
                              # quantizer "model broadcast"
+    "tokenize_bpe_multiround",  # the same 1-row merge-table broadcast
+                             # per trainer round, plus the 1-row
+                             # merge-state <- 1-row top-pair LEFT
+                             # BNLJ that appends each adopted rule
+    "pack_sorted_stream",    # same 1-row merge-table broadcast as
+                             # pack_bpe_sequences (BPE token counts)
+    "text_kneser_ney_bigram",  # 1-row bigram-type-count broadcast
+                             # cross join feeding the continuation
+                             # normalizer
+    "ann_mips_topk",         # broadcast(queries) x vectors (no equi
+                             # key, same as ann_cosine_topk) + the
+                             # 1-row corpus-max-norm broadcast for
+                             # the augmentation
+    "vocab_growth_heaps",    # 4-row prefix-size list broadcast
+                             # cross join against the per-type
+                             # firsts table (counts per k without
+                             # re-scanning the corpus)
+    "dq_psi_drift",          # 1-row epoch-bounds, 1-row reference
+                             # min/max, and 1-row share-totals
+                             # broadcast cross joins around the
+                             # 10-bin aggregate
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already

@@ -247,3 +247,27 @@ def test_pq_adc_join_is_equi_join(spark, sf_dir):
     plan = plan_of(pq_topk(emb, q, k=5, refine=20))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mips_differs_from_cosine_and_reduction_agrees(spark, tmp_path):
+    """MIPS semantics: with query [1,0], candidate [3,3] (dot 3,
+    cos .707) must outrank [2,0] (dot 2, cos 1.0) — the case where
+    inner-product and cosine retrieval genuinely disagree — and the
+    in-plan augmented-cosine ranking must agree with the dot ranking
+    (reduction_agrees all true)."""
+    from hdfs_parquet_importer_spark.queries.llm import ann_mips_topk
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # the query (vec_id < 5)
+        (5, [2.0, 0.0], 0),   # cos 1.0, dot 2
+        (6, [3.0, 3.0], 0),   # cos .707, dot 3  -> MIPS winner
+        (7, [0.1, 0.9], 0),   # dot 0.1
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = ann_mips_topk(spark, str(tmp_path)).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [6, 5, 7]
+    assert [r.dot for r in got] == [3.0, 2.0, 0.1]
+    assert all(r.reduction_agrees for r in got)
