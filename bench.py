@@ -95,6 +95,11 @@ HEADLINE = [
     # from birth.
     "tokenize_bpe_encode",
     "embedding_quantize_int8",
+    # r8: one representative per new family — LPA communities (the
+    # iterate-join-reaggregate shape) and the quality-greedy quota on
+    # the grouped prefix sum — benched from birth.
+    "graph_label_propagation",
+    "mix_quota_by_quality",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -546,12 +546,12 @@ def test_foreachbatch_parquet_sink_refuses_unpartitioned_target(
     assert spark.read.parquet(out).count() == 5
 
 
-def test_recover_upsert_target_sweeps_glob_metachar_path(tmp_path):
-    """The recovery sweep escapes the target when globbing for stale
-    staging dirs: a path containing '[' must still sweep its own
-    leftovers (an unescaped glob treats '[..]' as a character class
-    and matches nothing), and must never sweep a look-alike
-    neighbor the pattern would otherwise match."""
+def test_recover_upsert_target_sweeps_glob_metachar_path(spark, tmp_path):
+    """The recovery sweep matches staging names LITERALLY (parent
+    listing + prefix, no glob at all): a path containing '[' must
+    still sweep its own leftovers (a naive glob treats '[..]' as a
+    character class and matches nothing), and must never sweep a
+    look-alike neighbor a glob pattern would match."""
     import os
 
     from hdfs_parquet_importer_spark.streaming.pipeline import (
@@ -566,15 +566,17 @@ def test_recover_upsert_target_sweeps_glob_metachar_path(tmp_path):
     lookalike = str(tmp_path / "tblv__staging_1")
     os.makedirs(lookalike)
     os.makedirs(out)
-    recover_upsert_target(out)
+    recover_upsert_target(out, spark)
     assert not os.path.isdir(stale), "own stale staging dir not swept"
     assert os.path.isdir(lookalike), "look-alike neighbor wrongly swept"
     assert os.path.isdir(out)
 
 
-def test_recover_upsert_target_restores_aside_copy(tmp_path):
+def test_recover_upsert_target_restores_aside_copy(spark, tmp_path):
     """Crash between rename-aside and rename-into-place leaves only
-    the __old copy; recovery must restore it as the live target."""
+    the __old copy; recovery must restore it as the live target —
+    exercised through a file:// URI so the restore takes the same
+    Hadoop FileSystem code path a remote target would (r8 port)."""
     import os
 
     from hdfs_parquet_importer_spark.streaming.pipeline import (
@@ -586,7 +588,7 @@ def test_recover_upsert_target_restores_aside_copy(tmp_path):
     os.makedirs(aside)
     with open(os.path.join(aside, "part-0.parquet"), "w") as fh:
         fh.write("x")
-    recover_upsert_target(out)
+    recover_upsert_target(f"file://{out}", spark)
     assert os.path.isdir(out) and not os.path.isdir(aside)
     assert os.path.exists(os.path.join(out, "part-0.parquet"))
 
