@@ -96,10 +96,12 @@ HEADLINE = [
     "tokenize_bpe_encode",
     "embedding_quantize_int8",
     # r8: one representative per new family — LPA communities (the
-    # iterate-join-reaggregate shape) and the quality-greedy quota on
-    # the grouped prefix sum — benched from birth.
+    # iterate-join-reaggregate shape), the quality-greedy quota on
+    # the grouped prefix sum, and runtime dynamic partition pruning
+    # — benched from birth.
     "graph_label_propagation",
     "mix_quota_by_quality",
+    "join_dpp_prune",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -331,3 +331,84 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "community")
         .limit(10)
     )
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_EDGES_SQL},
+nbr AS (
+  SELECT u AS node, v AS nb FROM e
+  UNION ALL
+  SELECT v AS node, u AS nb FROM e
+),
+cn AS (
+  SELECT a.node AS u, b.node AS v, COUNT(*) AS common_nb
+  FROM nbr a JOIN nbr b ON a.nb = b.nb AND a.node < b.node
+  GROUP BY 1, 2
+),
+na AS (
+  SELECT * FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v)
+)
+SELECT na.u, na.v, na.common_nb,
+       ROUND(1.0 * na.common_nb
+             / (du.deg + dv.deg - na.common_nb), 6) AS jaccard
+FROM na
+JOIN deg du ON du.node = na.u
+JOIN deg dv ON dv.node = na.v
+ORDER BY jaccard DESC, u, v LIMIT 20
+""",
+    doc="Link prediction by neighbor-set Jaccard (Liben-Nowell & "
+    "Kleinberg 2003's strongest unsupervised baseline) over the "
+    "mutual-kNN co-activity graph: for every NON-adjacent pair with "
+    "at least one common neighbor, |N(u) inter N(v)| / |N(u) union "
+    "N(v)|, top 20. The common-neighbor table is the wedge self-join "
+    "on the shared endpoint — the SAME bounded shape as triangle "
+    "counting: degree <= k=8 by the mutual-kNN construction, so "
+    "wedge volume is O(k x edges) at any corpus size, never "
+    "sum-of-squared-degrees over a star node. Non-adjacency is one "
+    "anti-join against the edge list; union size comes from the "
+    "shared degree table by inclusion-exclusion (deg_u + deg_v - "
+    "common) instead of materializing neighbor sets. Oracle replays "
+    "the identical construction with NOT EXISTS as the anti-join. "
+    "Integer counts; the one double (jaccard) is a single division, "
+    "ROUND(6); ordering fully deterministic (jaccard DESC, u, v).",
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Edge list feeds three consumers (both nbr directions via the
+    # wedge join, the anti-join, degrees) — same materialization
+    # rationale as graph_triangle_count.
+    edges = _co_activity_edges(ev).localCheckpoint(eager=True)
+    nbr = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nb")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
+    a = nbr.select(F.col("node").alias("u"), "nb")
+    b = nbr.select(F.col("node").alias("v"), "nb")
+    cn = (
+        a.join(b, "nb")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common_nb"))
+    )
+    non_adj = cn.join(edges, ["u", "v"], "left_anti")
+    deg = _degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    return (
+        non_adj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_nb",
+            F.round(
+                F.col("common_nb")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common_nb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+    )

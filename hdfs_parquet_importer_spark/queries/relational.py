@@ -1801,3 +1801,80 @@ def report_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top_decile_share"),
     )
+
+
+@register(
+    "join_dpp_prune",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y') || 'Q'
+        || CAST(quarter(o_orderdate) AS VARCHAR) = '1996Q1')
+SELECT strftime(o.o_orderdate, '%Y-%m') AS o_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN dim m ON strftime(o.o_orderdate, '%Y-%m') = m.month
+GROUP BY 1 ORDER BY 1
+""",
+    doc="DYNAMIC partition pruning — the star-schema scale feature "
+    "static pruning can't deliver: the fact table is persisted "
+    "partitioned by order month (write-once under /tmp, marker-"
+    "guarded), and the filter lives on a DIM attribute (quarter) the "
+    "fact doesn't carry — so no static PartitionFilter is possible, "
+    "and Spark instead injects a runtime `dynamicpruning` subquery "
+    "into the fact scan that reuses the dim's broadcast result to "
+    "skip 81 of 84 month directories before any file IO "
+    "(tests/test_plans.py::test_dpp_subquery_in_fact_scan pins the "
+    "plan shape). At 100 TB this is THE difference between scanning "
+    "a quarter and scanning seven years. The oracle computes the "
+    "identical join from the raw table — values don't depend on the "
+    "layout, only the IO does.",
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from hdfs_parquet_importer_spark.sources.io import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    fact_dir = f"/tmp/spark_graft_dpp/{base}/orders_by_month"
+    marker = os.path.join(fact_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders")
+        write_partitioned_parquet(
+            orders.withColumn(
+                "o_month", F.date_format("o_orderdate", "yyyy-MM")
+            ),
+            fact_dir,
+            ["o_month"],
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    fact = read_partitioned_parquet(spark, fact_dir)
+    qtr = F.concat(
+        F.date_format("o_orderdate", "yyyy"),
+        F.lit("Q"),
+        F.quarter("o_orderdate").cast("string"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            qtr.alias("qtr"),
+        )
+        .distinct()
+        .filter(F.col("qtr") == "1996Q1")
+        .select("month")
+    )
+    return (
+        fact.join(dim, fact.o_month == dim.month)
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_month")
+    )

@@ -436,3 +436,13 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dpp_subquery_in_fact_scan(plans):
+    """join_dpp_prune exists to demonstrate RUNTIME partition pruning:
+    the month-partitioned fact scan must carry a dynamicpruning
+    subquery (the dim's quarter filter can never become a static
+    PartitionFilter — the fact doesn't have the column)."""
+    assert "dynamicpruning" in plans["join_dpp_prune"], plans[
+        "join_dpp_prune"
+    ]

@@ -3,8 +3,14 @@
 HEADLINE; VERDICT r6 item 5 adds a fourth decade, sf0.5, built by
 tools/make_sf05.py since the driver ships data only up to sf0.1).
 
-Methodology matches bench.py: per SF, one untimed warmup of each
-query, then RUNS timed build+execute+collect cycles, median reported.
+Methodology: per SF, one untimed warmup of each query, then RUNS
+timed build+execute+collect cycles; the reported cell is the MIN of
+the runs (r8 — two back-to-back full studies disagreed wildly in
+DIFFERENT cells because shared-host noise bursts last seconds and
+corrupt 2-of-3 samples, flipping the median; a timing can only ever be
+inflated by noise, never deflated below true cost, so min is the
+robust estimator for scale RATIOS; bench.py keeps medians for
+round-over-round comparability and already ships min alongside).
 Usage:  python tools/scaling.py            (4 SFs; writes SCALING.md)
         SPARK_GRAFT_SKIP_SF05=1 python tools/scaling.py   (3 SFs)
 """
@@ -12,7 +18,6 @@ Usage:  python tools/scaling.py            (4 SFs; writes SCALING.md)
 from __future__ import annotations
 
 import os
-import statistics
 import sys
 import time
 
@@ -68,7 +73,7 @@ def main() -> int:
                 t0 = time.perf_counter()
                 reg[n].fn(spark, sf_dir).collect()
                 samples.append(time.perf_counter() - t0)
-            med[n][sf] = round(statistics.median(samples), 3)
+            med[n][sf] = round(min(samples), 3)
         totals[sf] = round(sum(med[n][sf] for n in names), 3)
         print(f"sf{sf}: total {totals[sf]}s", flush=True)
 
@@ -108,7 +113,10 @@ def main() -> int:
         fh.write(
             f"# SCALING — headline latency vs scale factor (local[32])\n\n"
             f"Same {len(names)}-query bench (`bench.py` HEADLINE, "
-            f"{runs}-run medians after warmup) at {len(labels)} scale "
+            f"{runs}-run MINIMA after warmup — min, not median, "
+            f"because shared-host noise bursts corrupt 2-of-3 samples "
+            f"and only ever inflate; see tools/scaling.py) "
+            f"at {len(labels)} scale "
             f"factors, regenerated by `tools/scaling.py`. Data volume "
             f"grows 10x per decade step (the last step is "
             f"{growth:g}x); a scale-safe plan should grow latency "
