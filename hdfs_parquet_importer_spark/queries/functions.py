@@ -768,3 +768,57 @@ def agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE bom AS (
+  SELECT p_partkey AS root, p_partkey AS part, 0 AS depth,
+         p_retailprice AS price
+  FROM part WHERE p_partkey <= 2
+  UNION ALL
+  SELECT b.root, p.p_partkey AS part, b.depth + 1 AS depth,
+         p.p_retailprice AS price
+  FROM bom b
+  JOIN part p ON CAST(FLOOR((p.p_partkey - 1) / 2) AS BIGINT) = b.part
+  WHERE b.depth < 9
+)
+SELECT root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+       ROUND(SUM(price), 2) AS assembly_cost
+FROM bom GROUP BY root ORDER BY root
+""",
+    doc="Spark 4 recursive CTE (WITH RECURSIVE, SQL:1999) — the "
+    "bill-of-materials explosion every part-hierarchy consumer "
+    "needs and the one query family plain DataFrame chains cannot "
+    "express without a driver-side loop: parts form an implicit "
+    "binary heap tree on the 0-based key (part k contains parts 2k+1 and 2k+2, i.e. parent(c) = floor((c-1)/2)), and "
+    "the CTE walks each root's subtree to a bounded depth, then "
+    "rolls up subtree size, height, and summed retail price. The "
+    "recursive member is an EQUI-join (child rows find their parent "
+    "via floor(key/2) = parent — never an OR-condition join that "
+    "would plan as BNLJ), so every iteration is one hash join + "
+    "union; Spark executes it as an iterative UnionLoop with the "
+    "depth guard bounding iterations at 10, the same "
+    "bounded-iteration contract as pagerank/LPA here. The oracle is "
+    "the IDENTICAL ANSI text (DuckDB runs WITH RECURSIVE natively); "
+    "integer counts, one ROUND(2) money sum.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("bom_part")
+    return spark.sql("""
+WITH RECURSIVE bom AS (
+  SELECT p_partkey AS root, p_partkey AS part, 0 AS depth,
+         p_retailprice AS price
+  FROM bom_part WHERE p_partkey <= 2
+  UNION ALL
+  SELECT b.root, p.p_partkey AS part, b.depth + 1 AS depth,
+         p.p_retailprice AS price
+  FROM bom b
+  JOIN bom_part p ON CAST(FLOOR((p.p_partkey - 1) / 2) AS BIGINT) = b.part
+  WHERE b.depth < 9
+)
+SELECT root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+       ROUND(SUM(price), 2) AS assembly_cost
+FROM bom GROUP BY root ORDER BY root
+""")

@@ -2594,3 +2594,109 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs_prefix")
     )
+
+
+@register(
+    "dedup_substring_span",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+g AS (
+  SELECT doc_id, n_tokens, u.pos AS pos, u.gh AS gh
+  FROM (SELECT doc_id, n_tokens,
+               unnest([{{'pos': i - 1,
+                        'gh': md5(array_to_string(t[i:i+7], ' '))}}
+                       for i in range(1, greatest(len(t) - 7, 0) + 1)]) AS u
+        FROM base)
+),
+gd AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+        FROM g JOIN gd USING (gh))
+),
+cnt AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY 1)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+       ROUND(COALESCE(c.dup_tokens, 0) * 1.0 / b.n_tokens, 6) AS dup_frac
+FROM base b LEFT JOIN cnt c USING (doc_id)
+ORDER BY dup_frac DESC, b.doc_id LIMIT 20
+""",
+    doc="Exact duplicated-SPAN fraction per document (Lee et al. "
+    "2022, 'Deduplicating Training Data Makes Language Models "
+    "Better' — public paper; their suffix-array metric restated on "
+    "bounded windows): a token position counts as duplicated when "
+    "any word 8-gram covering it also occurs in another document; "
+    "report dup_tokens/n_tokens for the 20 most-contaminated docs. "
+    "Differs from dedup_ngram_jaccard (whole-doc set similarity): "
+    "this measures WHERE and HOW MUCH text is copied, the statistic "
+    "the span-removal pass of a dedup pipeline is driven by. Scale "
+    "shape: shingles ship as fixed-width md5 keys (never raw text) "
+    "into one (gh -> distinct-doc count) partial-agg; duplicated "
+    "positions are the union of overlapping [pos, pos+7] intervals, "
+    "computed as explode + DISTINCT — per-doc bounded (<= n_tokens "
+    "rows), never pairwise-quadratic; a 128-bit-collision false "
+    "positive needs ~2^64 shingles. Oracle replays the identical "
+    "construction; counts are integers, the one double is a single "
+    "division, ROUND(6), ties broken by doc_id.",
+)
+def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.tokenize import doc_tokens
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = doc_tokens(docs).select(
+        "doc_id",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+    )
+    # (doc, pos, gram-hash) — one explode per 8-gram start; feeds the
+    # duplicate-key aggregate AND the coverage join, so materialize.
+    g = (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  filter(sequence(0, greatest(size(tokens) - 8, 0)),"
+                    "         i -> i <= size(tokens) - 8),"
+                    "  i -> named_struct("
+                    "    'pos', i,"
+                    "    'gh', md5(array_join(slice(tokens, i + 1, 8), ' '))))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "n_tokens", "s.pos", "s.gh")
+        .localCheckpoint(eager=True)
+    )
+    gd = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    cov = (
+        g.join(gd, "gh")
+        .select(
+            "doc_id", F.explode(F.sequence("pos", F.col("pos") + 7)).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(20)
+    )

@@ -1740,3 +1740,115 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "bigram")
         .limit(15)
     )
+
+
+@register(
+    "quality_dsir_weights",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+fb AS (
+  SELECT doc_id, substr(md5(term), 1, 2) AS b, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2
+),
+tgt AS (
+  SELECT f.b, CAST(SUM(f.n) AS BIGINT) AS ct
+  FROM fb f JOIN documents d USING (doc_id)
+  WHERE d.source = 'src0' GROUP BY 1
+),
+raw AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr FROM fb GROUP BY 1),
+tots AS (
+  SELECT (SELECT SUM(ct) FROM tgt) AS tt,
+         (SELECT SUM(cr) FROM raw) AS rt,
+         (SELECT COUNT(*) FROM raw) AS v
+),
+w AS (
+  SELECT r.b,
+         ln((COALESCE(t.ct, 0) + 1.0) / (tots.tt + tots.v))
+         - ln((r.cr + 1.0) / (tots.rt + tots.v)) AS w
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+),
+sc AS (
+  SELECT f.doc_id,
+         ROUND(SUM(f.n * w.w) / SUM(f.n), 6) AS logw,
+         CAST(SUM(f.n) AS BIGINT) AS n_tokens
+  FROM fb f JOIN w USING (b) JOIN documents d USING (doc_id)
+  WHERE d.source <> 'src0' GROUP BY 1
+)
+SELECT sc.doc_id, d.source, sc.n_tokens, sc.logw
+FROM sc JOIN documents d USING (doc_id)
+ORDER BY sc.logw DESC, sc.doc_id LIMIT 20
+""",
+    doc="DSIR data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling' — public paper): "
+    "score every raw document by the hashed-feature importance "
+    "log-ratio ln p_target(f) - ln p_raw(f), averaged per token, "
+    "against a target domain (source 'src0' as the curated "
+    "exemplar); top 20 non-target docs are the ones DSIR would "
+    "resample into the training mix. Features are md5-prefix hash "
+    "buckets of unigrams (256 buckets; the paper hashes n-grams to a "
+    "fixed 10k table for exactly this reason) with add-1 smoothing — "
+    "the whole trick for 100 TB is that hashing makes BOTH "
+    "distributions FIXED-WIDTH (256 rows) regardless of vocabulary "
+    "growth, so the weight table is always broadcastable and scoring "
+    "is one broadcast join + partial-agg over the shared "
+    "(doc_id, term, n) intermediate (operators/tokenize.py) — no "
+    "vocab-sized shuffle anywhere. Per-doc feature vectors are "
+    "<= 256 entries, so the doc-side aggregate is bounded too. "
+    "ROUND(6) before the ORDER BY; ties broken by doc_id.",
+)
+def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.tokenize import doc_term_counts
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    src = docs.select("doc_id", "source")
+    # One tokenize pass; the hashed-bucket projection collapses the
+    # vocab dimension immediately after (256 features), so everything
+    # downstream is either 256-row (broadcast) or per-doc-bounded.
+    doc_b = (
+        doc_term_counts(docs)
+        .withColumn("b", F.substring(F.md5("term"), 1, 2))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("n").alias("n"))
+        .join(src, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    tgt = (
+        doc_b.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.sum("n").alias("ct"))
+    )
+    raw = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
+    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
+        raw.agg(F.sum("cr").alias("rt"), F.count(F.lit(1)).alias("v"))
+    )
+    w = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("rt") + F.col("v")))
+            ).alias("w"),
+        )
+    )
+    sc = (
+        doc_b.filter(F.col("source") != "src0")
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("n") * F.col("w")) / F.sum("n"), 6).alias(
+                "logw"
+            ),
+            F.sum("n").alias("n_tokens"),
+        )
+    )
+    return (
+        sc.join(src, "doc_id")
+        .select("doc_id", "source", "n_tokens", "logw")
+        .orderBy(F.desc("logw"), "doc_id")
+        .limit(20)
+    )

@@ -708,3 +708,122 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "dq_observe_metrics",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hi_discount,
+       CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_1995_on
+FROM lineitem
+""",
+    doc="Observed-metrics instrumentation (pyspark.sql.Observation / "
+    "df.observe): data-quality counters collected as a SIDE-CHANNEL "
+    "of a single pass over the fact table — the 100 TB point is that "
+    "a production pipeline gets row counts, control totals, and "
+    "violation counts for FREE on the write/action it was already "
+    "doing (observe attaches CollectMetrics to the physical plan; "
+    "executors accumulate the aggregates alongside the main "
+    "operators, no second scan, no extra shuffle), where a separate "
+    "DQ query would re-read 100 TB. The query runs ONE counting "
+    "action over lineitem with four observed aggregates and returns "
+    "them as a 1-row DataFrame; the collect-side loop is exactly one "
+    "metrics row by construction. The oracle computes the identical "
+    "aggregates as a plain scan.",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
+            "n_hi_discount"
+        ),
+        F.sum(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            .cast("long")
+        ).alias("n_ship_1995_on"),
+    )
+    # The ONE action the metrics piggyback on (in production this is
+    # the sink write; obs.get blocks until the action finishes).
+    observed.count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["sum_qty"]),
+                m["n_hi_discount"],
+                m["n_ship_1995_on"],
+            )
+        ],
+        "n_rows long, sum_qty double, n_hi_discount long, n_ship_1995_on long",
+    )
+
+
+@register(
+    "ts_ewma",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         ROUND(AVG(value), 6) AS x
+  FROM events GROUP BY 1, 2
+),
+acc AS (
+  SELECT event_type, day, x,
+         list(x) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hist
+  FROM daily
+)
+SELECT event_type, day, x,
+       ROUND(list_reduce(hist, (acc, v) -> 0.3 * v + 0.7 * acc), 6)
+         AS ewma
+FROM acc ORDER BY event_type, day
+""",
+    doc="Exponentially weighted moving average over the daily "
+    "per-event-type value series (alpha=0.3, seeded at the first "
+    "observation) — the smoothing primitive behind monitoring "
+    "dashboards and drift baselines. EWMA is inherently a recursive "
+    "fold (e_t = a*x_t + (1-a)*e_{t-1}, not window-sum expressible "
+    "without numerically explosive (1-a)^-t weights), so it runs as "
+    "the SAME Catalyst fold pattern as the BPE encoder: collect the "
+    "per-type history prefix with a PARTITIONED window, then one "
+    "F.aggregate seeded from the first element. Scale shape: raw "
+    "events reduce to the daily series in ONE partial-aggregable "
+    "pass; the quadratic prefix-collect runs on the CALENDAR-BOUNDED "
+    "aggregate (days x types, never event rows) — at 100 TB the fold "
+    "input is still a few hundred rows per type. Daily means are "
+    "ROUND(6)-ed BEFORE the fold so both engines fold bit-identical "
+    "inputs in the same order; DuckDB replays it via list() OVER + "
+    "list_reduce.",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    acc = daily.withColumn("hist", F.collect_list("x").over(w))
+    ewma = F.aggregate(
+        F.slice(
+            F.col("hist"), 2, F.greatest(F.size("hist") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("hist"), 1),
+        lambda a, v: F.lit(0.3) * v + F.lit(0.7) * a,
+    )
+    return acc.select(
+        "event_type", "day", "x", F.round(ewma, 6).alias("ewma")
+    ).orderBy("event_type", "day")

@@ -158,6 +158,12 @@ BRUTE_FORCE_OK = {
                              # min/max, and 1-row share-totals
                              # broadcast cross joins around the
                              # 10-bin aggregate
+    "quality_dsir_weights",  # 1-row corpus-totals (target/raw token
+                             # counts + feature-table width) broadcast
+                             # cross join feeding the 256-row hashed
+                             # feature-weight table — the DSIR "model
+                             # broadcast"; scoring joins are b-key
+                             # equi-joins
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
