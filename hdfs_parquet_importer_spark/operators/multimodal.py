@@ -105,6 +105,11 @@ FRAMES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_crc32", T.LongType()),
+        # Hex of the raw frame bytes — the cross-engine-checkable
+        # fingerprint (DuckDB has sha256 but not crc32, and SGMM
+        # frame slots ARE sha256 digests, so an oracle can re-derive
+        # this column from the generative formula).
+        T.StructField("frame_hex", T.StringType()),
     ]
 )
 
@@ -365,7 +370,12 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_crc32": []}
+            out = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_crc32": [],
+                "frame_hex": [],
+            }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
                 body = b[_HDR_SIZE:] if b[:4] == _MAGIC else b
@@ -375,6 +385,7 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["frame_crc32"].append(zlib.crc32(frame))
+                    out["frame_hex"].append(frame.hex())
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample, FRAMES_SCHEMA)
@@ -665,3 +676,36 @@ def image_dhash(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(hash_batch, out_schema)
+
+
+def documents_as_video(df: DataFrame) -> DataFrame:
+    """Deterministic video corpus from documents: doc_id -> SGMM
+    container holding ``2 + doc_id % 6`` 32-byte frame slots
+    (``make_payload``'s sha256 frame formula — re-derivable in SQL,
+    which is what makes the sampling stage value-checkable). The
+    container build runs inside ``mapInPandas`` so payload bytes are
+    born and consumed task-side, never shuffled."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "payload": [
+                        make_payload(int(i), "video", 16, 16, 2 + int(i) % 6)
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return df.select("doc_id").mapInPandas(build, schema)

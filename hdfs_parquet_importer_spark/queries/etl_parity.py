@@ -781,3 +781,54 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "etl_schema_evolution",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+         AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders
+GROUP BY 1 ORDER BY priority NULLS FIRST
+""",
+    doc="Parquet schema evolution via mergeSchema: an early-era batch "
+    "(even orderkeys, 2 columns) and a later-era batch (odd "
+    "orderkeys, +o_orderpriority) are written to the SAME dataset "
+    "root as sibling batch directories — the lakehouse reality that "
+    "columns get added mid-stream and a reader must union the "
+    "schemas, null-filling the era that predates the column. "
+    "spark.read.option('mergeSchema', true) merges footers at "
+    "planning time (per-file footer reads, driver-parallelized — "
+    "the 100 TB cost is metadata-bounded, not data-bounded; default "
+    "off for exactly that reason, so turning it on is an explicit "
+    "per-dataset contract). The aggregate groups the merged table by "
+    "the evolved column: the NULL row IS the old era, counted not "
+    "dropped. Oracle replays the era split from raw orders; exact "
+    "integer cents.",
+)
+def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dest = f"/tmp/spark_graft_schema_evo_{os.getpid()}"
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    old.write.mode("overwrite").parquet(f"{dest}/batch=2023")
+    new.write.mode("overwrite").parquet(f"{dest}/batch=2024")
+    back = spark.read.option("mergeSchema", "true").parquet(dest)
+    return (
+        back.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .orderBy(F.asc_nulls_first("priority"))
+    )

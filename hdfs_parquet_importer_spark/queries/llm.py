@@ -2700,3 +2700,40 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_frac"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "multimodal_video_framesample",
+    oracle="""
+WITH g AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS n_frames
+           FROM documents),
+f AS (SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx FROM g)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       sha256(media_id || ':' || frame_idx) AS frame_hex
+FROM f ORDER BY media_id, frame_idx
+""",
+    doc="Video frame sampling through the multimodal pipeline: a "
+    "deterministic SGMM video container per document (2 + doc_id % 6 "
+    "frame slots, each slot the sha256 digest of 'id:idx' — "
+    "operators/multimodal.py make_payload) is BUILT in one "
+    "mapInPandas stage and FRAME-SAMPLED (every 2nd frame) in a "
+    "second; each sampled frame ships out as its hex fingerprint. "
+    "The real-codec path would swap the slot slicing for a demuxer "
+    "seek (ffmpeg is absent by contract — the honest "
+    "NotImplementedError boundary); everything Spark-side — schema, "
+    "Arrow batching, 1-to-many row expansion inside the task, "
+    "payload-never-shuffles layout — is the real plumbing and is "
+    "what this query pins. The oracle re-derives every sampled "
+    "frame's bytes from the generative formula (DuckDB sha256), so "
+    "a green row proves the container build, header skip, slot "
+    "arithmetic, and sampling stride are all byte-exact.",
+)
+def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    frames = M.frame_sample(M.documents_as_video(docs), every_n=2)
+    return frames.select("media_id", "frame_idx", "frame_hex").orderBy(
+        "media_id", "frame_idx"
+    )

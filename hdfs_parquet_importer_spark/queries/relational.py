@@ -1878,3 +1878,64 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_month")
     )
+
+
+@register(
+    "join_skew_aqe",
+    oracle="""
+WITH fact AS (
+  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k, value
+  FROM events
+)
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       ROUND(SUM(f.value), 2) AS total_value
+FROM fact f JOIN customer c ON f.k = c.c_custkey
+GROUP BY 1 ORDER BY 1
+""",
+    doc="AQE runtime skew-join splitting — the MODERN half of the "
+    "skew story whose manual half is join_salted_skew: the fact side "
+    "funnels ~70% of its rows onto one hot key (the real-world "
+    "null-surrogate/power-user shape), and the dim join is pinned to "
+    "a shuffle join (merge hint) because at 100 TB the dim side may "
+    "not be broadcastable — exactly the situation where one reducer "
+    "would receive 70% of the shuffle. With "
+    "spark.sql.adaptive.skewJoin.enabled (session default here), AQE "
+    "measures the map output at the stage boundary and SPLITS the "
+    "oversized partition into advisory-sized slices, replicating the "
+    "matching dim rows per slice — no salting code, no key "
+    "knowledge, decided from observed sizes at runtime. "
+    "tests/test_plans.py::test_aqe_skew_join_splits pins the "
+    "behavior: under scaled-down thresholds the executed plan's "
+    "sort-merge join carries skew=true. Values are threshold-"
+    "independent (splitting is physical), so the oracle is the plain "
+    "join; one ROUND(2) double sum.",
+)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    # Skew splitting's unit is the (mapper, reduce-partition) block:
+    # AQE splits an oversized reduce partition into ranges of MAP
+    # outputs, so a shuffle fed by a single map task (this testdata's
+    # one-file scan) is unsplittable no matter the thresholds. At
+    # 100 TB the scan yields thousands of mappers naturally;
+    # ensure_parallelism recreates that precondition at test scale.
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+        F.when((F.col("user_id") % 10) < 7, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("k"),
+        "value",
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        ev.join(cust.hint("merge"), ev.k == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("segment")
+    )

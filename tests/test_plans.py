@@ -452,3 +452,40 @@ def test_dpp_subquery_in_fact_scan(plans):
     assert "dynamicpruning" in plans["join_dpp_prune"], plans[
         "join_dpp_prune"
     ]
+
+
+def test_aqe_skew_join_splits(spark, sf_dir):
+    """join_skew_aqe exists to demonstrate AQE skew-join splitting.
+    Thresholds are production-sized, so at test scale (sf0.001,
+    ~1.5k rows) the hot partition is below them — scale the knobs
+    down to the data instead of the data up to the knobs, execute,
+    and assert the final adaptive plan split the skewed partition
+    (skew=true on the sort-merge join)."""
+    reg = registry()
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "2KB",
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = reg["join_skew_aqe"].fn(spark, sf_dir)
+        df.collect()  # AQE decides at runtime; execute to finalize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
