@@ -822,3 +822,42 @@ SELECT root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
        ROUND(SUM(price), 2) AS assembly_cost
 FROM bom GROUP BY root ORDER BY root
 """)
+
+
+@register(
+    "func_parameterized_sql",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_totalprice > 1000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="Parameterized SQL (Spark 4 named parameter markers + the "
+    "IDENTIFIER clause): the query text carries :tbl/:cutoff/"
+    ":minprice placeholders and spark.sql(..., args=...) binds them "
+    "— values as typed literals in the parsed plan (NOT string "
+    "splicing, so no injection surface and the plan cache can reuse "
+    "the parse), and the table name through IDENTIFIER(:tbl), the "
+    "sanctioned way to parameterize an identifier position. "
+    "Catalyst sees ordinary literals after binding, so pushdown and "
+    "constant folding are identical to the inlined form — which is "
+    "exactly what the oracle is. The API surface every "
+    "template-driven reporting job migrating onto Spark needs "
+    "first.",
+)
+def func_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "param_orders"
+    )
+    return spark.sql(
+        """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM IDENTIFIER(:tbl)
+WHERE o_orderdate >= CAST(:cutoff AS TIMESTAMP)
+  AND o_totalprice > :minprice
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        args={"tbl": "param_orders", "cutoff": "1996-01-01", "minprice": 1000.0},
+    )

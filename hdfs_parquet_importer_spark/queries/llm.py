@@ -2737,3 +2737,72 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_idx", "frame_hex").orderBy(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id, e.label AS neg_label,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.label <> q.ql),
+r AS (SELECT *, row_number() OVER
+        (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, rank, vec_id, neg_label, ROUND(cos, 6) AS cos
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+""",
+    doc="Hard-negative mining for contrastive training (the triplet/ "
+    "InfoNCE data-prep step): for each anchor vector, the 3 most "
+    "cosine-similar candidates with a DIFFERENT label — the "
+    "near-miss examples that actually move a contrastive loss, as "
+    "opposed to random negatives. Same scale shape as "
+    "ann_cosine_topk: broadcast(anchors) x one pass over the "
+    "candidate corpus (the label inequality rides the broadcast "
+    "join's filter — self-matches drop for free since self shares "
+    "its own label), then the salted two-phase top-k so no reducer "
+    "sees a full candidate set. At 100 TB the exact pass swaps in "
+    "the IVF/LSH candidate generators from operators/similarity.py "
+    "unchanged — mining only needs candidates, the label filter and "
+    "top-k are identical. Ties broken by vec_id; ROUND(6) cosine.",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        ensure_parallelism(emb)
+        .join(F.broadcast(q))
+        .filter(F.col("label") != F.col("ql"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            S.cosine(F.col("qv"), F.col("embedding")).alias("cos"),
+        )
+    )
+    salt = F.pmod(F.col("vec_id"), F.lit(32))
+    pw = Window.partitionBy("query_id", salt).orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_prn", F.row_number().over(pw))
+        .filter(F.col("_prn") <= 3)
+        .withColumn("rank", F.row_number().over(fw))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "rank", "vec_id", "neg_label",
+            F.round("cos", 6).alias("cos"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -827,3 +827,73 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.select(
         "event_type", "day", "x", F.round(ewma, 6).alias("ewma")
     ).orderBy("event_type", "day")
+
+
+@register(
+    "report_data_card",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id, source, lang, n_chars,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
+         len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS n_tok
+  FROM documents
+),
+dup AS (SELECT fp, 1 AS is_dup FROM fp GROUP BY fp HAVING COUNT(*) >= 2)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(f.n_tok) AS BIGINT) AS n_tokens,
+       ROUND(AVG(f.n_chars), 2) AS avg_chars,
+       ROUND(AVG(CASE WHEN f.lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS pct_en,
+       ROUND(AVG(CASE WHEN d.is_dup IS NULL THEN 0.0 ELSE 1.0 END), 4)
+         AS dup_rate
+FROM fp f LEFT JOIN dup d USING (fp)
+GROUP BY f.source ORDER BY f.source
+""",
+    doc="Per-source dataset card — the summary table a corpus release "
+    "ships (datasheets-for-datasets shape): document count, "
+    "whitespace-token count, mean length, English share, and "
+    "exact-duplicate rate (share of docs whose normalized-content "
+    "md5 occurs >= 2 times CORPUS-wide, so cross-source twins count "
+    "in both sources). Two passes, both scale-safe: one projection "
+    "to (source, lang, n_chars, fp, n_tok) feeding a per-source "
+    "partial agg, plus one fp-keyed count whose >= 2 survivors join "
+    "back as a flag — fingerprints travel as fixed-width md5, text "
+    "is read once. All ratios are means of exact 0/1 indicators, "
+    "ROUND(4).",
+)
+def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(D.normalize_text(F.col("text"))).alias("fp"),
+        F.size(D.tokens(F.col("text"))).alias("n_tok"),
+    ).localCheckpoint(eager=True)
+    dup = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fp", F.lit(1).alias("is_dup"))
+    )
+    return (
+        fp.join(dup, "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(
+                F.avg(F.when(F.col("lang") == "en", 1.0).otherwise(0.0)), 4
+            ).alias("pct_en"),
+            F.round(
+                F.avg(F.when(F.col("is_dup").isNull(), 0.0).otherwise(1.0)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

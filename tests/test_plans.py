@@ -158,6 +158,8 @@ BRUTE_FORCE_OK = {
                              # min/max, and 1-row share-totals
                              # broadcast cross joins around the
                              # 10-bin aggregate
+    "embedding_hard_negatives",  # broadcast(anchors) x vectors (no
+                             # equi key, same shape as ann_cosine_topk)
     "quality_dsir_weights",  # 1-row corpus-totals (target/raw token
                              # counts + feature-table width) broadcast
                              # cross join feeding the 256-row hashed
