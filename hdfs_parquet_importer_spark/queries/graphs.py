@@ -412,3 +412,82 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(20)
     )
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def _kcore_round_cte(r: int) -> str:
+    """Round-``r`` CTE of the synchronous k-core peel: degrees within
+    the current subgraph, drop nodes below k, restrict edges to
+    survivors."""
+    prev = "ke0" if r == 1 else f"ke{r - 1}"
+    # MATERIALIZED: DuckDB inlines plain CTEs per reference, and each
+    # round references its predecessor three times — without
+    # materialization the edge pipeline would be re-evaluated
+    # O(3^rounds) times.
+    return f"""
+kd{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS deg
+  FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev})
+  GROUP BY node
+),
+kn{r} AS MATERIALIZED (SELECT node FROM kd{r} WHERE deg >= {_KCORE_K}),
+ke{r} AS MATERIALIZED (
+  SELECT p.u, p.v FROM {prev} p
+  JOIN kn{r} a ON a.node = p.u
+  JOIN kn{r} b ON b.node = p.v
+),
+ks{r} AS (
+  SELECT {r} AS round,
+         (SELECT COUNT(*) FROM kn{r}) AS n_nodes,
+         (SELECT COUNT(*) FROM ke{r}) AS n_edges
+)"""
+
+
+@register(
+    "graph_k_core",
+    oracle=f"""
+WITH {_EDGES_SQL},
+ke0 AS MATERIALIZED (SELECT u, v FROM e),
+{",".join(_kcore_round_cte(r) for r in range(1, _KCORE_ROUNDS + 1))}
+SELECT * FROM (
+  {" UNION ALL ".join(f"SELECT * FROM ks{r}" for r in range(1, _KCORE_ROUNDS + 1))}
+) ORDER BY round
+""",
+    doc=f"k-core decomposition (k={_KCORE_K}) of the mutual-kNN "
+    "co-activity graph by synchronous peeling — the standard "
+    "dense-subgraph/spam-cluster primitive: each round recomputes "
+    "degrees WITHIN the surviving subgraph, drops nodes below k, "
+    "and restricts edges to survivors; reported per round so the "
+    "output shows the fixpoint approach. Fourth member of the "
+    "bounded iterate-join-reaggregate family here (pagerank, LPA, "
+    "connected components): every round is one degree partial-agg + "
+    "two node-key equi-joins over a degree<=8-by-construction edge "
+    "list, survivor state localCheckpoint-ed per round so lineage "
+    "stays flat. Peeling is monotone (node sets only shrink), so "
+    f"{_KCORE_ROUNDS} synchronous rounds are deterministic and the "
+    "oracle replays them as chained CTEs. All-integer output.",
+)
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    edges = _co_activity_edges(ev).localCheckpoint(eager=True)
+    stats = []
+    cur = edges
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = _degrees(cur).filter(F.col("deg") >= _KCORE_K).select("node")
+        na = deg.select(F.col("node").alias("u"))
+        nb = deg.select(F.col("node").alias("v"))
+        cur = cur.join(na, "u").join(nb, "v").localCheckpoint(eager=True)
+        n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        n_edges = cur.agg(F.count(F.lit(1)).alias("n_edges"))
+        stats.append(
+            n_nodes.crossJoin(F.broadcast(n_edges)).select(
+                F.lit(r).alias("round"), "n_nodes", "n_edges"
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")

@@ -1024,3 +1024,84 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u - F.col("na") * F.col("nb") / 2) / sigma, 4
         ).alias("z_score"),
     )
+
+
+@register(
+    "stat_theil_sen_slope",
+    oracle="""
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+x AS (SELECT month, cents, row_number() OVER (ORDER BY month) AS i FROM m),
+p AS (
+  SELECT (b.cents - a.cents) * 1.0 / (b.i - a.i) AS slope
+  FROM x a JOIN x b ON a.i < b.i
+),
+ms AS (SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)
+         AS m_slope FROM p),
+ic AS (SELECT percentile_cont(0.5)
+         WITHIN GROUP (ORDER BY x.cents - ms.m_slope * x.i) AS b0
+       FROM x, ms)
+SELECT (SELECT COUNT(*) FROM x) AS n_months,
+       ROUND(ms.m_slope, 4) AS slope_cents,
+       ROUND(ic.b0, 4) AS intercept_cents
+FROM ms, ic
+""",
+    doc="Theil-Sen robust trend estimator over monthly revenue: the "
+    "median of all pairwise slopes (breakdown point 29%, immune to "
+    "the outlier months that wreck OLS — the robust complement to "
+    "stat_ols_trend), intercept = median(y - m*x). Scale shape: the "
+    "fact table reduces to exact integer cents per calendar month in "
+    "ONE partial agg; the O(n^2) pairwise-slope join and the global "
+    "row_number both run on the <=84-row month series — bounded by "
+    "the DATE DOMAIN, never row count (the allowlisted-cross-join + "
+    "global-window-agg pattern report_mom_yoy established). Integer "
+    "cents make every slope a ratio of exact integers (<2^53), so "
+    "both engines divide bit-identical doubles; percentile_cont and "
+    "Spark's percentile() interpolate identically; ROUND(4).",
+)
+def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    x = m.withColumn(
+        "i", F.row_number().over(Window.orderBy("month"))
+    ).localCheckpoint(eager=True)
+    a = x.select(F.col("cents").alias("ca"), F.col("i").alias("ia"))
+    b = x.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        ((F.col("cb") - F.col("ca")) * 1.0 / (F.col("ib") - F.col("ia"))).alias(
+            "slope"
+        )
+    )
+    ms = pairs.agg(F.percentile("slope", F.lit(0.5)).alias("m_slope"))
+    ic = (
+        x.crossJoin(F.broadcast(ms))
+        .agg(
+            F.percentile(
+                F.col("cents") - F.col("m_slope") * F.col("i"), F.lit(0.5)
+            ).alias("b0")
+        )
+    )
+    n = x.agg(F.count(F.lit(1)).alias("n_months"))
+    return (
+        n.crossJoin(F.broadcast(ms))
+        .crossJoin(F.broadcast(ic))
+        .select(
+            "n_months",
+            F.round("m_slope", 4).alias("slope_cents"),
+            F.round("b0", 4).alias("intercept_cents"),
+        )
+    )

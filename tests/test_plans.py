@@ -158,6 +158,14 @@ BRUTE_FORCE_OK = {
                              # min/max, and 1-row share-totals
                              # broadcast cross joins around the
                              # 10-bin aggregate
+    "graph_k_core",          # per-round 1-row node-count x 1-row
+                             # edge-count broadcast cross joins
+                             # assembling the round summary rows; the
+                             # peel joins are node-key equi-joins
+    "stat_theil_sen_slope",  # pairwise-slope join over the <=84-row
+                             # month aggregate (date-domain bounded,
+                             # the report_mom_yoy domain) + 1-row
+                             # median-slope broadcast cross joins
     "embedding_hard_negatives",  # broadcast(anchors) x vectors (no
                              # equi key, same shape as ann_cosine_topk)
     "quality_dsir_weights",  # 1-row corpus-totals (target/raw token
@@ -199,6 +207,10 @@ GLOBAL_WINDOW_AGG_OK = {
     "events_error_rate_sli": "grouped by January day (<=31 rows)",
     "report_mom_yoy": "grouped by calendar month of the 7-year "
     "orders range (<=84 rows; bounded by the date domain, not rows)",
+    # stat_theil_sen_slope needs no entry: its row_number window runs
+    # over the <=84-row month aggregate at localCheckpoint time, so
+    # the optimized plan the gate sees starts from the materialized
+    # 84-row RDD — the window never reaches the plan.
     "window_share_of_total": "grouped by nation name (25 values, "
     "fixed reference dimension)",
     "stat_ks_two_sample": "ECDF steps grouped by distinct n_chars "
