@@ -102,6 +102,9 @@ HEADLINE = [
     "graph_label_propagation",
     "mix_quota_by_quality",
     "join_dpp_prune",
+    # r8 second batch: SemDeDup (cluster-scoped embedding dedup +
+    # recursive-closure-oracled CC) — benched from birth.
+    "dedup_semdedup",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

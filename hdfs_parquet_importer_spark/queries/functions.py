@@ -771,6 +771,38 @@ def agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_top_k",
+    oracle="""
+SELECT o_orderpriority AS priority, COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY n DESC, priority
+""",
+    doc="approx_top_k sketch aggregate (Spark 4.1 SQL surface): one "
+    "mergeable frequent-items sketch per partition, merged at the "
+    "driver — the distributed heavy-hitters path (vs "
+    "sketch_countmin_heavy's hand-rolled CMS). Over a column whose "
+    "cardinality (5) is under the sketch's maxItemsTracked the "
+    "counts are EXACT, so the exact GROUP BY twin value-checks the "
+    "whole sketch pipeline. The sketch's own output order is "
+    "tie-ambiguous (equal counts), so the array is exploded and "
+    "re-sorted on (count DESC, item); at a real top-k cutoff ties "
+    "straddling rank k make the SET itself ambiguous — production "
+    "callers should over-ask (k+slack) and re-rank, as here.",
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "__atk_orders"
+    )
+    tk = spark.sql(
+        "SELECT approx_top_k(o_orderpriority, 5) AS tk FROM __atk_orders"
+    )
+    return (
+        tk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("priority"), F.col("e.count").alias("n"))
+        .orderBy(F.desc("n"), "priority")
+    )
+
+
+@register(
     "sql_recursive_cte",
     oracle="""
 WITH RECURSIVE bom AS (

@@ -340,6 +340,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semdedup",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding,
+         4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
+           + CAST(embedding[3] > 0 AS INT) AS bucket
+  FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               c.embedding::DOUBLE[]) >= 0.35),
+sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  SELECT u AS node, u AS lab FROM sym
+  UNION
+  SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node)
+SELECT node AS vec_id, MIN(lab) AS canonical_id,
+       (node <> MIN(lab)) AS is_removed
+FROM reach GROUP BY node
+""",
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
+    "method): partition the embedding space into clusters, then find "
+    "near-duplicate pairs ONLY within a cluster — the pair space "
+    "shrinks from O(n^2) to sum of per-cluster squares, the whole "
+    "point at 100 TB. Cluster proxy here is a deterministic 3-bit "
+    "signed-random-projection bucket (sign of dims 0..2 — fixed axes "
+    "instead of learned k-means centroids precisely so BOTH engines "
+    "replay it bit-identically; swap in kmeans_assign for learned "
+    "clusters, same downstream shape). Within-bucket cosine>=0.35 "
+    "pairs form an edge list; connected components (iterative "
+    "min-label propagation) pick the min-id canonical per group; "
+    "every other member is removed. FULLY value-checked (the "
+    "recursive-CTE transitive-closure oracle tier, like "
+    "dedup_cluster_canonical): DuckDB replays the fixpoint via a "
+    "RECURSIVE CTE enumerating (node, reachable-id) pairs and taking "
+    "MIN per node — the min-reachable-id label is plan-independent, "
+    "so the iterative Spark fixpoint and the recursive SQL closure "
+    "must agree exactly. "
+    "Scale: bucket self-join is an equi-join (shuffle on bucket); CC "
+    "shuffles scale with edge count, bounded by per-bucket density, "
+    "with localCheckpoint lineage truncation per round.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import connected_components
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    e = F.col("embedding")
+    bucket = (
+        (e[0] > 0).cast("int") * 4
+        + (e[1] > 0).cast("int") * 2
+        + (e[2] > 0).cast("int")
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    edges = (
+        a.join(
+            c,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(S.cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components(edges, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") != F.col("component")).alias("is_removed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search (ANN)
 # --------------------------------------------------------------------------

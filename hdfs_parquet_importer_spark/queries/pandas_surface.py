@@ -152,3 +152,76 @@ def udtf_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE doc_id < 20 ORDER BY doc_id, chunk_idx
         """
     )
+
+
+def _brand_stats_arrow(t):
+    """Arrow-native per-group stats for one p_brand group.
+
+    Takes and returns a ``pyarrow.Table`` — no pandas materialization;
+    every reduction is a vectorized Arrow compute kernel. Prices carry
+    exactly 2 decimals, so all accumulation runs in integer cents
+    (exact) and each output is ONE IEEE double division of identical
+    integers on both engines — bit-exact with no rounding step (the
+    group mean CAN land exactly on a 4-dp halfway point, where Python
+    half-even and DuckDB half-up disagree).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(
+        pc.round(pc.multiply(t.column("p_retailprice"), 100.0)), pa.int64()
+    )
+    n = t.num_rows
+    sc = pc.sum(cents).as_py()
+    # mean(|x - mu|) == sum(|n*cents_i - sum_cents|) / (100 * n^2),
+    # exact integers inside the abs.
+    sdev = pc.sum(
+        pc.abs_checked(pc.subtract(pc.multiply(cents, n), sc))
+    ).as_py()
+    return pa.table(
+        {
+            "p_brand": [t.column("p_brand")[0].as_py()],
+            "n_parts": pa.array([n], pa.int64()),
+            "avg_price": [sc / (100.0 * n)],
+            "mean_abs_dev": [sdev / (100.0 * n * n)],
+        }
+    )
+
+
+@register(
+    "arrow_grouped_stats",
+    oracle="""
+WITH c AS (
+  SELECT p_brand, CAST(ROUND(p_retailprice*100) AS BIGINT) AS cents
+  FROM part),
+m AS (
+  SELECT p_brand, SUM(cents) AS sc, COUNT(*) AS n
+  FROM c GROUP BY p_brand)
+SELECT m.p_brand, m.n AS n_parts,
+       m.sc / (100.0 * m.n) AS avg_price,
+       SUM(ABS(c.cents * m.n - m.sc)) / (100.0 * m.n * m.n)
+         AS mean_abs_dev
+FROM c JOIN m USING (p_brand)
+GROUP BY m.p_brand, m.n, m.sc ORDER BY m.p_brand
+""",
+    doc="applyInArrow grouped map (Spark 4 API surface): like "
+    "applyInPandas but the group arrives as a pyarrow.Table and the "
+    "UDF composes Arrow compute kernels directly — zero "
+    "Arrow->pandas->Arrow conversion, no index/dtype coercion "
+    "overhead, the cheapest Python escape hatch per batch. Computes "
+    "per-brand price mean and mean absolute deviation (the "
+    "two-pass-in-SQL shape that is one pass per group here). Same "
+    "scale contract as applyInPandas: one shuffle on the group key, "
+    "each group must fit in one task; completes the Arrow-UDF "
+    "surface next to mapInPandas/applyInPandas/pandas_udf/UDTF.",
+)
+def arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_retailprice")
+    out_schema = (
+        "p_brand string, n_parts long, avg_price double, mean_abs_dev double"
+    )
+    return (
+        part.groupBy("p_brand")
+        .applyInArrow(_brand_stats_arrow, schema=out_schema)
+        .orderBy("p_brand")
+    )
