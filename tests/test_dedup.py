@@ -142,3 +142,59 @@ def test_simhash_hamming_zero_for_dups(spark, docs):
     out = D.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3).collect()
     ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
     assert ham.get((1, 2)) == 0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-scoped embedding dedup)
+# ---------------------------------------------------------------------------
+def test_semdedup_matches_numpy_ground_truth(spark, sf_dir):
+    """Full driver-side replay: numpy buckets + cosines + union-find
+    must reproduce the distributed query's (canonical, removed) output
+    exactly — an independent third implementation next to the Spark
+    fixpoint and the DuckDB recursive-CTE oracle."""
+    import numpy as np
+
+    from hdfs_parquet_importer_spark.queries.llm import dedup_semdedup
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    bucket = {
+        i: 4 * int(v[0] > 0) + 2 * int(v[1] > 0) + int(v[2] > 0)
+        for i, v in vecs.items()
+    }
+    ids = sorted(vecs)
+    edges = []
+    for ai, a in enumerate(ids):
+        va, na = vecs[a], np.linalg.norm(vecs[a])
+        for b in ids[ai + 1 :]:
+            if bucket[a] != bucket[b]:
+                continue
+            cos = float(va @ vecs[b]) / (na * np.linalg.norm(vecs[b]))
+            if cos >= 0.35:
+                edges.append((a, b))
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+
+    got = {
+        r.vec_id: (r.canonical_id, r.is_removed)
+        for r in dedup_semdedup(spark, sf_dir).collect()
+    }
+    assert got == {n: (c, n != c) for n, c in expect.items()}
+    assert edges, "corpus should contain within-bucket near-dups"

@@ -6,6 +6,7 @@ full cross-engine value check is tools/check_oracle.py at sf0.01."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hdfs_parquet_importer_spark.queries import registry
 from hdfs_parquet_importer_spark.tables import load_table
@@ -91,3 +92,44 @@ def test_rollup_grand_total(spark, sf_dir):
     grand = [r for r in rows if r.gid == 3]
     assert len(grand) == 1
     assert grand[0].n == load_table(spark, sf_dir, "events").count()
+
+
+def test_arrow_grouped_stats_exact_fractions(spark, sf_dir):
+    """The integer-cents claim, checked in exact rational arithmetic:
+    each returned double must equal the correctly-rounded value of the
+    true rational mean / mean-absolute-deviation (one IEEE division of
+    exact integers), and counts must cover the whole table."""
+    from fractions import Fraction
+
+    rows = registry()["arrow_grouped_stats"].fn(spark, sf_dir).collect()
+    part = load_table(spark, sf_dir, "part").select(
+        "p_brand", "p_retailprice"
+    ).collect()
+    cents: dict[str, list[int]] = {}
+    for r in part:
+        cents.setdefault(r.p_brand, []).append(round(r.p_retailprice * 100))
+    assert sum(r.n_parts for r in rows) == len(part)
+    for r in rows:
+        c = cents[r.p_brand]
+        n, sc = len(c), sum(c)
+        assert r.n_parts == n
+        assert r.avg_price == sc / (100.0 * n)
+        assert float(Fraction(sc, 100 * n)) == r.avg_price
+        sdev = sum(abs(x * n - sc) for x in c)
+        assert r.mean_abs_dev == sdev / (100.0 * n * n)
+
+
+def test_approx_top_k_counts_are_exact(spark, sf_dir):
+    """At cardinality (5) << maxItemsTracked the sketch degenerates to
+    exact counting — every (item, count) must equal the exact GROUP BY
+    and the union of counts must cover every order."""
+    rows = registry()["agg_approx_top_k"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {r.priority: r.n for r in rows} == exact
+    assert sum(r.n for r in rows) == orders.count()
