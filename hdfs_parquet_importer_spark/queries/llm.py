@@ -372,21 +372,27 @@ FROM reach GROUP BY node
     "instead of learned k-means centroids precisely so BOTH engines "
     "replay it bit-identically; swap in kmeans_assign for learned "
     "clusters, same downstream shape). Within-bucket cosine>=0.35 "
-    "pairs form an edge list; connected components (iterative "
-    "min-label propagation) pick the min-id canonical per group; "
-    "every other member is removed. FULLY value-checked (the "
+    "pairs form an edge list; connected components pick the min-id "
+    "canonical per group; every other member is removed. Components "
+    "cannot span buckets (pairs are within-bucket by construction), "
+    "so CC needs NO iterative fixpoint: one shuffle on bucket and a "
+    "union-find per bucket (grouped_connected_components) replaces "
+    "diameter-many join rounds. FULLY value-checked (the "
     "recursive-CTE transitive-closure oracle tier, like "
     "dedup_cluster_canonical): DuckDB replays the fixpoint via a "
     "RECURSIVE CTE enumerating (node, reachable-id) pairs and taking "
     "MIN per node — the min-reachable-id label is plan-independent, "
     "so the iterative Spark fixpoint and the recursive SQL closure "
     "must agree exactly. "
-    "Scale: bucket self-join is an equi-join (shuffle on bucket); CC "
-    "shuffles scale with edge count, bounded by per-bucket density, "
-    "with localCheckpoint lineage truncation per round.",
+    "Scale: vectors are normalized ONCE scan-side so the quadratic "
+    "pair stage folds a single dot product; the bucket self-join is "
+    "an equi-join (shuffle on bucket); one grouped CC pass whose "
+    "per-task memory is bounded by per-bucket edge density.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.graph import connected_components
+    from hdfs_parquet_importer_spark.operators.graph import (
+        grouped_connected_components,
+    )
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
@@ -396,28 +402,36 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (e[1] > 0).cast("int") * 2
         + (e[2] > 0).cast("int")
     )
-    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    # Normalize ONCE at scan side (linear) so the quadratic pair stage
+    # folds a single dot product instead of dot + two norms per pair.
+    nrm = S.norm(e)
+    b = emb.select(
+        "vec_id",
+        F.transform(e, lambda x: x.cast("double") / nrm).alias("vecn"),
+        bucket.alias("bucket"),
+    )
     a = b.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        F.col("vecn").alias("va"),
         F.col("bucket").alias("bucket_a"),
     )
     c = b.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        F.col("vecn").alias("vb"),
         F.col("bucket").alias("bucket_b"),
     )
-    edges = (
-        a.join(
-            c,
-            (F.col("bucket_a") == F.col("bucket_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(S.cosine(F.col("va"), F.col("vb")) >= 0.35)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+    edges = a.join(
+        c,
+        (F.col("bucket_a") == F.col("bucket_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).filter(S.dot(F.col("va"), F.col("vb")) >= 0.35)
+    # Components cannot span buckets (every pair is within-bucket by
+    # construction), so CC decomposes per bucket: one grouped pass,
+    # no iterative fixpoint.
+    cc = grouped_connected_components(
+        edges.select(F.col("bucket_a").alias("bucket"), "id_a", "id_b"),
+        "bucket",
     )
-    cc = connected_components(edges, "id_a", "id_b")
     return cc.select(
         F.col("node").alias("vec_id"),
         F.col("component").alias("canonical_id"),

@@ -192,3 +192,43 @@ def test_label_propagation_deterministic(spark):
     a = sorted((r.node, r.label) for r in label_propagation(edges, rounds=3).collect())
     b = sorted((r.node, r.label) for r in label_propagation(edges, rounds=3).collect())
     assert a == b
+
+
+def test_jump_variant_matches_plain_cc(spark, sf_dir):
+    """connected_components_jump must compute the identical fixpoint
+    (min reachable id) as the plain variant on the real MinHash pair
+    graph, and on a long chain (the jump variant's worst-case input
+    for the plain one)."""
+    from hdfs_parquet_importer_spark.operators.graph import (
+        connected_components,
+        connected_components_jump,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 60)], ["id_a", "id_b"]
+    )
+    plain = {
+        (r.node, r.component)
+        for r in connected_components(chain, max_iter=40).collect()
+    }
+    jumped = {
+        (r.node, r.component)
+        for r in connected_components_jump(chain).collect()
+    }
+    assert jumped == plain
+    assert all(c == 30 for _, c in jumped)
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8
+    ).select("id_a", "id_b")
+    if pairs.count():
+        p = {
+            (r.node, r.component)
+            for r in connected_components(pairs).collect()
+        }
+        j = {
+            (r.node, r.component)
+            for r in connected_components_jump(pairs).collect()
+        }
+        assert j == p
