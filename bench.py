@@ -174,7 +174,11 @@ def main() -> int:
         expected = prev["medians"][name] * speed_factor
         sigma = max(stdevs[name], prev.get("stdevs", {}).get(name, 0.0), 0.02)
         if abs(medians[name] - expected) > 2 * sigma:
-            drift[name] = round(medians[name] / prev["medians"][name], 2)
+            # Record the FACTOR-RELATIVE ratio (new / ambient-adjusted
+            # expectation), not the raw ratio — the flag criterion is
+            # factor-relative, so the reported magnitude must be the
+            # structural part, not structural + ambient.
+            drift[name] = round(medians[name] / expected, 2)
 
     # Full per-query table (median/stdev/min) persists in-repo: the
     # driver's tail capture keeps only the LAST 2000 stdout bytes, and
@@ -231,8 +235,10 @@ def _write_full_table(sf, total, medians, stdevs, mins, prev, drift, speed_facto
 
     def _drift_cell(n: str) -> str:
         if n in drift:
-            pm = prev["medians"][n]
-            return f"{(medians[n] - pm) / pm:+.0%} rel>2σ"
+            # drift[n] is already factor-relative (structural part
+            # only); print that, not the raw ratio that conflates
+            # ambient host movement with the regression being flagged.
+            return f"{drift[n] - 1.0:+.0%} rel>2σ"
         return ""
 
     rows = "\n".join(

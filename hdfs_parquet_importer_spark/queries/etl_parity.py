@@ -810,19 +810,27 @@ GROUP BY 1 ORDER BY priority NULLS FIRST
     "integer cents.",
 )
 def etl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    dest = f"/tmp/spark_graft_schema_evo_{os.getpid()}"
-    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    from hdfs_parquet_importer_spark.sources.io import cached_tmp_dataset
+
+    def _build(staging: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderpriority",
+        )
+        old.write.mode("overwrite").parquet(f"{staging}/batch=2023")
+        new.write.mode("overwrite").parquet(f"{staging}/batch=2024")
+
+    dest = cached_tmp_dataset(
+        "schema_evo",
+        [os.path.join(sf_dir, "orders.parquet")],
+        _build,
     )
-    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-        "o_orderpriority",
-    )
-    old.write.mode("overwrite").parquet(f"{dest}/batch=2023")
-    new.write.mode("overwrite").parquet(f"{dest}/batch=2024")
     back = spark.read.option("mergeSchema", "true").parquet(dest)
     return (
         back.groupBy(F.col("o_orderpriority").alias("priority"))

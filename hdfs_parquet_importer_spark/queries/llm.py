@@ -344,15 +344,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semdedup",
     oracle="""
 WITH RECURSIVE b AS (
-  SELECT vec_id, embedding,
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS vecn,
          4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
            + CAST(embedding[3] > 0 AS INT) AS bucket
   FROM embeddings),
 edges AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                               c.embedding::DOUBLE[]) >= 0.35),
+  WHERE list_dot_product(a.vecn, c.vecn) >= 0.35),
 sym AS (SELECT id_a AS u, id_b AS v FROM edges
         UNION SELECT id_b, id_a FROM edges),
 reach AS (
@@ -382,8 +384,11 @@ FROM reach GROUP BY node
     "dedup_cluster_canonical): DuckDB replays the fixpoint via a "
     "RECURSIVE CTE enumerating (node, reachable-id) pairs and taking "
     "MIN per node — the min-reachable-id label is plan-independent, "
-    "so the iterative Spark fixpoint and the recursive SQL closure "
-    "must agree exactly. "
+    "so the Spark fixpoint and the recursive SQL closure must agree "
+    "exactly. The oracle replays the SAME normalize-then-dot formula "
+    "(not list_cosine_similarity's dot/(|a||b|)): the two algebraic "
+    "forms round differently in IEEE, and one ulp-flipped edge at the "
+    "0.35 boundary would relabel a whole component. "
     "Scale: vectors are normalized ONCE scan-side so the quadratic "
     "pair stage folds a single dot product; the bucket self-join is "
     "an equi-join (shuffle on bucket); one grouped CC pass whose "
@@ -2698,8 +2703,11 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_substring_span",
     oracle=f"""
-WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+WITH toks AS (SELECT doc_id,
+              list_filter({_TOKS_SQL}, x -> x <> '') AS t
+              FROM documents),
+base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
+         FROM toks WHERE len(t) > 0),
 g AS (
   SELECT doc_id, n_tokens, u.pos AS pos, u.gh AS gh
   FROM (SELECT doc_id, n_tokens,
@@ -2744,11 +2752,14 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Zero-token docs (text normalizing to "") are excluded on BOTH
+    # sides: they cannot carry a duplicated span, and 0/0 rounds
+    # differently across engines (NULL vs NaN).
     base = doc_tokens(docs).select(
         "doc_id",
         "tokens",
         F.size("tokens").cast("long").alias("n_tokens"),
-    )
+    ).filter(F.col("n_tokens") > 0)
     # (doc, pos, gram-hash) — one explode per 8-gram start; feeds the
     # duplicate-key aggregate AND the coverage join, so materialize.
     g = (

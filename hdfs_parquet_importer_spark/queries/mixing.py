@@ -1506,8 +1506,8 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH scored AS (
   SELECT source, doc_id, n_chars,
          1.0 - CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                    AS DOUBLE) / nullif(length(text), 0) AS neg_alpha
-  FROM documents),
+                    AS DOUBLE) / length(text) AS neg_alpha
+  FROM documents WHERE length(text) > 0),
 ranked AS (
   SELECT source, doc_id, n_chars, neg_alpha,
          SUM(n_chars) OVER (
@@ -1540,8 +1540,13 @@ def mix_quota_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
         "double"
-    ) / F.nullif(F.length("text"), F.lit(0))
-    scored = docs.select(
+    ) / F.length("text")
+    # Empty/NULL text is EXCLUDED up front (it carries no quota-worthy
+    # content): a NULL neg_alpha would otherwise produce a NULL bucket
+    # that prefix_sums' final equi-join silently drops while its
+    # n_chars still inflates every later bucket's base offset — and
+    # the oracle's NULLS-LAST window would disagree besides.
+    scored = docs.filter(F.length("text") > 0).select(
         "source",
         "doc_id",
         "n_chars",

@@ -1839,20 +1839,23 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned_parquet,
     )
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    fact_dir = f"/tmp/spark_graft_dpp/{base}/orders_by_month"
-    marker = os.path.join(fact_dir, "_COMPLETE")
-    if not os.path.exists(marker):
+    from hdfs_parquet_importer_spark.sources.io import cached_tmp_dataset
+
+    def _build(staging: str) -> None:
         orders = load_table(spark, sf_dir, "orders")
         write_partitioned_parquet(
             orders.withColumn(
                 "o_month", F.date_format("o_orderdate", "yyyy-MM")
             ),
-            fact_dir,
+            staging,
             ["o_month"],
         )
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+
+    fact_dir = cached_tmp_dataset(
+        "dpp_orders_by_month",
+        [os.path.join(sf_dir, "orders.parquet")],
+        _build,
+    )
     fact = read_partitioned_parquet(spark, fact_dir)
     qtr = F.concat(
         F.date_format("o_orderdate", "yyyy"),

@@ -115,3 +115,55 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def cached_tmp_dataset(namespace: str, src_paths: list[str], build) -> str:
+    """Content-addressed /tmp cache for queries that must demonstrate
+    a write-then-reread-from-disk pattern (dynamic partition pruning,
+    mergeSchema evolution) without rewriting an immutable derived
+    dataset on every invocation.
+
+    The cache key is a fingerprint of the SOURCE files ((relpath,
+    size, mtime_ns) walk), so a regenerated source or a different
+    dataset sharing a directory basename can never be served a stale
+    cache — the key changes and the old entry is simply never read
+    again. Builders write into a per-pid staging directory which is
+    atomically ``os.rename``-d to the final content-addressed path;
+    a concurrent first run that loses the race discards its staging
+    copy, so readers (gated on the final path existing) never observe
+    a half-written or mid-overwrite directory.
+    """
+    import hashlib
+    import os
+    import shutil
+
+    h = hashlib.sha1()
+    for p in sorted(src_paths):
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    h.update(
+                        f"{os.path.relpath(fp, p)}:{st.st_size}:"
+                        f"{st.st_mtime_ns}\n".encode()
+                    )
+        else:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    key = h.hexdigest()[:12]
+    final = f"/tmp/spark_graft_cache/{namespace}_{key}"
+    if os.path.exists(final):
+        return final
+    staging = f"{final}__staging_{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    build(staging)
+    try:
+        os.rename(staging, final)
+    except OSError:
+        # Lost the build race — the winner's copy is identical
+        # (same content key); keep it and drop ours.
+        if not os.path.exists(final):
+            raise
+        shutil.rmtree(staging, ignore_errors=True)
+    return final

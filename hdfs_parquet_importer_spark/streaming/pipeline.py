@@ -522,6 +522,17 @@ def _hadoop_fs(spark, path: str):
     return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` reports most failures via a False
+    return, not an exception (unlike ``shutil.move``). Every rename in
+    the swap/recovery protocol must surface that: a swallowed failed
+    rename either lets recovery DELETE the only surviving copy of the
+    table (aside-restore path) or makes the next rename NEST the
+    staging dir inside the still-live target (swap path)."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def recover_upsert_target(path: str, spark) -> None:
     """Startup/pre-batch recovery for :func:`write_stream_upsert`'s
     rename-aside swap (module-level so the sweep is unit-testable
@@ -553,7 +564,9 @@ def recover_upsert_target(path: str, spark) -> None:
     jvm, fs, jpath = _hadoop_fs(spark, path)
     aside = jvm.org.apache.hadoop.fs.Path(path + "__old")
     if not fs.exists(jpath) and fs.exists(aside):
-        fs.rename(aside, jpath)
+        # Must not fall through to the delete below on failure: the
+        # aside is the only surviving copy here.
+        _rename_or_raise(fs, aside, jpath)
     if fs.exists(aside):
         fs.delete(aside, True)
     parent = jpath.getParent()
@@ -625,10 +638,12 @@ def write_stream_upsert(
         merged.write.mode("overwrite").parquet(tmp)
         # recover_upsert_target just deleted any aside, so both
         # renames have an absent destination (Hadoop rename onto an
-        # existing dir would nest instead of replacing).
+        # existing dir would nest instead of replacing) — and both
+        # must raise on a False return, or the second rename would
+        # nest the staging dir inside the still-live target.
         if fs.exists(jpath):
-            fs.rename(jpath, aside)
-        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+            _rename_or_raise(fs, jpath, aside)
+        _rename_or_raise(fs, jvm.org.apache.hadoop.fs.Path(tmp), jpath)
         if fs.exists(aside):
             fs.delete(aside, True)
 

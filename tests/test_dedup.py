@@ -167,14 +167,17 @@ def test_semdedup_matches_numpy_ground_truth(spark, sf_dir):
         for i, v in vecs.items()
     }
     ids = sorted(vecs)
+    # Same algebraic form as the query AND its oracle: normalize each
+    # vector first, then dot — dot/(|a||b|) rounds differently and
+    # could flip a threshold-boundary edge.
+    normed = {i: v / np.sqrt(float(v @ v)) for i, v in vecs.items()}
     edges = []
     for ai, a in enumerate(ids):
-        va, na = vecs[a], np.linalg.norm(vecs[a])
+        va = normed[a]
         for b in ids[ai + 1 :]:
             if bucket[a] != bucket[b]:
                 continue
-            cos = float(va @ vecs[b]) / (na * np.linalg.norm(vecs[b]))
-            if cos >= 0.35:
+            if float(va @ normed[b]) >= 0.35:
                 edges.append((a, b))
 
     parent: dict = {}

@@ -88,3 +88,29 @@ def test_upsert_explicit_tiebreak_cols(spark):
     # tiebreak on ver only: 8 wins even though "zzz" > "aaa" lexically
     got = {r.k: (r.ver, r.s) for r in upsert(target, updates, ["k"], ["ver"]).collect()}
     assert got == {1: (8, "aaa")}
+
+
+def test_rename_or_raise_surfaces_boolean_failure():
+    """Hadoop rename reports failure via a False return; the swap
+    protocol must raise there — recovery falling through to delete
+    would destroy the only surviving copy of the table."""
+    import pytest as _pytest
+
+    from hdfs_parquet_importer_spark.streaming.pipeline import (
+        _rename_or_raise,
+    )
+
+    class _FS:
+        def __init__(self, ok):
+            self.ok = ok
+            self.calls = []
+
+        def rename(self, src, dst):
+            self.calls.append((src, dst))
+            return self.ok
+
+    fs = _FS(ok=True)
+    _rename_or_raise(fs, "a", "b")
+    assert fs.calls == [("a", "b")]
+    with _pytest.raises(IOError):
+        _rename_or_raise(_FS(ok=False), "a", "b")

@@ -96,7 +96,12 @@ def _vary_payload(c, table: str, k: int):
 
 
 def generate(spark) -> str:
-    marker = os.path.join(OUT_DIR, "_COMPLETE")
+    # Versioned marker: v2 = per-copy payload re-keying (documents
+    # alphabet rotation / embeddings dimension rotation). A v1 build
+    # (unversioned marker) holds verbatim payload twins — exactly the
+    # duplicate-density caveat the re-keying removes — so it must NOT
+    # satisfy this check; regenerate over it.
+    marker = os.path.join(OUT_DIR, "_COMPLETE_v2")
     if os.path.exists(marker):
         return OUT_DIR
     for table, keys in SHIFT_COLS.items():
