@@ -392,7 +392,12 @@ FROM reach GROUP BY node
     "Scale: vectors are normalized ONCE scan-side so the quadratic "
     "pair stage folds a single dot product; the bucket self-join is "
     "an equi-join (shuffle on bucket); one grouped CC pass whose "
-    "per-task memory is bounded by per-bucket edge density.",
+    "per-task memory is bounded by per-bucket edge density. The "
+    "cluster COUNT is the load-bearing knob: per-bucket pair work is "
+    "quadratic, so production scales clusters with corpus size "
+    "(constant expected cluster size -> linear total pair work — more "
+    "SRP bits or kmeans k ~ n/size); this demo's fixed 8 buckets are "
+    "why its scaling-study ratio tracks pair growth, not row growth.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.graph import (
