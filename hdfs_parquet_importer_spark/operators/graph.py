@@ -398,13 +398,14 @@ def label_propagation(
     (node, label) after ``rounds``.
 
     Scale: each round is one edge-to-label equi-join, a (node, label)
-    partial-agg count, and a per-node WindowGroupLimit top-1; the
+    partial-agg count, and a per-node top-1 taken as a struct-MAX
+    aggregate over (cnt, -label) — lexicographic max = count DESC then
+    label ASC, the same deterministic winner as a sorted window but
+    with map-side partial aggregation and no per-partition sort; the
     label state (one row per node) is localCheckpoint-ed per round
     (pagerank convention), so lineage stays flat and the driver loop
     is ``rounds`` bounded jobs.
     """
-    from pyspark.sql import Window
-
     nbr = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nb")
     ).unionAll(
@@ -415,7 +416,6 @@ def label_propagation(
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "label")
     for _ in range(int(rounds)):
         msgs = nbr.join(
             lbl.withColumnRenamed("node", "nb"), "nb"
@@ -423,9 +423,15 @@ def label_propagation(
         lbl = (
             msgs.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt"), (-F.col("label")).alias("neg_label")
+                    )
+                ).alias("top")
+            )
+            .select("node", (-F.col("top.neg_label")).alias("label"))
             .localCheckpoint()
         )
     return lbl
