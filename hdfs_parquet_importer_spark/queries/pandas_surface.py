@@ -225,3 +225,70 @@ def arrow_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInArrow(_brand_stats_arrow, schema=out_schema)
         .orderBy("p_brand")
     )
+
+
+def _norm_batches(batches):
+    """mapInArrow body: per-batch L2 norms via Arrow kernels only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        t = pa.Table.from_batches([batch])
+        flat = t.column("embedding").combine_chunks()
+        sq = pc.list_flatten(
+            flat
+        )  # all elements, row order preserved
+        sq = pc.multiply(
+            pc.cast(sq, pa.float64()), pc.cast(sq, pa.float64())
+        )
+        # Re-window the flat squares back to per-row lists using the
+        # original offsets, then sum each list.
+        offsets = flat.offsets
+        sums = []
+        raw = sq.to_numpy(zero_copy_only=False)
+        off = offsets.to_numpy(zero_copy_only=False)
+        for i in range(len(off) - 1):
+            sums.append(float(raw[off[i]:off[i + 1]].sum()))
+        out = pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "l2_norm": pa.array(
+                    [s ** 0.5 for s in sums], pa.float64()
+                ),
+            }
+        )
+        yield from out.to_batches()
+
+
+@register(
+    "arrow_map_norms",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings ORDER BY vec_id
+""",
+    doc="mapInArrow surface (the Arrow-native twin of mapInPandas, "
+    "completing the UDF matrix: scalar pandas_udf / grouped "
+    "applyInPandas / grouped applyInArrow / mapInPandas / mapInArrow "
+    "/ UDTF / SQL UDF / applyInPandasWithState): a partition-local "
+    "batch iterator — RecordBatch in, RecordBatch out, zero shuffle, "
+    "zero pandas conversion — computing per-row embedding L2 norms "
+    "over the Arrow list offsets. numpy's pairwise summation and "
+    "DuckDB's sequential list_dot_product accumulate in different "
+    "orders (~1e-15 relative), so the continuous value is ROUND(6)-ed "
+    "on both sides — the registry's standard continuous-value "
+    "discipline. Scale: embarrassingly parallel scan-side projection; "
+    "the Python boundary costs one Arrow batch (de)serialization per "
+    "~10k rows.",
+)
+def arrow_map_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    out = emb.mapInArrow(
+        _norm_batches, schema="vec_id long, l2_norm double"
+    )
+    return out.select(
+        "vec_id", F.round("l2_norm", 6).alias("l2_norm")
+    ).orderBy("vec_id")
