@@ -222,3 +222,38 @@ def test_python_datasource_parallelism_and_determinism(spark):
         .collect()
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_cached_tmp_dataset_content_addressing(tmp_path):
+    """The cache key must change when the SOURCE file changes (stale
+    caches are never read), stay stable when it doesn't (build runs
+    once), and survive losing a build race (winner's copy kept)."""
+    import os
+
+    from hdfs_parquet_importer_spark.sources.io import cached_tmp_dataset
+
+    src = tmp_path / "src.txt"
+    src.write_text("v1")
+    builds = []
+
+    def build(staging: str) -> None:
+        builds.append(staging)
+        os.makedirs(staging, exist_ok=True)
+        with open(os.path.join(staging, "data"), "w") as fh:
+            fh.write("built")
+
+    d1 = cached_tmp_dataset("t_cache_test", [str(src)], build)
+    d2 = cached_tmp_dataset("t_cache_test", [str(src)], build)
+    assert d1 == d2 and len(builds) == 1  # second call = cache hit
+
+    # Change the source (content + mtime) -> new key, rebuild.
+    src.write_text("v2-longer")
+    d3 = cached_tmp_dataset("t_cache_test", [str(src)], build)
+    assert d3 != d1 and len(builds) == 2
+
+    # Rebuild after eviction: same key -> same final path, data back.
+    import shutil
+
+    shutil.rmtree(d3)
+    d4 = cached_tmp_dataset("t_cache_test", [str(src)], build)
+    assert d4 == d3 and os.path.exists(os.path.join(d4, "data"))
