@@ -156,9 +156,22 @@ def merge_pass(s: Column, m: Column) -> Column:
         ).otherwise(F.concat(acc, t, F.lit(SEP))),
     )
     probe = F.concat(F.lit(SEP), left, F.lit(SEP), right, F.lit(SEP))
+    # Well-formed = exactly one space AND two non-empty sides AND no
+    # frame separator inside the rule. Each extra predicate closes a
+    # silent-misapplication hole: a '.'-containing side would let the
+    # probe match ACROSS token boundaries (applying a different rule
+    # than written), and an empty side (' a' / 'a ') builds a probe
+    # like '..a.' that can never match — a dead rule that should be a
+    # loud one. All checked once per (word, rule), outside the fold.
     well_formed = (
-        F.length(m) - F.length(F.replace(m, F.lit(RULE_SEP), F.lit("")))
-        == 1
+        (
+            F.length(m)
+            - F.length(F.replace(m, F.lit(RULE_SEP), F.lit("")))
+            == 1
+        )
+        & ~m.contains(SEP)
+        & (left != "")
+        & (right != "")
     )
     return (
         F.when(
@@ -259,10 +272,15 @@ def encode_framed(word: Column, merges: Column) -> Column:
 
 
 def encode_tokens(word: Column, merges: Column) -> Column:
-    """BPE token array for one word (unframe + split)."""
+    """BPE token array for one word (unframe + split). The empty word
+    encodes to an empty ARRAY (filtered split), agreeing with
+    :func:`token_count`'s 0 — a bare split of the unframed '' would
+    yield [''] and disagree by one."""
     framed = encode_framed(word, merges)
     inner = F.substring(framed, 2, F.length(framed) - 2)
-    return F.split(inner, "[" + SEP + "]")
+    return F.filter(
+        F.split(inner, "[" + SEP + "]"), lambda t: t != F.lit("")
+    )
 
 
 def token_count(word: Column, merges: Column) -> Column:

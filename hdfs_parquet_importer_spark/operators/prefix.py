@@ -68,11 +68,34 @@ def prefix_sums(
     for quota/domain workloads where groups are a dimension), and at
     an unbounded group count the broadcast would become a shuffled
     equi-join on (group, bucket) — same plan shape, no new machinery.
+
+    NULL handling: a NULL bucket (NULL order key) maps to a sentinel
+    that sorts FIRST, and the group-key join is null-safe — so NULL
+    keys behave exactly like the naive window's default ASC
+    NULLS-FIRST ordering instead of silently dropping rows while
+    still inflating later offsets.
+
+    INPUT MUST BE DETERMINISTIC: ``df``'s lineage is evaluated through
+    TWO independent branches (the local window and the bucket-total
+    aggregate) that the final equi-join pairs back up. A
+    nondeterministic input (sample(), rand(), a float aggregate whose
+    partial-sum order varies) can evaluate differently per branch,
+    yielding wrong offsets or dropped rows — ``localCheckpoint`` such
+    inputs first (see queries/stats.py and queries/relational.py call
+    sites).
     """
-    assert len(value_cols) == len(out_cols) and value_cols
+    if not value_cols or len(value_cols) != len(out_cols):
+        raise ValueError(
+            f"value_cols/out_cols must be equal-length and non-empty: "
+            f"{list(value_cols)!r} vs {list(out_cols)!r}"
+        )
     gcols = list(group_cols)
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    b = df.withColumn(_BUCKET, bucket.cast("long"))
+    # Long.MIN sentinel: sorts before every real bucket id, exactly
+    # where the naive window's NULLS FIRST puts a NULL order key.
+    b = df.withColumn(
+        _BUCKET, F.coalesce(bucket.cast("long"), F.lit(-(2**63)))
+    )
     local_w = (
         Window.partitionBy(*gcols, _BUCKET)
         .orderBy(*order_cols)
@@ -102,7 +125,23 @@ def prefix_sums(
         bases.append(f"{_BASE}{i}")
     base_df = totals.select(*gcols, _BUCKET, *bases)
 
-    out = b.join(F.broadcast(base_df), [*gcols, _BUCKET])
+    if gcols:
+        # Null-safe on the group keys (a NULL group is a real group,
+        # matching groupBy semantics); the bucket key is sentinel-
+        # coalesced above so plain equality is total for it.
+        right = base_df.select(
+            *[F.col(g).alias(f"__psr_{g}") for g in gcols],
+            F.col(_BUCKET).alias("__psr_bucket"),
+            *bases,
+        )
+        cond = F.col(_BUCKET) == F.col("__psr_bucket")
+        for g in gcols:
+            cond = cond & F.col(g).eqNullSafe(F.col(f"__psr_{g}"))
+        out = b.join(F.broadcast(right), cond).drop(
+            "__psr_bucket", *[f"__psr_{g}" for g in gcols]
+        )
+    else:
+        out = b.join(F.broadcast(base_df), [_BUCKET])
     for i, (v, oc) in enumerate(zip(value_cols, out_cols)):
         out = out.withColumn(
             oc, F.col(f"{_BASE}{i}") + F.col(locals_[i]) - F.col(v)
@@ -192,17 +231,34 @@ def banded_range_agg(
     ``window_spec -> [aliased Column, ...]`` so any window aggregate
     (count/sum/avg/min/max) rides the same machinery. ``width`` must
     be a whole number (PySpark ``rangeBetween`` boundaries are longs);
-    scale fractional units into integers upstream.
+    scale fractional units into integers upstream. Rows with a NULL
+    order value are kept (sentinel cell, frame = the other NULL rows),
+    matching the naive window's NULL-group semantics.
     """
     if not float(width).is_integer():
         raise ValueError(
             f"width must be a whole number (rangeBetween takes long "
             f"boundaries); scale the order column instead: {width!r}"
         )
-    home = F.floor(F.col(order_col) / F.lit(float(width))).cast("long")
+    # NULL order values: the naive unpartitioned RANGE window keeps
+    # them (their frame is the group of NULL-ordered rows), so they
+    # must not be silently dropped here. They get their own sentinel
+    # cell, unmirrored (no real frame can reach a NULL value, and a
+    # NULL row's frame contains exactly the other NULL rows — which is
+    # what a range window over an all-NULL-ordered partition yields).
+    home = F.coalesce(
+        F.floor(F.col(order_col) / F.lit(float(width))).cast("long"),
+        F.lit(-(2**63)),
+    )
     dup = df.withColumn("__brhome", home).withColumn(
         "__brcell",
-        F.explode(F.array(F.col("__brhome"), F.col("__brhome") + 1)),
+        F.explode(
+            F.when(
+                F.col(order_col).isNull(), F.array(F.col("__brhome"))
+            ).otherwise(
+                F.array(F.col("__brhome"), F.col("__brhome") + 1)
+            )
+        ),
     )
     w = (
         Window.partitionBy("__brcell")

@@ -239,3 +239,30 @@ def test_learn_merges_iterative_exhausts_safely(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     got = bpe.learn_merges_iterative(docs, "text", rounds=3).collect()[0].merges
     assert got == []
+
+
+@pytest.mark.parametrize(
+    "bad", ["ab", "a b c", " a", "a ", "a. b", "a .b"]
+)
+def test_malformed_rule_variants_all_raise(spark, bad):
+    # Exactly-one-space alone is not enough: empty sides (' a', 'a ')
+    # would silently no-op, and a SEP inside a side ('a. b') would let
+    # the probe match ACROSS token boundaries and apply a different
+    # rule than written. All must raise.
+    with pytest.raises(Exception, match="BPE merge rule"):
+        _encode(spark, "abc", [bad])
+
+
+def test_encode_tokens_empty_word_agrees_with_token_count(spark):
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators import bpe
+
+    df = spark.createDataFrame([("",), ("ab",)], ["w"]).withColumn(
+        "m", F.array(F.lit("a b"))
+    )
+    out = df.select(
+        F.size(bpe.encode_tokens(F.col("w"), F.col("m"))).alias("sz"),
+        bpe.token_count(F.col("w"), F.col("m")).alias("tc"),
+    ).collect()
+    assert all(r.sz == r.tc for r in out)

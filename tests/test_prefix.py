@@ -269,3 +269,66 @@ def test_grouped_prefix_sums_windows_are_group_partitioned(spark):
     assert specs, plan
     for s in specs:
         assert "g#" in s, (s, plan)
+
+
+def test_prefix_sums_null_keys_match_naive_nulls_first(spark):
+    """NULL order keys / NULL group keys must behave exactly like the
+    naive window's ASC NULLS FIRST — not be silently dropped while
+    inflating later offsets."""
+    from pyspark.sql import Window
+
+    rows = [
+        (None, None, 5),
+        ("a", 1, 10),
+        ("a", 2, 20),
+        ("a", None, 7),
+        ("b", 3, 30),
+        (None, 4, 2),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    for gcols in ([], ["g"]):
+        got = prefix_sums(
+            df,
+            ["k"],
+            ["v"],
+            bucket=F.floor(F.col("k") / 2),
+            out_cols=["off"],
+            group_cols=gcols,
+        )
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        naive = df.withColumn(
+            "off", F.coalesce(F.sum("v").over(w), F.lit(0))
+        )
+        key = lambda r: (r.g or "", r.k if r.k is not None else -1, r.v, r.off)
+        assert sorted(map(key, got.collect())) == sorted(
+            map(key, naive.collect())
+        )
+
+
+def test_banded_range_agg_keeps_null_ordered_rows(spark):
+    """Rows with a NULL order value are kept with the naive window's
+    NULL-group frame (agg over the other NULL rows)."""
+    from pyspark.sql import Window
+
+    d = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 12.0), (4, None), (5, 13.0)],
+        "id int, v double",
+    )
+
+    def aggs(w):
+        return [
+            F.count(F.lit(1)).over(w).alias("cnt"),
+            F.sum("v").over(w).alias("s"),
+        ]
+
+    got = banded_range_agg(d, "v", 5, aggs)
+    w = Window.orderBy("v").rangeBetween(-5, Window.currentRow)
+    naive = d.select("*", *aggs(w))
+    key = lambda r: (r.id, r.v, r.cnt, r.s)
+    assert sorted(map(key, got.collect())) == sorted(
+        map(key, naive.collect())
+    )
