@@ -34,13 +34,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # pragma: no cover - PIL is absent in this container
-    import PIL.Image  # noqa: F401
-
-    _FAKE_DECODE = False
-except ImportError:
-    _FAKE_DECODE = True
-
 # Payload header for the synthetic corpus: magic, kind, width, height.
 # Kept as (format, size) primitives — struct.Struct objects can't be
 # pickled into UDF closures.
@@ -313,8 +306,14 @@ def decode_image(df: DataFrame) -> DataFrame:
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
-                if not _FAKE_DECODE:  # pragma: no cover
-                    raise NotImplementedError("real codec path needs PIL")
+                # ALWAYS the deterministic header-parser stub — never
+                # branch on PIL availability: a real deployment would
+                # swap this body for PIL.Image.open, but silently
+                # switching decoders per-environment would make query
+                # values machine-dependent (and the previous guard had
+                # the polarity inverted — it raised exactly when PIL
+                # WAS importable, hard-failing any cluster where some
+                # other dep pulled Pillow in).
                 if b[:4] == _MAGIC:
                     _, _, w, h = struct.unpack(_HDR_FMT, b[:_HDR_SIZE])
                     body = b[_HDR_SIZE:]
@@ -439,17 +438,27 @@ def decode_media(df: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload)
+                # Degenerate-but-valid assets (0x0 PNG, zero-length WAV
+                # data chunk) must yield a row, not a task-killing
+                # ValueError from min()/max() on an empty sequence.
                 if b[:8] == _PNG_SIG:
                     w, h, px = decode_png_gray(b)
                     rows.append(
-                        (mid, "png", w, h, len(px), sum(px), min(px), max(px))
+                        (mid, "png", w, h, len(px), sum(px),
+                         min(px) if px else 0, max(px) if px else 0)
                     )
                 elif b[:4] == b"RIFF":
+                    # NOTE: for audio the (width, height) slots carry
+                    # (sample_rate, 0) — DECODED_MEDIA_SCHEMA is one
+                    # shape for all kinds; filter on kind before
+                    # interpreting the dimension columns.
                     rate, samples = decode_wav_pcm16(b)
                     rows.append(
                         (
                             mid, "wav", rate, 0, len(samples),
-                            sum(samples), min(samples), max(samples),
+                            sum(samples),
+                            min(samples) if samples else 0,
+                            max(samples) if samples else 0,
                         )
                     )
                 elif b[:4] == _MAGIC:
@@ -458,7 +467,9 @@ def decode_media(df: DataFrame) -> DataFrame:
                     rows.append(
                         (
                             mid, "sgmm", w, h, len(body),
-                            sum(body), min(body), max(body),
+                            sum(body),
+                            min(body) if body else 0,
+                            max(body) if body else 0,
                         )
                     )
                 else:

@@ -70,23 +70,60 @@ def brute_force_topk(
 
     Ties broken deterministically by candidate id ascending.
     """
-    from pyspark.sql import Window
-
     scored = ensure_parallelism(vectors).join(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(query_vec_col), F.col(vec_col)).alias("cos"),
     )
-    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
-    partial_w = Window.partitionBy(query_id_col, salt).orderBy(
-        F.desc("cos"), F.asc(id_col)
+    return salted_topk(
+        scored,
+        query_id_col,
+        id_col,
+        k,
+        [F.desc("cos"), F.asc(id_col)],
+        salt_buckets=salt_buckets,
     )
-    final_w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+
+
+def _vec_dim(df: DataFrame, col: str) -> int:
+    """Vector dimensionality from the first row — loud on empty input
+    (``first()`` returns None there, and the old inline form crashed
+    with an opaque 'NoneType is not subscriptable')."""
+    row = df.select(col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer vector dim: input has no rows / NULL {col!r}"
+        )
+    return len(row[0])
+
+
+def salted_topk(
+    scored: DataFrame,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+    order_cols,
+    salt_buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase per-query top-k: partial top-k within
+    ``pmod(id, salt_buckets)`` buckets (bounded window partitions),
+    then final top-k over the ``k * salt_buckets`` survivors — no
+    reducer ever holds one query's full candidate set. Shared by every
+    ANN ranker here; ``order_cols`` must end with a unique tiebreak
+    (the id) so both phases are deterministic. Candidate ids must be
+    numeric (the salt is a modulus) — true for this engine's tables;
+    hash non-numeric ids upstream."""
+    from pyspark.sql import Window
+
+    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
+    partial_w = Window.partitionBy(query_id_col, salt).orderBy(*order_cols)
+    final_w = Window.partitionBy(query_id_col).orderBy(*order_cols)
     return (
         scored.withColumn("_prn", F.row_number().over(partial_w))
         .filter(F.col("_prn") <= k)
-        .withColumn("rank", F.row_number().over(final_w))
-        .filter(F.col("rank") <= k)
+        .withColumn(rank_col, F.row_number().over(final_w))
+        .filter(F.col(rank_col) <= k)
         .drop("_prn")
     )
 
@@ -137,9 +174,16 @@ def lsh_topk(
     Deduplication of candidates found by several tables happens via
     max-per-pair aggregation before ranking.
     """
-    from pyspark.sql import Window
-
-    dim = len(queries.select(query_vec_col).first()[0])
+    # Hash dimension comes from the CORPUS (it defines the space) and
+    # the query side must match: on a silent mismatch zip_with would
+    # null-pad every dot product, every corpus vector would hash to
+    # bucket 0, and the job would succeed with garbage neighbors.
+    dim = _vec_dim(vectors, vec_col)
+    qdim = _vec_dim(queries, query_vec_col)
+    if qdim != dim:
+        raise ValueError(
+            f"query dim {qdim} != corpus dim {dim}: different encoders?"
+        )
 
     def banded(df: DataFrame, id_: str, vec: str, out: str) -> DataFrame:
         tables = F.array(*[
@@ -168,13 +212,17 @@ def lsh_topk(
         query_id_col, query_vec_col, "tbl", F.explode(probes).alias("bucket")
     )
 
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
+    deduped = (
         cand.join(F.broadcast(q), ["tbl", "bucket"])
         .groupBy(query_id_col, id_col)
         .agg(F.max(cosine(F.col(query_vec_col), F.col(vec_col))).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    )
+    # Two-phase salted ranking: with multiprobe the union of probed
+    # buckets can be a large fraction of the corpus per query, and a
+    # single per-query window is exactly the one-reducer funnel this
+    # module salts against everywhere else.
+    return salted_topk(
+        deduped, query_id_col, id_col, k, [F.desc("cos"), F.asc(id_col)]
     )
 
 
@@ -214,7 +262,6 @@ def ivf_topk(
     adapts to the data's cluster structure, which is what makes IVF
     the scale path for clustered embedding corpora.
     """
-    from pyspark.sql import Window
 
     from hdfs_parquet_importer_spark.operators.kmeans import (
         _assign_expr,
@@ -250,17 +297,13 @@ def ivf_topk(
         F.col(id_col),
         cosine(F.col(query_vec_col), F.col("embedding")).alias("cos"),
     )
-    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
-    partial_w = Window.partitionBy(query_id_col, salt).orderBy(
-        F.desc("cos"), F.asc(id_col)
-    )
-    final_w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        scored.withColumn("_prn", F.row_number().over(partial_w))
-        .filter(F.col("_prn") <= k)
-        .withColumn("rank", F.row_number().over(final_w))
-        .filter(F.col("rank") <= k)
-        .drop("_prn")
+    return salted_topk(
+        scored,
+        query_id_col,
+        id_col,
+        k,
+        [F.desc("cos"), F.asc(id_col)],
+        salt_buckets=salt_buckets,
     )
 
 
@@ -283,7 +326,7 @@ def build_lsh_index(
     probed buckets is exact cosine. This is the batch analogue of an
     inverted-list (IVF) ANN index, built with nothing but partitioned
     parquet."""
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _vec_dim(vectors, vec_col)
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("tbl"),
@@ -325,24 +368,39 @@ def query_lsh_index(
     (PartitionFilters, zero IO for unprobed buckets). Candidates from
     all probed buckets are deduped per (query, id) then ranked by
     exact cosine."""
-    from pyspark.sql import Window
-
-    dim = len(queries.select(query_vec_col).first()[0])
-    q_rows = queries.collect()  # queries are small by definition
+    dim = _vec_dim(queries, query_vec_col)
+    # Home buckets are computed through the SAME lsh_bucket Spark
+    # expression the index writer used — a driver-side Python rehash
+    # would have to stay bit-identical with it forever or probes
+    # silently miss (recall collapses with no error). Queries are
+    # small by definition, so routing them through one tiny Spark job
+    # costs nothing.
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(
+                F.col(query_vec_col), hyperplanes(dim, n_planes, seed + t)
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ])
+    q_rows = (
+        queries.select(
+            query_id_col, query_vec_col, F.explode(tables).alias("tb")
+        )
+        .select(query_id_col, query_vec_col, "tb.tbl", "tb.bucket")
+        .collect()
+    )
     probes: set[tuple[int, int]] = set()
     qb = []
     for r in q_rows:
-        vec = list(r[query_vec_col])
-        for t in range(n_tables):
-            planes = hyperplanes(dim, n_planes, seed + t)
-            b = 0
-            for j, plane in enumerate(planes):
-                if sum(float(x) * float(p) for x, p in zip(vec, plane)) >= 0:
-                    b |= 1 << j
-            buckets = [b] + ([b ^ (1 << j) for j in range(n_planes)] if multiprobe else [])
-            for bb in buckets:
-                probes.add((t, bb))
-            qb.append((r[query_id_col], vec, t, buckets))
+        b = r["bucket"]
+        buckets = [b] + (
+            [b ^ (1 << j) for j in range(n_planes)] if multiprobe else []
+        )
+        for bb in buckets:
+            probes.add((r["tbl"], bb))
+        qb.append((r[query_id_col], list(r[query_vec_col]), r["tbl"], buckets))
 
     index = spark.read.parquet(path)
     probe_pred = F.struct(F.col("tbl"), F.col("bucket")).isin(
@@ -354,13 +412,13 @@ def query_lsh_index(
         [(qid, vec, t, b) for qid, vec, t, bs in qb for b in bs],
         f"{query_id_col} long, {query_vec_col} array<double>, tbl int, bucket int",
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
+    deduped = (
         cand.join(F.broadcast(probe_df), ["tbl", "bucket"])
         .groupBy(query_id_col, id_col)
         .agg(F.max(cosine(F.col(query_vec_col), F.col(vec_col))).alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    )
+    return salted_topk(
+        deduped, query_id_col, id_col, k, [F.desc("cos"), F.asc(id_col)]
     )
 
 
@@ -390,7 +448,7 @@ def pq_train_encode(
         kmeans_fit,
     )
 
-    dim = len(vectors.select(vec_col).first()[0])
+    dim = _vec_dim(vectors, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
@@ -475,26 +533,27 @@ def pq_topk(
         .groupBy(query_id_col, id_col)
         .agg(F.sum("d2").alias("adc_d2"))
     )
-    salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
-    partial_w = Window.partitionBy(query_id_col, salt).orderBy(
-        F.asc("adc_d2"), F.asc(id_col)
-    )
-    final_w = Window.partitionBy(query_id_col).orderBy(
-        F.asc("adc_d2"), F.asc(id_col)
-    )
-    cand = (
-        adc.withColumn("_prn", F.row_number().over(partial_w))
-        .filter(F.col("_prn") <= refine)
-        .withColumn("_rn", F.row_number().over(final_w))
-        .filter(F.col("_rn") <= refine)
-        .select(query_id_col, id_col)
-    )
+    cand = salted_topk(
+        adc,
+        query_id_col,
+        id_col,
+        refine,
+        [F.asc("adc_d2"), F.asc(id_col)],
+        salt_buckets=salt_buckets,
+        rank_col="_rn",
+    ).select(query_id_col, id_col)
 
+    # cand is <= refine rows per query — BROADCAST it so the exact
+    # rerank reads the corpus with a hash-lookup join instead of
+    # shuffling every corpus row to sort-merge against a few thousand
+    # candidate ids. The rerank window partition is bounded by
+    # `refine`, so a plain per-query window is safe here.
     rerank_w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos"), F.asc(id_col)
     )
     return (
-        cand.join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        F.broadcast(cand)
+        .join(vectors.select(F.col(id_col), F.col(vec_col)), id_col)
         .join(F.broadcast(queries), query_id_col)
         .select(
             query_id_col,
