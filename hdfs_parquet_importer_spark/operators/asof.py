@@ -67,10 +67,22 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    if right_ts in right_payload:
+        # Would create a second struct field named "ts" and make
+        # `_match.ts` ambiguous — the matched timestamp is already
+        # emitted as {prefix}ts.
+        raise ValueError(
+            f"right_ts {right_ts!r} must not repeat in right_payload "
+            f"(the matched timestamp is emitted as {prefix}ts)"
+        )
     payload = F.struct(
         F.col(right_ts).alias("ts"), *[F.col(c).alias(c) for c in right_payload]
     )
-    right_tagged = right.select(
+    # A right row with a NULL timestamp can never legitimately match
+    # (every comparison against it is undefined); unfiltered it would
+    # sort to one end of the scan and its payload would be carried
+    # into real rows.
+    right_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(on).alias(on),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_right"),
@@ -92,12 +104,22 @@ def asof_join(
     # inclusive (right_ts == left_ts counts) in either direction.
     # Forward = the same carry scanned from the high end: descending
     # timestamp order turns last-non-null-before into
-    # first-non-null-after.
+    # first-non-null-after. NULL left timestamps sort FIRST in BOTH
+    # scans (nulls_first on the desc scan too) so they precede every
+    # right row and correctly match nothing. Among right rows tied on
+    # (key, ts), the greatest payload struct wins in both directions —
+    # an arbitrary but DETERMINISTIC rule (shuffle order must never
+    # pick the winner: the oracle replay would flake); payload columns
+    # must therefore be orderable types (no maps).
     def carry(d: str):
-        ts_order = F.col("_ts").asc() if d == "backward" else F.col("_ts").desc()
+        ts_order = (
+            F.col("_ts").asc_nulls_first()
+            if d == "backward"
+            else F.col("_ts").desc_nulls_first()
+        )
         w = (
             Window.partitionBy(on)
-            .orderBy(ts_order, F.col("_is_right").desc())
+            .orderBy(ts_order, F.col("_is_right").desc(), F.col("_payload").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return F.last("_payload", ignorenulls=True).over(w)
@@ -108,8 +130,11 @@ def asof_join(
         carried = unioned.withColumn("_mb", carry("backward")).withColumn(
             "_mf", carry("forward")
         )
-        gap_b = F.col("_ts").cast("long") - F.col("_mb.ts").cast("long")
-        gap_f = F.col("_mf.ts").cast("long") - F.col("_ts").cast("long")
+        # cast("double") = epoch seconds WITH fraction: a long cast
+        # truncates to whole seconds, which can pick the wrong side on
+        # sub-second data (gap 0.9s rounds to 0, gap 0.1s rounds to 1).
+        gap_b = F.col("_ts").cast("double") - F.col("_mb.ts").cast("double")
+        gap_f = F.col("_mf.ts").cast("double") - F.col("_ts").cast("double")
         carried = carried.withColumn(
             "_match",
             F.when(F.col("_mb").isNull(), F.col("_mf"))
@@ -121,7 +146,7 @@ def asof_join(
             # The chosen match is the global nearest: out-of-tolerance
             # here implies no right row is in tolerance.
             adist = F.abs(
-                F.col("_ts").cast("long") - F.col("_match.ts").cast("long")
+                F.col("_ts").cast("double") - F.col("_match.ts").cast("double")
             )
             carried = carried.withColumn(
                 "_match",
@@ -130,7 +155,7 @@ def asof_join(
     else:
         carried = unioned.withColumn("_match", carry(direction))
         if tolerance_sec is not None:
-            gap = F.col("_ts").cast("long") - F.col("_match.ts").cast("long")
+            gap = F.col("_ts").cast("double") - F.col("_match.ts").cast("double")
             if direction == "forward":
                 gap = -gap
             carried = carried.withColumn(

@@ -141,6 +141,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
                         num_perm: int = 32, bands: int = 8) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing >=1 LSH band bucket."""
+    if num_perm % bands:
+        # Silent truncation would band only the first
+        # bands*(num_perm//bands) signature columns and quietly shift
+        # the recall/precision curve.
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by bands={bands}"
+        )
     rows_per_band = num_perm // bands
     band_structs = F.array(*[
         F.struct(
@@ -172,15 +179,25 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates; the verify join re-reads only candidate documents'
     shingle sets (a broadcast-sized set in practice; a key-partitioned
     join otherwise).
+
+    SCOPE: documents with fewer than ``shingle_n`` tokens have NO
+    shingles (same convention as the DuckDB oracle twins' shingle
+    replay), so they are never candidates — even verbatim duplicates.
+    Route degenerate-short docs through exact dedup (``dedup_exact``
+    normalizes whole texts) rather than lowering ``shingle_n``.
     """
     df = ensure_parallelism(df)
     sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
     cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    # Materialized once: the verify join reads this table TWICE (id_a
+    # and id_b sides) and Spark does not dedupe common subplans — the
+    # pure-lazy form re-tokenizes and re-shingles the corpus once per
+    # side (same contract as tfidf_weights' tf checkpoint).
     sets_df = df.select(
         F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_t")
     ).select(
         "_sid", shingles_of_tokens(F.col("_t"), shingle_n).alias("_sset")
-    )
+    ).localCheckpoint(eager=True)
     verified = (
         cand.join(sets_df.withColumnRenamed("_sid", "id_a")
                          .withColumnRenamed("_sset", "set_a"), "id_a")
@@ -279,10 +296,19 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     :func:`simhash_fingerprints`) to reuse fingerprints across several
     consumers — fingerprinting dominates the cost, so a caller that
     also needs the fingerprints (e.g. a verification harness) should
-    compute them once and ``localCheckpoint``.
+    compute them once and ``localCheckpoint``. A precomputed ``fp``
+    must carry exactly the ``simhash_fingerprints`` schema — columns
+    named ``id`` and ``fp`` (``df``/``id_col``/``text_col`` are then
+    ignored); anything else is rejected up front rather than failing
+    deep in the banding plan.
     """
     if fp is None:
         fp = simhash_fingerprints(df, id_col, text_col)
+    elif not {"id", "fp"} <= set(fp.columns):
+        raise ValueError(
+            f"precomputed fp must have columns ('id', 'fp') — the "
+            f"simhash_fingerprints schema — got {fp.columns}"
+        )
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),

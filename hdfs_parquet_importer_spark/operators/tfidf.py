@@ -90,6 +90,12 @@ def cosine_pairs(weights: DataFrame) -> DataFrame:
     with exact cosine over the tf-idf vectors. One term-keyed
     equi-join + one (id_a, id_b) groupBy — both hash-partitioned,
     both partial-aggregated map-side."""
+    # Zero weights (idf = ln(N/df) = 0 when max_df_frac >= 1 keeps
+    # df == N terms) contribute nothing to dots or norms but inflate
+    # the term join — and a doc made ONLY of such terms has norm 0,
+    # which divides by zero below (an error under ANSI mode). Dropping
+    # them changes no surviving cosine and removes the 0/0 row.
+    weights = weights.filter(F.col("w") != 0)
     norms = weights.groupBy("id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )

@@ -210,3 +210,82 @@ def test_nearest_tolerance(spark):
     }
     assert out[1].asof_rid == 9
     assert out[2].asof_rid is None
+
+
+def test_null_right_ts_never_matches(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01T08:00:00"), lid=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=None, rid=99),
+            Row(k=1, ts=_ts("2024-01-01T09:00:00"), rid=7),
+        ],
+        "k int, ts timestamp, rid int",
+    )
+    # backward: no right row at or before 08:00 -> no match (the
+    # null-ts row must NOT be carried in).
+    out = asof_join(left, right, "k", "ts", "ts", ["rid"]).collect()
+    assert out[0].asof_rid is None
+    # forward: 09:00 matches; the null row is still invisible.
+    out_f = asof_join(
+        left, right, "k", "ts", "ts", ["rid"], direction="forward"
+    ).collect()
+    assert out_f[0].asof_rid == 7
+
+
+def test_null_left_ts_matches_nothing_both_directions(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=None, lid=1)], "k int, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01T09:00:00"), rid=7)]
+    )
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(
+            left, right, "k", "ts", "ts", ["rid"], direction=d
+        ).collect()
+        assert len(out) == 1 and out[0].asof_rid is None, d
+
+
+def test_duplicate_right_ts_deterministic_winner(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01T10:00:00"), lid=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T09:00:00"), rid=7),
+            Row(k=1, ts=_ts("2024-01-01T09:00:00"), rid=8),
+        ]
+    ).repartition(8)
+    # Greatest payload struct wins, identically on every run.
+    for _ in range(3):
+        out = asof_join(left, right, "k", "ts", "ts", ["rid"]).collect()
+        assert out[0].asof_rid == 8
+
+
+def test_nearest_subsecond_gaps(spark):
+    # true gaps: backward 0.9s, forward 0.1s — a whole-second cast
+    # would compute 0 vs 1 and pick the WRONG (backward) side.
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01T10:00:10.900000"), lid=1)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T10:00:10.000000"), rid=7),
+            Row(k=1, ts=_ts("2024-01-01T10:00:11.000000"), rid=8),
+        ]
+    )
+    out = asof_join(
+        left, right, "k", "ts", "ts", ["rid"], direction="nearest"
+    ).collect()
+    assert out[0].asof_rid == 8
+
+
+def test_right_ts_in_payload_rejected(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T10:00:00"))])
+    right = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T09:00:00"))])
+    with _pytest.raises(ValueError, match="must not repeat"):
+        asof_join(left, right, "k", "ts", "ts", ["ts"])
