@@ -48,7 +48,13 @@ def plan_compaction(
     n = total = small = 0
     while it.hasNext():
         st = it.next()
-        if not st.getPath().getName().endswith(".parquet"):
+        name = st.getPath().getName()
+        # Count every DATA file, not just *.parquet — some writers
+        # emit extension-less part files that spark.read.parquet reads
+        # fine; a suffix-only count could report total_bytes=0 and
+        # size the rewrite to ONE giant output file. Metadata
+        # (_SUCCESS, _committed, .crc) is excluded by prefix.
+        if name.startswith(("_", ".")):
             continue
         n += 1
         total += st.getLen()
@@ -75,9 +81,39 @@ def compact_parquet(
     input-size heuristic (output size additionally depends on
     compression ratio — same convention as Delta/Iceberg OPTIMIZE).
     """
+    import os
+
+    if os.path.abspath(src.rstrip("/")) == os.path.abspath(dest.rstrip("/")):
+        # Spark refuses to overwrite a path it is reading (and a path
+        # alias that slipped past its check would delete the input
+        # before the read) — fail before any work is spent. In-place
+        # compaction = compact to a sibling dir, then swap.
+        raise ValueError(
+            f"src and dest must differ (got {src!r}); compact to a "
+            "sibling directory and rename"
+        )
     plan = plan_compaction(spark, src, target_bytes)
     df = spark.read.parquet(src).repartition(plan.n_output_files)
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
-    df.write.mode("overwrite").parquet(dest)
+    # Preserve Hive partitioning: flattening dt=.../ directories would
+    # silently break downstream partition pruning and per-partition
+    # overwrite contracts. Partition columns are recovered from the
+    # source directory names (key=value segments).
+    part_cols: list[str] = []
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    if it.hasNext():
+        rel = it.next().getPath().toString()[len(jpath.toString()):]
+        part_cols = [
+            seg.split("=", 1)[0]
+            for seg in rel.strip("/").split("/")[:-1]
+            if "=" in seg
+        ]
+    writer = df.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(dest)
     return plan

@@ -62,7 +62,11 @@ def scd2_build(
     for a in attrs:
         neq = ~F.col(a).eqNullSafe(F.lag(a).over(w))
         changed = neq if changed is None else (changed | neq)
-    first = F.lag(ts).over(w).isNull()
+    # First row = position 1, NOT lag(ts).isNull(): a predecessor with
+    # a NULL timestamp (bad/late data sorts first under asc) would
+    # make its successor look like a first row too, disabling change
+    # collapse and minting spurious null-valid_from versions.
+    first = F.row_number().over(w) == 1
 
     kept = log.withColumn("_chg", first | changed).filter(F.col("_chg"))
 
@@ -98,8 +102,11 @@ def snapshot_as_of(
     deliberately beats the window/row_number formulation, which must
     shuffle and sort EVERY log row.  Struct comparison is
     lexicographic by field, so ordering is (ts, tiebreak) and the
-    remaining fields are dead tiebreak weight never reached when
-    ``tiebreak`` is unique.
+    remaining fields are tiebreak weight that comparison never reaches
+    when ``tiebreak`` is unique — but analysis-time orderability IS
+    required of every packed field, so a log with map-typed attribute
+    columns cannot ride this path (project maps out, or fall back to
+    the window formulation).
     """
     others = [c for c in log.columns if c not in (key, ts)]
     if tiebreak:

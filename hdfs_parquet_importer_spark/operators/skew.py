@@ -66,8 +66,17 @@ def salted_join(
             "joins. Use inner/left/semi/anti, swap the sides, or rely on "
             "AQE skew-join splitting."
         )
+    # Salt from a per-row counter, NOT a hash of the row's columns: a
+    # hot key whose rows are IDENTICAL (duplicate log/CDC records —
+    # the common skew case) hashes every copy to the same salt, which
+    # re-serializes the hot key through one reducer while still paying
+    # the n_salts-fold small-side replication. The counter spreads
+    # duplicates round-robin; routing nondeterminism across retries is
+    # harmless (join output is salt-independent). Also avoids
+    # xxhash64's MapType restriction.
     big_salted = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+        _SALT,
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
@@ -97,8 +106,14 @@ def salted_agg(
     touching only |keys| x n_salts rows.
     """
     partial = (
+        # Counter salt, not row-hash: see salted_join — duplicate rows
+        # of a hot key must spread, and partials are SUM-mergeable so
+        # routing may be nondeterministic.
         df.withColumn(
-            _SALT, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+            _SALT,
+            F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast(
+                "int"
+            ),
         )
         .groupBy(group_col, _SALT)
         .agg(*[expr.alias(name) for name, expr in agg_cols.items()])

@@ -44,7 +44,10 @@ def upsert(
     column, descending — arbitrary but DETERMINISTIC, so repeated runs
     and retried tasks produce identical output; a row_number over a
     window ordered only by priority would pick whichever duplicate a
-    given shuffle happened to order first.
+    given shuffle happened to order first. The default therefore
+    requires every non-key column to be ORDERABLE (no maps) and makes
+    the full row width the shuffle's sort key — pass an explicit
+    narrow ``tiebreak_cols`` for wide or map-bearing schemas.
     """
     tagged = target.withColumn(_PRIO, F.lit(0)).unionByName(
         updates.withColumn(_PRIO, F.lit(1))

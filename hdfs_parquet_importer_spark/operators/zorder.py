@@ -39,6 +39,18 @@ def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     no signal that the dimension is dead (ADVICE r4). A constant
     column carries no layout information; drop it from ``cols``.
     """
+    import math
+
+    # NaN must be checked explicitly: `NaN <= NaN` is False, so a NaN
+    # bound would sail past the hi<=lo guard, make span NaN, and the
+    # least(greatest(NaN,0),1) clip would send EVERY row to the top
+    # cell — the exact silent dead dimension this guard exists for.
+    if math.isnan(float(hi)) or math.isnan(float(lo)):
+        raise ValueError(
+            f"NaN quantize bound: lo={lo!r} hi={hi!r}; filter NaNs from "
+            "the indexed column (Spark's max() returns NaN when any "
+            "row is NaN)"
+        )
     if float(hi) <= float(lo):
         raise ValueError(
             f"degenerate quantize bounds: hi ({hi!r}) <= lo ({lo!r}); "
@@ -84,6 +96,14 @@ def zorder_by(
     this into table statistics; one extra columnar scan of just the
     indexed columns is the worst case here).
     """
+    if "_z" in df.columns:
+        # withColumn would silently overwrite it and zorder_write's
+        # drop("_z") would then delete the USER's column from the
+        # written output.
+        raise ValueError(
+            "input already has a column named '_z' (reserved for the "
+            "curve value); rename it first"
+        )
     bounds = dict(bounds or {})
     missing = [c for c in cols if c not in bounds]
     if missing:
@@ -92,7 +112,13 @@ def zorder_by(
             aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
         row = df.agg(*aggs).first()
         for c in missing:
-            bounds[c] = (float(row[f"__lo_{c}"]), float(row[f"__hi_{c}"]))
+            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"cannot auto-bound {c!r}: column is all-null or "
+                    "the input is empty"
+                )
+            bounds[c] = (float(lo), float(hi))
     qs = [quantize(F.col(c), *bounds[c], bits) for c in cols]
     return df.withColumn("_z", z_value(qs, bits))
 
