@@ -52,6 +52,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         # Candidate label for each node: the min label among neighbors.
         neighbor_min = (
@@ -74,6 +75,16 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed:
+        # Exhausting max_iter mid-propagation returns SPLINTERED
+        # components (one true cluster reported as several) — for a
+        # dedup consumer that silently keeps duplicate copies. Fail
+        # loudly; long-chain graphs should use the jump variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still moving); raise "
+            "max_iter or use connected_components_jump"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -113,6 +124,7 @@ def connected_components_jump(
         .localCheckpoint(eager=True)
     )
 
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -149,6 +161,12 @@ def connected_components_jump(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components_jump did not converge in "
+            f"{max_iter} iterations ({changed} labels still moving); "
+            "raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -424,14 +442,18 @@ def label_propagation(
             msgs.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .groupBy("node")
+            # MIN over (-cnt, label) = count DESC then label ASC —
+            # negating the COUNT (always numeric) instead of the
+            # label keeps the tiebreak valid for any orderable id
+            # type (a negated string label would crash the cast).
             .agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("cnt"), (-F.col("label")).alias("neg_label")
+                        (-F.col("cnt")).alias("neg_cnt"), F.col("label")
                     )
                 ).alias("top")
             )
-            .select("node", (-F.col("top.neg_label")).alias("label"))
+            .select("node", F.col("top.label").alias("label"))
             .localCheckpoint()
         )
     return lbl

@@ -76,10 +76,17 @@ def kmeans_fit(
 
     ``vectors[vec_col]`` must be a fixed-dimension float array.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     vecs = vectors.select(
         F.col(id_col), F.col(vec_col).alias("embedding")
     ).cache()
     init = vecs.orderBy(id_col).limit(k).collect()
+    if not init:
+        # Empty input would otherwise surface as an opaque
+        # NoneType-has-no-alias crash deep inside _assign_exprs.
+        vecs.unpersist()
+        raise ValueError("kmeans_fit: input has no vectors")
     centroids = [[float(v) for v in r.embedding] for r in init]
     history: list[float] = []
 
@@ -120,9 +127,17 @@ def kmeans_fit(
         if shift < tol:
             break
 
-    out = vecs.select(id_col, "embedding", _assign_expr(centroids)).select(
-        id_col, "cluster"
+    # Materialize the final assignment, then release the cached
+    # vectors: the handle is function-local, so without this every
+    # kmeans_fit call (e.g. a k sweep, or PQ's m sub-trainings) pins
+    # another copy of the vector table in executor memory for the
+    # session.
+    out = (
+        vecs.select(id_col, "embedding", _assign_expr(centroids))
+        .select(id_col, "cluster")
+        .localCheckpoint(eager=True)
     )
+    vecs.unpersist()
     return out, centroids, history
 
 
@@ -145,14 +160,19 @@ def inertia(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> float:
-    """Sum of squared distances to assigned centroids (quality metric)."""
+    """Sum of squared distances to assigned centroids (quality metric).
+
+    ONE job: per-cluster distance expressions are chained into a
+    single CASE projection and summed in one aggregate — k sequential
+    filter+agg jobs would rescan the (uncached) vectors join k times.
+    """
     joined = vectors.join(assignments, id_col).select(
         F.col(vec_col).alias("embedding"), "cluster"
     )
-    total = 0.0
-    for ci, cent in enumerate(centroids):
+
+    def d2(cent: list[float]) -> F.Column:
         cent_col = F.array(*[F.lit(float(v)) for v in cent])
-        d = F.aggregate(
+        return F.aggregate(
             F.zip_with(
                 F.col("embedding"), cent_col,
                 lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
@@ -160,6 +180,14 @@ def inertia(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        row = joined.filter(F.col("cluster") == ci).agg(F.sum(d)).first()
-        total += row[0] or 0.0
-    return total
+
+    expr = None
+    for ci, cent in enumerate(centroids):
+        branch = d2(cent)
+        expr = (
+            F.when(F.col("cluster") == ci, branch)
+            if expr is None
+            else expr.when(F.col("cluster") == ci, branch)
+        )
+    row = joined.agg(F.sum(expr)).first()
+    return row[0] or 0.0

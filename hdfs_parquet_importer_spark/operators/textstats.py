@@ -36,7 +36,14 @@ BPE_RX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
 def ws_token_count(col: Column) -> Column:
-    """Whitespace token count over the normalized text."""
+    """Whitespace token count over the normalized text.
+
+    CONVENTION: empty / punctuation-only text counts as 1 — Spark's
+    split('', ' ') yields [''], and the DuckDB twins' len(string_split)
+    does the same, so the two engines agree by construction. Consumers
+    needing true-0 semantics should use tokenize.doc_tokens (which
+    filters the '' token) and mirror the filter in their oracle, as
+    dedup_substring_span does."""
     return F.size(tokens(col))
 
 
@@ -66,7 +73,12 @@ def lang_id(col: Column) -> Column:
     es = marker_hits(col, LANG_MARKERS["es"])
     fr = marker_hits(col, LANG_MARKERS["fr"])
     return (
-        F.when(han_char_count(col) > 0, F.lit("zh"))
+        # NULL text must short-circuit to 'und': every comparison
+        # below is NULL for NULL input, so the chain would fall all
+        # the way through to .otherwise('fr') and count null rows as
+        # French. (The SQL twins carry the same leading WHEN.)
+        F.when(col.isNull(), F.lit("und"))
+        .when(han_char_count(col) > 0, F.lit("zh"))
         .when(F.greatest(en, de, es, fr) == 0, F.lit("und"))
         .when((en >= de) & (en >= es) & (en >= fr), F.lit("en"))
         .when((de >= es) & (de >= fr), F.lit("de"))
@@ -102,6 +114,11 @@ def quality_score(col: Column) -> Column:
     0.25 * alpha ratio
     0.25 * min(stopword_ratio * 5, 1)   (fluent text has stopwords)
     0.15 * (1 - min(punct_ratio * 4, 1)) (symbol soup is junk)
+
+    CONVENTION: empty/NULL text yields NULL ratios and a NULL score —
+    'unscorable', not 'low quality'. Both engines produce the same
+    NULL through the shared nullif-denominator formula; curation
+    queries pre-filter degenerate docs (see mix_quota_by_quality).
     """
     n = ws_token_count(col)
     len_ok = F.when((n >= 20) & (n <= 2000), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -179,6 +196,12 @@ def rolling_hash(col: Column) -> Column:
 # so the DuckDB oracle replays them verbatim.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# KNOWN LIMITATION: no leading boundary on PII_PHONE (RE2 has no
+# lookbehind, and a consuming (^|[^\d]) prefix group would need
+# engine-specific replacement syntax in the scrub) — a 3-3-4 SUFFIX of
+# a longer digit run (e.g. serial "91234-567-8901") is counted/scrubbed
+# as a phone. Production scanners use a real recognizer; these demo
+# patterns stay within the Java-regex ∩ RE2 dialect the oracle replays.
 PII_PHONE = r"\+?\d{3}[- .]\d{3}[- .]\d{4}\b"
 PII_REDACTED = "[PII]"
 

@@ -707,12 +707,13 @@ _HAN = r"length(text) - length(regexp_replace(text, '[\x{4e00}-\x{9fff}]', '', '
 @register(
     "text_langid",
     oracle=f"""
-WITH s AS (SELECT doc_id,
+WITH s AS (SELECT doc_id, text,
   {_EN} AS en_hits, {_DE} AS de_hits, {_ES} AS es_hits, {_FR} AS fr_hits,
   {_HAN} AS han_chars
 FROM documents)
 SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, han_chars,
-  CASE WHEN han_chars > 0 THEN 'zh'
+  CASE WHEN text IS NULL THEN 'und'
+       WHEN han_chars > 0 THEN 'zh'
        WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
        WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits
          THEN 'en'
@@ -2337,13 +2338,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "eval_langid_confusion",
     oracle=f"""
-WITH s AS (SELECT lang,
+WITH s AS (SELECT lang, text,
   {_EN} AS en_hits, {_DE} AS de_hits, {_ES} AS es_hits, {_FR} AS fr_hits,
   {_HAN} AS han_chars
 FROM documents),
 pred AS (
   SELECT lang AS actual,
-    CASE WHEN han_chars > 0 THEN 'zh'
+    CASE WHEN text IS NULL THEN 'und'
+         WHEN han_chars > 0 THEN 'zh'
          WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
          WHEN en_hits >= de_hits AND en_hits >= es_hits
               AND en_hits >= fr_hits THEN 'en'
