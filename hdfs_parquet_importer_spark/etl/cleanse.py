@@ -37,7 +37,16 @@ def cleanse_suspect_rows(
     id_col: str = DEFAULT_ID_COL,
     time_col: str = DEFAULT_TIME_COL,
 ) -> DataFrame:
-    """Single-pass cleanse: keep rows with a valid time and non-null id."""
+    """Single-pass cleanse: keep rows with a valid time and non-null id.
+
+    SEMANTIC DIVERGENCE from the reference, by design: when the same
+    id appears on BOTH a valid-time row and a corrupt row, this keeps
+    the valid row, while the reference's collect+NOT-IN (and
+    :func:`cleanse_suspect_rows_not_in`) drops EVERY row carrying a
+    corrupt id. Identical only when ids are unique per row — use the
+    strict variant when reference-exact output on duplicated ids
+    matters (tests/test_etl_units.py pins both behaviors).
+    """
     return df.filter(
         F.col(time_col).isNotNull()
         & F.col(time_col).rlike(TIME_REGEX)
@@ -66,6 +75,7 @@ def cleanse_suspect_rows_not_in(
         )
         .select(id_col)
         .limit(max_bad_ids + 1)
+        .cache()  # read twice: the guard count + the anti-join build
     )
     bad_count = bad.count()
     if bad_count > max_bad_ids:

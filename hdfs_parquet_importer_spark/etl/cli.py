@@ -96,7 +96,9 @@ def main(argv: list[str] | None = None) -> int:
     elapsed = time.time() - t0
     # Reference logs elapsed seconds + schema tree (App.scala:30-34).
     print(f"Completed in {elapsed:.1f}s")
-    print(df._jdf.schema().treeString())
+    # Public API, not the private _jdf JVM handle — Spark Connect
+    # sessions have no _jdf and would crash AFTER a successful write.
+    print(df.schema.treeString())
     return 0
 
 

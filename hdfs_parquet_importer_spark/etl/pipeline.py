@@ -77,6 +77,14 @@ def build_pipeline(spark: SparkSession, opts: PipelineOptions) -> DataFrame:
         df = date_enrich(df, opts.date_enrich)
     for col in opts.array_parse_cols:
         df = parse_array_col(df, col)
+    if opts.sort_cols and opts.sort_within_partitions and not opts.partition_cols:
+        # Without a repartition there is no hash shuffle to sort
+        # within: the "sort" would apply per raw CSV input split and
+        # the user silently gets effectively unsorted output.
+        raise ValueError(
+            "--sortWithinPartitions requires --partitionCols (it sorts "
+            "inside the hash partitions); for a global sort drop the flag"
+        )
     if opts.sort_cols and not opts.sort_within_partitions:  # package.scala:144-149
         df = df.orderBy(*[F.col(c) for c in opts.sort_cols])
     if opts.partition_cols:  # package.scala:155

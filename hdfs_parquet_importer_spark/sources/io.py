@@ -140,7 +140,8 @@ def cached_tmp_dataset(namespace: str, src_paths: list[str], build) -> str:
     h = hashlib.sha1()
     for p in sorted(src_paths):
         if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()  # deterministic walk order across filesystems
                 for f in sorted(files):
                     fp = os.path.join(root, f)
                     st = os.stat(fp)
@@ -157,7 +158,12 @@ def cached_tmp_dataset(namespace: str, src_paths: list[str], build) -> str:
         return final
     staging = f"{final}__staging_{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
-    build(staging)
+    try:
+        build(staging)
+    except BaseException:
+        # A failed build must not leak its partial staging tree.
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         os.rename(staging, final)
     except OSError:

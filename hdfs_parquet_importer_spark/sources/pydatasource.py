@@ -52,6 +52,13 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options) -> None:
         self.rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 4))
+        if self.rows < 0 or self.n_parts < 1:
+            # partitions=0 would make partitions() an empty list and
+            # the scan silently return 0 rows instead of `rows`.
+            raise ValueError(
+                f"rows must be >= 0 and partitions >= 1, got "
+                f"rows={self.rows} partitions={self.n_parts}"
+            )
 
     def partitions(self):
         return [InputPartition(i) for i in range(self.n_parts)]
