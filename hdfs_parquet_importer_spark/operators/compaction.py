@@ -93,27 +93,87 @@ def compact_parquet(
             "sibling directory and rename"
         )
     plan = plan_compaction(spark, src, target_bytes)
-    df = spark.read.parquet(src).repartition(plan.n_output_files)
-    if sort_within:
-        df = df.sortWithinPartitions(*sort_within)
+    df = spark.read.parquet(src)
     # Preserve Hive partitioning: flattening dt=.../ directories would
     # silently break downstream partition pruning and per-partition
-    # overwrite contracts. Partition columns are recovered from the
-    # source directory names (key=value segments).
-    part_cols: list[str] = []
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(src)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    it = fs.listFiles(jpath, True)
-    if it.hasNext():
-        rel = it.next().getPath().toString()[len(jpath.toString()):]
-        part_cols = [
-            seg.split("=", 1)[0]
-            for seg in rel.strip("/").split("/")[:-1]
-            if "=" in seg
-        ]
+    # overwrite contracts. Partition columns are inferred by diffing
+    # the dataset schema (which includes directory-derived columns)
+    # against one leaf file's footer schema — robust to listing order,
+    # metadata files, and path-string quirks, unlike parsing key=value
+    # segments out of the first listFiles entry.
+    part_cols = _infer_partition_cols(spark, df)
+    if part_cols:
+        # Round-robin repartition(N) before partitionBy would spread
+        # every partition value across all N tasks → up to
+        # N × |values| output files. Instead shuffle on the partition
+        # columns plus a bounded salt sized from each partition
+        # directory's bytes, so directory `p` gets
+        # ~ceil(bytes_p / target_bytes) files.
+        from pyspark.sql import functions as F
+
+        dir_files = {
+            d: max(1, math.ceil(b / target_bytes))
+            for d, b in _partition_dir_bytes(spark, src).items()
+        }
+        n_map = None
+        if dir_files:
+            pairs: list = []
+            for d, nf in dir_files.items():
+                pairs.extend([F.lit(d), F.lit(nf)])
+            n_map = F.create_map(*pairs)
+        data_cols = [c for c in df.columns if c not in part_cols]
+        file_dir = F.regexp_replace(F.input_file_name(), "/[^/]*$", "")
+        # Fallback to 1 file per (task, value) if a URI-encoding
+        # mismatch keeps the lookup from resolving — degrades to
+        # fewer, larger files, never wrong data.
+        n_files = (
+            F.coalesce(n_map[file_dir], F.lit(1)) if n_map is not None else F.lit(1)
+        )
+        salt = F.pmod(F.xxhash64(*data_cols), n_files)
+        df = df.withColumn("__compact_salt", salt).repartition(
+            plan.n_output_files, *part_cols, "__compact_salt"
+        ).drop("__compact_salt")
+    else:
+        df = df.repartition(plan.n_output_files)
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(dest)
     return plan
+
+
+def _infer_partition_cols(spark: SparkSession, df) -> list[str]:
+    """Directory-derived (Hive ``key=value``) columns of ``df``.
+
+    A single leaf file read directly has no partition directories
+    above it, so its footer schema is exactly the non-partition
+    columns; the difference (in dataset-schema order, which is the
+    directory nesting order) is the partition column list.
+    """
+    files = df.inputFiles()
+    if not files:
+        return []
+    leaf_fields = {f.name for f in spark.read.parquet(files[0]).schema.fields}
+    return [f.name for f in df.schema.fields if f.name not in leaf_fields]
+
+
+def _partition_dir_bytes(spark: SparkSession, src: str) -> dict[str, int]:
+    """Total data bytes per leaf directory under ``src`` (driver-side
+    metadata, same single recursive listing ``plan_compaction`` pays).
+    Keys are scheme-qualified directory URIs matching
+    ``input_file_name()``'s parent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(fs.makeQualified(jpath), True)
+    sizes: dict[str, int] = {}
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        parent = p.getParent().toString()
+        sizes[parent] = sizes.get(parent, 0) + st.getLen()
+    return sizes

@@ -1,0 +1,120 @@
+"""URL canonicalization — the standard pre-dedup stage of a
+crawl-scale corpus pipeline (VERDICT r8 item 8).
+
+Crawl corpora address the same page many ways: scheme/host case,
+explicit default ports, duplicate slashes, trailing slashes, tracking
+query parameters (``utm_*``, ``ref``, ``fbclid``, ``gclid``), shuffled
+parameter order, and fragments. Canonicalizing before exact/near dedup
+collapses these aliases so the dedup key is the page, not the spelling.
+
+Everything here is a pure per-row Catalyst column expression (regexp
+extraction + array higher-order functions, zero UDFs, zero shuffles):
+at 100 TB the canonical form is computed inside the ingest scan and
+pipelines straight into the hash-groupBy exact dedup
+(``operators/dedup.py``) or MinHash machinery, whose one exchange on
+the canonical key is the only shuffle of the whole stage.
+
+The rules (applied in order):
+
+1. scheme and host lowercased;
+2. explicit default port stripped (``http:80``, ``https:443``); any
+   other explicit port kept;
+3. path: runs of ``/`` collapsed, empty path → ``/``, trailing slash
+   stripped (except the root path);
+4. query: parameters split on ``&``, tracking parameters
+   (``utm_*``/``ref``/``fbclid``/``gclid``) and empty fragments
+   dropped, the rest sorted byte-wise and rejoined — parameter ORDER
+   never distinguishes two URLs;
+5. fragment dropped (never sent to the server).
+
+Every rule is restricted to the Java-regex ∩ RE2 dialect so the DuckDB
+oracle (`canonicalize_url_sql`) replays the exact same pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tracking parameters dropped by rule 4. Shared with the SQL twin.
+TRACKING_PARAM_RE = "^(utm_|ref=|fbclid=|gclid=)"
+
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of ``url`` as a pure Catalyst expression."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.regexp_extract(url, _HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    raw_path = F.regexp_extract(url, _PATH_RE, 1)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+
+    # Collapse //+, default empty path to '/', strip the trailing
+    # slash everywhere but the root.
+    p1 = F.regexp_replace(
+        F.when(raw_path == "", F.lit("/")).otherwise(raw_path), "/{2,}", "/"
+    )
+    path = F.when(p1 != "/", F.regexp_replace(p1, "/$", "")).otherwise(p1)
+
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (F.length(p) > 0) & (~p.rlike(TRACKING_PARAM_RE)),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )
+
+
+def canonicalize_url_sql(url_expr: str) -> str:
+    """The DuckDB twin: the same five rules over ``url_expr``.
+
+    Returns a scalar SQL expression (RE2 dialect; byte-wise
+    ``list_sort`` matches Spark's ``array_sort`` on ASCII parameter
+    strings).
+    """
+    scheme = f"lower(regexp_extract({url_expr}, '{_SCHEME_RE}', 1))"
+    hostport = f"regexp_extract({url_expr}, '{_HOSTPORT_RE}', 1)"
+    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    raw_path = f"regexp_extract({url_expr}, '{_PATH_RE}', 1)"
+    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    port_part = (
+        f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443') "
+        f"THEN '' ELSE ':' || {port} END"
+    )
+    p1 = (
+        f"regexp_replace(CASE WHEN {raw_path} = '' THEN '/' "
+        f"ELSE {raw_path} END, '/{{2,}}', '/', 'g')"
+    )
+    path = f"CASE WHEN {p1} <> '/' THEN regexp_replace({p1}, '/$', '') ELSE {p1} END"
+    params = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> length(p) > 0 AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&')"
+    )
+    return (
+        f"{scheme} || '://' || {host} || {port_part} || {path} || "
+        f"CASE WHEN {params} <> '' THEN '?' || {params} ELSE '' END"
+    )

@@ -83,100 +83,99 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 8 rotation (executes the committed r8 QUEUE verbatim:
-    # the 7 r7-new registrations, then ALL 18 remaining r2 greens —
-    # after this round no driver row anywhere predates r3 — then
-    # oldest r3 greens, family-spread, to fill).
+    # -- Round 9 rotation (executes the committed r9 QUEUE: all 26
+    # never-windowed r8 registrations, then the 17 remaining r3
+    # greens — after this round no driver row anywhere predates r4 —
+    # plus the round's P1 changed-code cohort and the two r9
+    # registrations in leftover slots per the r8 amendment).
     #
-    # (P1) Changed in r8:
-    #   the BPE family — whole-token "L R" merge rules (ADVICE r7)
-    #       changed both the Spark fold and the DuckDB twin of
-    #       tokenize_bpe_encode / pack_bpe_sequences /
-    #       tokenize_bpe_vocab_sweep (also P3: never windowed);
-    #   pack_strategy_waste — now consumes REAL BPE token counts
-    #       (VERDICT r7 item 5), values changed;
-    #   mix_domain_quota — per-source cum rewritten onto the grouped
-    #       two-phase prefix sum (VERDICT r7 item 4), value-neutral.
-    "tokenize_bpe_encode",
-    "pack_bpe_sequences",
-    "tokenize_bpe_vocab_sweep",
-    "pack_strategy_waste",
+    # (P1) Changed in r9 (ADVICE r8 fixes touch shared operators):
+    #   mix_domain_quota — scale-aware bucket count in the grouped
+    #       prefix sum (VERDICT r8 item 5), value-identical;
+    #   agg_salted_two_phase — salted_agg salt made retry-
+    #       deterministic + mergeable-aggregate guard (ADVICE item 4),
+    #       value-identical;
+    #   dedup_clusters / dedup_cluster_canonical /
+    #   fuzzy_name_clusters — connected_components convergence-on-
+    #       final-round fix (ADVICE item 5), value-identical on these
+    #       convergent graphs.
     "mix_domain_quota",
-    # (P3, AMENDED) tokenize_bpe_multiround registered THIS round but
-    # takes a window slot now rather than queuing for r9: VERDICT r7
-    # item 6's done-criterion is a passing CORRECTNESS entry for the
-    # multi-round trainer this round, and the queue left the window
-    # with free slots — the no-outrun invariant (every windowed name
-    # is locally oracle-gated before the driver sees it) holds.
-    # Policy note: new registrations MAY take leftover slots in their
-    # own round when P1/P2 and the committed queue are all seated;
-    # they still default to next-round P3 otherwise.
-    "tokenize_bpe_multiround",
-    # (P3) The remaining never-windowed r7 registrations.
-    "asof_join_nearest",
-    "embedding_quantize_int8",
-    "func_sql_udf",
-    "multimodal_audio_resample",
-    # (P4) ALL 18 remaining r2 greens (queue item b) — unchanged
-    # code, locally re-gated every pytest run; after these, the whole
-    # registry's driver rows are r3+.
-    "agg_approx_distinct",
-    "agg_percentiles",
-    "agg_rollup",
-    "dedup_exact",
-    "embedding_centroids",
-    "func_higher_order",
-    "multimodal_decode_stats",
-    "pivot_status_by_year",
-    "sample_systematic",
-    "subq_global_avg_anti",
-    "text_langid",
-    "text_rolling_hash",
-    "text_tokens",
-    "text_top_ngrams",
-    "window_distribution",
-    "window_moving_avg",
-    "window_quartile_scalable",
-    "window_topk_per_group",
-    # (P4) Oldest r3 greens (queue item c), 18 of 35, chosen for
-    # family spread: both r3 etl_parity rows, the six stalest tpch
-    # rows, and the agg/join/dedup/clustering representatives.
-    "etl_date_enrich",
-    "etl_upsert",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "agg_cube",
-    "agg_grouping_sets",
     "agg_salted_two_phase",
-    "agg_stats",
-    "corpus_contamination",
     "dedup_clusters",
-    "embedding_kmeans",
-    "join_broadcast_dim",
-    "join_interval_bucketed",
-    # (P5) Module representatives for the four families whose oldest
-    # rows are r4/r5 (the module-coverage gate requires one each):
-    "events_funnel",
-    "stat_chi2_independence",
-    "fuzzy_name_pairs",
-    "pandas_grouped_regression",
+    "dedup_cluster_canonical",
+    "fuzzy_name_clusters",
+    # (P3) All 26 never-windowed r8 registrations, registration order
+    # (queue item a).
+    "join_dpp_prune",
+    "join_skew_aqe",
+    "etl_schema_evolution",
+    "agg_approx_top_k",
+    "sql_recursive_cte",
+    "func_parameterized_sql",
+    "dedup_semdedup",
+    "ann_mips_topk",
+    "vocab_growth_heaps",
+    "dedup_substring_span",
+    "multimodal_video_framesample",
+    "embedding_hard_negatives",
+    "mix_quota_by_quality",
+    "pack_sorted_stream",
+    "text_kneser_ney_bigram",
+    "quality_dsir_weights",
+    "arrow_grouped_stats",
+    "arrow_map_norms",
+    "stat_theil_sen_slope",
+    "dq_psi_drift",
+    "dq_observe_metrics",
+    "ts_ewma",
+    "report_data_card",
+    "graph_label_propagation",
+    "graph_jaccard_neighbors",
+    "graph_k_core",
+    # (P4) The 17 remaining r3 greens (queue item b) — after these,
+    # the whole registry's driver rows are r4+.
+    "agg_approx_percentile",
+    "join_salted_skew",
+    "pack_sequences",
+    "q14_promo_effect",
+    "q19_disjunctive_pred",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "sample_bernoulli",
+    "setop_except",
+    "setop_union_by_name",
+    "subq_in_heavy_orders",
+    "subq_scalar_avg_qty",
+    "text_pii_scan",
+    "text_repetition",
+    "topk_orders",
+    "unpivot_brand_metrics",
+    "window_running_sum",
+    # (P3, AMENDED) The r9 registrations take the two leftover slots
+    # (r8 amendment: new names may seat in-round once P1/P2 and the
+    # committed queue are placed) — URL canonicalization + canonical-
+    # form dedup, VERDICT r8 item 8.
+    "url_canonicalize",
+    "dedup_url_canonical",
 )
-# r9 QUEUE (committed now so the next rotation is mechanical):
-# (a) r8 registrations beyond tokenize_bpe_multiround (P3,
+# r10 QUEUE (committed now so the next rotation is mechanical):
+# (a) any r9 registrations beyond the two seated above (P3,
 #     registration order);
-# (b) the 17 remaining r3 greens (P4, oldest-first):
-#     agg_approx_percentile, join_salted_skew, pack_sequences,
-#     q14_promo_effect, q19_disjunctive_pred, q3_shipping_priority,
-#     q5_local_supplier, sample_bernoulli, setop_except,
-#     setop_union_by_name, subq_in_heavy_orders, subq_scalar_avg_qty,
-#     text_pii_scan, text_repetition, topk_orders,
-#     unpivot_brand_metrics, window_running_sum;
-# (c) then oldest r4 greens, family-spread, to fill the window.
+# (b) the 36 r4 greens (P4, oldest-first — this drains r4 entirely):
+#     agg_having, agg_histogram, agg_mode_per_group,
+#     asof_join_next_purchase, asof_join_purchase_view,
+#     cdc_latest_per_key, corpus_train_eval_split,
+#     events_hourly_rollup, events_interval_join,
+#     events_longest_streak, events_retention, events_session_window,
+#     events_sliding_window, events_tumbling_window,
+#     events_user_activity, func_array, func_date, func_explode,
+#     func_json, func_map_props, func_map_transform, func_math,
+#     join_anti, join_full_outer, join_range, join_semi,
+#     q11_important_value, q12_priority_shipping, q20_excess_quantity,
+#     q2_min_cost_supplier, sample_stratified, sample_weighted,
+#     setop_intersect, window_forward_fill, window_lag_lead,
+#     window_share_of_total;
+# (c) then oldest r5 greens, family-spread, to fill the window.
 
 
 def registry() -> dict[str, Query]:

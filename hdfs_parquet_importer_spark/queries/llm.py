@@ -2923,3 +2923,150 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --- URL canonicalization + canonical-form dedup (VERDICT r8 item 8) -
+
+# The documents table carries no URL column, so (like text_pii_scan's
+# synthetic PII) each doc derives a deterministic MESSY url from its
+# doc_id, identically in Spark and DuckDB: page = doc_id % 37 is the
+# logical page, h = page % 3 the host, v = doc_id % 5 the spelling
+# variant (case/default-port/tracking-params/slashes/fragment/param
+# order). 37 ⟂ 5, so every page sees all five variants.
+_URL_SYNTH_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'HTTPS://Example' || ((doc_id % 37) % 3) || '.COM:443//a/'
+                     || (doc_id % 37) || '?utm_source=feed&x=1&b=2#top'
+         WHEN 1 THEN 'https://example' || ((doc_id % 37) % 3) || '.com/a/'
+                     || (doc_id % 37) || '/?b=2&x=1'
+         WHEN 2 THEN 'http://EXAMPLE' || ((doc_id % 37) % 3) || '.com:80/a/'
+                     || (doc_id % 37) || '?x=1&b=2&utm_campaign=c'
+         WHEN 3 THEN 'https://example' || ((doc_id % 37) % 3) || '.com:8443/a/'
+                     || (doc_id % 37) || '?x=1&b=2'
+         ELSE 'https://example' || ((doc_id % 37) % 3) || '.com/a/'
+                     || (doc_id % 37) || '?fbclid=abc123&x=1&b=2#frag'
+       END AS raw_url
+FROM documents
+"""
+
+
+def _synth_raw_url() -> F.Column:
+    page = (F.col("doc_id") % 37).cast("string")
+    h = ((F.col("doc_id") % 37) % 3).cast("string")
+    v = F.col("doc_id") % 5
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://Example"), h, F.lit(".COM:443//a/"), page,
+                F.lit("?utm_source=feed&x=1&b=2#top"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://example"), h, F.lit(".com/a/"), page,
+                F.lit("/?b=2&x=1"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://EXAMPLE"), h, F.lit(".com:80/a/"), page,
+                F.lit("?x=1&b=2&utm_campaign=c"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://example"), h, F.lit(".com:8443/a/"), page,
+                F.lit("?x=1&b=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example"), h, F.lit(".com/a/"), page,
+                F.lit("?fbclid=abc123&x=1&b=2#frag"),
+            )
+        )
+    )
+
+
+def _url_canon_oracle() -> str:
+    from hdfs_parquet_importer_spark.operators.urls import canonicalize_url_sql
+
+    return f"""
+WITH raw AS ({_URL_SYNTH_SQL})
+SELECT doc_id, raw_url, {canonicalize_url_sql('raw_url')} AS canon_url
+FROM raw
+"""
+
+
+@register(
+    "url_canonicalize",
+    oracle=_url_canon_oracle(),
+    doc="URL canonicalization (operators/urls.py): lowercase "
+    "scheme/host, strip default ports and fragments, collapse "
+    "duplicate and trailing slashes, drop utm_*/ref/fbclid/gclid "
+    "tracking params, sort the survivors — the standard crawl "
+    "pre-dedup stage. Pure per-row Catalyst regexp/array expressions "
+    "(zero UDFs, zero shuffles); the DuckDB twin replays the exact "
+    "rule pipeline via canonicalize_url_sql.",
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        _synth_raw_url().alias("raw_url"),
+    ).withColumn("canon_url", canonicalize_url(F.col("raw_url")))
+
+
+def _url_dedup_canon_expr() -> str:
+    from hdfs_parquet_importer_spark.operators.urls import canonicalize_url_sql
+
+    return canonicalize_url_sql("raw_url")
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH raw AS ({_URL_SYNTH_SQL}),
+canon AS (
+  SELECT doc_id, {_url_dedup_canon_expr()} AS canon_url FROM raw
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc
+FROM canon
+GROUP BY canon_url
+ORDER BY n_dups DESC, canon_url
+LIMIT 20
+""",
+    doc="Exact dedup on the CANONICAL url: variants that differ only "
+    "in case/port/tracking-params/slashes/fragment/param-order "
+    "collapse to one group; a different scheme or a non-default port "
+    "stays distinct. One hash-groupBy exchange on the canonical key — "
+    "the same shape as dedup_exact, which this stage feeds at crawl "
+    "scale. keep_doc = MIN(doc_id) is the deterministic survivor "
+    "policy. Top-20 by (n_dups DESC, canon_url) is a total order, so "
+    "the LIMIT is deterministic.",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.urls import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(_synth_raw_url()).alias("canon_url")
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keep_doc"),
+        )
+        .orderBy(F.desc("n_dups"), "canon_url")
+        .limit(20)
+    )

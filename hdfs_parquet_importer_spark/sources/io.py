@@ -132,10 +132,18 @@ def cached_tmp_dataset(namespace: str, src_paths: list[str], build) -> str:
     a concurrent first run that loses the race discards its staging
     copy, so readers (gated on the final path existing) never observe
     a half-written or mid-overwrite directory.
+
+    Shared-host hardening (ADVICE r8 item 3): the cache root is
+    namespaced by UID and created mode 0700 (another user can neither
+    pre-create our entries nor read them), and an entry is served only
+    if it carries the completeness marker this function writes after a
+    successful build — a foreign or truncated directory at the final
+    path is discarded and rebuilt rather than trusted.
     """
     import hashlib
     import os
     import shutil
+    import tempfile
 
     h = hashlib.sha1()
     for p in sorted(src_paths):
@@ -153,13 +161,30 @@ def cached_tmp_dataset(namespace: str, src_paths: list[str], build) -> str:
             st = os.stat(p)
             h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}\n".encode())
     key = h.hexdigest()[:12]
-    final = f"/tmp/spark_graft_cache/{namespace}_{key}"
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_cache_{uid}")
+    os.makedirs(root_dir, mode=0o700, exist_ok=True)
+    st = os.stat(root_dir)
+    if hasattr(os, "getuid") and st.st_uid != uid:
+        # Squatted by another user — refuse to serve/poison through it.
+        raise RuntimeError(
+            f"cache root {root_dir} is owned by uid {st.st_uid}, "
+            f"not {uid}; remove it or set TMPDIR elsewhere"
+        )
+    marker_name = "_GRAFT_COMPLETE"
+    final = os.path.join(root_dir, f"{namespace}_{key}")
     if os.path.exists(final):
-        return final
+        if os.path.exists(os.path.join(final, marker_name)):
+            return final
+        # Present but unmarked: a crashed pre-rename copy from an old
+        # version or a foreign tree. Never serve it — rebuild.
+        shutil.rmtree(final, ignore_errors=True)
     staging = f"{final}__staging_{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     try:
         build(staging)
+        with open(os.path.join(staging, marker_name), "w") as fh:
+            fh.write(key)
     except BaseException:
         # A failed build must not leak its partial staging tree.
         shutil.rmtree(staging, ignore_errors=True)

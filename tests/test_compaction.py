@@ -90,6 +90,48 @@ def test_sort_within_restores_pruning_locality(spark, fragmented, tmp_path):
     assert (row.n_desc or 0) == 0  # physically sorted within the file
 
 
+def test_compact_preserves_hive_layout_without_file_explosion(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r8 items 1+2: a Hive-partitioned source must keep its
+    layout (partition cols inferred by schema diff, immune to a
+    _SUCCESS file leading the listing) and must NOT fan every
+    partition value across all shuffle tasks (round-robin before
+    partitionBy emitted up to N x |values| files)."""
+    src = str(tmp_path / "part_src")
+    (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumn("year", F.year("o_orderdate"))
+        .repartition(24)
+        .write.partitionBy("year")
+        .parquet(src)
+    )
+    # _SUCCESS exists at the root — the old first-listing-entry parse
+    # would have seen it and flattened the layout.
+    assert glob.glob(f"{src}/_SUCCESS")
+    n_years = len(glob.glob(f"{src}/year=*"))
+    assert n_years >= 3
+
+    dest = str(tmp_path / "part_dest")
+    compact_parquet(spark, src, dest, target_bytes=1 << 30)
+
+    # Layout preserved ...
+    out_dirs = glob.glob(f"{dest}/year=*")
+    assert len(out_dirs) == n_years
+    # ... and each partition directory compacted to ~1 file (1 GiB
+    # target vs KB inputs), not one per shuffle task.
+    for d in out_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+
+    src_df = spark.read.parquet(src)
+    dst_df = spark.read.parquet(dest)
+    assert src_df.count() == dst_df.count()
+    assert set(src_df.columns) == set(dst_df.columns)
+    a = src_df.groupBy("year").count().collect()
+    b = dst_df.groupBy("year").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_runtime_bloom_filter_injected(spark, sf_dir):
     """Spark's runtime-filter optimizer turns a selective dim filter
     into a bloom_filter_agg pushed to the fact side of a shuffle join —

@@ -1,0 +1,87 @@
+"""URL canonicalization (operators/urls.py) — rule-by-rule edge cases
+plus Spark↔DuckDB twin parity on adversarial inputs."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators.urls import (
+    canonicalize_url,
+    canonicalize_url_sql,
+)
+
+CASES = [
+    # (raw, canonical)
+    ("HTTPS://Example.COM/a", "https://example.com/a"),  # case
+    ("https://example.com:443/a", "https://example.com/a"),  # default port
+    ("http://example.com:80/a", "http://example.com/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),  # NOT default
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com//a///b", "https://example.com/a/b"),  # slashes
+    ("https://example.com/a/", "https://example.com/a"),  # trailing
+    ("https://example.com/", "https://example.com/"),  # root kept
+    ("https://example.com", "https://example.com/"),  # empty path
+    ("https://example.com/a#frag", "https://example.com/a"),  # fragment
+    (
+        "https://example.com/a?utm_source=x&b=2&utm_campaign=y",
+        "https://example.com/a?b=2",
+    ),
+    (
+        "https://example.com/a?x=1&b=2",
+        "https://example.com/a?b=2&x=1",
+    ),  # param sort
+    ("https://example.com/a?ref=tw&fbclid=1&gclid=2", "https://example.com/a"),
+    ("https://example.com/a?utm_source=x", "https://example.com/a"),
+    ("https://example.com/a?", "https://example.com/a"),  # empty query
+    ("https://example.com/a?b=2&&x=1", "https://example.com/a?b=2&x=1"),
+    # refx is NOT the tracking param 'ref=' — must survive
+    ("https://example.com/a?refx=1", "https://example.com/a?refx=1"),
+    ("ftp://Files.Example.com/pub/", "ftp://files.example.com/pub"),
+]
+
+
+def test_canonicalize_rules(spark):
+    df = spark.createDataFrame([(r,) for r, _ in CASES], ["raw"])
+    got = [
+        r.canon
+        for r in df.select(canonicalize_url(F.col("raw")).alias("canon"))
+        .collect()
+    ]
+    assert got == [c for _, c in CASES]
+
+
+def test_sql_twin_matches_spark(spark):
+    """The DuckDB expression replays every rule bit-identically."""
+    con = duckdb.connect()
+    expr = canonicalize_url_sql("raw")
+    for raw, want in CASES:
+        [(got,)] = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS raw)", [raw]
+        ).fetchall()
+        assert got == want, raw
+
+
+def test_idempotent(spark):
+    """Canonicalizing a canonical URL is a no-op (fixpoint)."""
+    df = spark.createDataFrame([(c,) for _, c in CASES], ["raw"])
+    got = [
+        r.canon
+        for r in df.select(canonicalize_url(F.col("raw")).alias("canon"))
+        .collect()
+    ]
+    assert got == [c for _, c in CASES]
+
+
+def test_plan_is_scan_side(spark):
+    """Zero exchanges: the canonical form is a pure projection."""
+    df = spark.range(10).select(
+        F.concat(F.lit("HTTPS://X"), F.col("id").cast("string"), F.lit(".COM/p/"))
+        .alias("raw")
+    )
+    plan = (
+        df.select(canonicalize_url(F.col("raw")).alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
