@@ -52,8 +52,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    if max_iter < 1:
+        # With max_iter=0 the changed=0 initialization would read as
+        # "converged" and return identity labels (ADVICE r8 item 5).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     changed = 0
-    for _ in range(max_iter):
+    # range(max_iter + 1): the +1 is a VERIFICATION round — a graph
+    # whose labels finish moving exactly on round max_iter is
+    # converged (the extra round measures changed == 0), so only
+    # movement BEYOND max_iter rounds raises (ADVICE r8 item 5).
+    for _ in range(max_iter + 1):
         # Candidate label for each node: the min label among neighbors.
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -124,8 +132,12 @@ def connected_components_jump(
         .localCheckpoint(eager=True)
     )
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     changed = 0
-    for _ in range(max_iter):
+    # +1 verification round, same convergence contract as
+    # connected_components (ADVICE r8 item 5).
+    for _ in range(max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")

@@ -91,6 +91,50 @@ def salted_join(
     return joined.drop(_SALT)
 
 
+# Merge function per top-level partial aggregate: how phase 2 combines
+# the n_salts partials of one key. Only these are merge-associative
+# under arbitrary (even retry-nondeterministic) salt routing.
+_MERGE_BY_FN = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _merge_fn(name: str, expr: Column):
+    """Resolve — and ENFORCE — the phase-2 merge for a partial expr.
+
+    The mergeable-aggregate contract (ADVICE r8 item 4): a caller
+    passing ``avg``/``count(DISTINCT)``-style partials used to get
+    silently wrong results (the old merge summed whatever came out of
+    phase 1). Validation happens here, at the merge-resolution step:
+    the partial's top-level function must be sum/count/min/max and
+    non-DISTINCT. avg = sum/count composed at the call site;
+    distinct counts need the dedicated two-phase distinct machinery.
+    """
+    # The Column's top-level node: for F.sum/F.count/... this is an
+    # UnresolvedFunction carrying the name and the isDistinct flag
+    # (the Column repr HIDES DISTINCT — count_distinct(x) prints as
+    # 'count(x)' — so string parsing would wave bad partials through).
+    fn, distinct = None, False
+    try:
+        node = expr._jc.node()
+        fn = node.functionName().lower()
+        distinct = bool(node.isDistinct())
+    except Exception:
+        pass  # not a plain function call (arithmetic, literal, ...)
+    if fn not in _MERGE_BY_FN or distinct:
+        raise ValueError(
+            f"salted_agg partial {name!r} = {expr} is not "
+            "merge-associative: the top-level aggregate must be one of "
+            f"{sorted(_MERGE_BY_FN)} without DISTINCT. Express avg as "
+            "separate sum and count partials and divide after the "
+            "merge; DISTINCT aggregates cannot be salted this way."
+        )
+    return _MERGE_BY_FN[fn]
+
+
 def salted_agg(
     df: DataFrame,
     group_col: str,
@@ -99,16 +143,20 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase aggregation via explicit salting.
 
-    ``agg_cols`` maps output name -> SUM-mergeable partial expression
-    (counts and sums; express avg as sum/count at the call site).
-    Phase 1 aggregates on (key, salt) — a hot key's input spreads over
-    ``n_salts`` reducers; phase 2 merges the n_salts partials per key,
-    touching only |keys| x n_salts rows.
+    ``agg_cols`` maps output name -> merge-associative partial
+    expression (sum/count/min/max; express avg as sum/count at the
+    call site — enforced by ``_merge_fn``). Phase 1 aggregates on
+    (key, salt) — a hot key's input spreads over ``n_salts`` reducers;
+    phase 2 merges the n_salts partials per key (sum for sums/counts,
+    min/max for min/max), touching only |keys| x n_salts rows.
     """
+    merges = {name: _merge_fn(name, expr) for name, expr in agg_cols.items()}
     partial = (
         # Counter salt, not row-hash: see salted_join — duplicate rows
-        # of a hot key must spread, and partials are SUM-mergeable so
-        # routing may be nondeterministic.
+        # of a hot key must spread. Routing nondeterminism across task
+        # retries is PROVABLY harmless here because every partial is
+        # validated merge-associative above: any routing of rows to
+        # salts merges to the same final value.
         df.withColumn(
             _SALT,
             F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast(
@@ -119,5 +167,5 @@ def salted_agg(
         .agg(*[expr.alias(name) for name, expr in agg_cols.items()])
     )
     return partial.groupBy(group_col).agg(
-        *[F.sum(name).alias(name) for name in agg_cols]
+        *[merges[name](name).alias(name) for name in agg_cols]
     )

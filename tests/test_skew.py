@@ -192,3 +192,41 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_salted_agg_min_max_partials(spark, sf_dir):
+    """min/max partials merge with min/max (not sum) in phase 2."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in salted_agg(
+            li,
+            "l_returnflag",
+            {"lo": F.min("l_quantity"), "hi": F.max("l_quantity")},
+            n_salts=8,
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("lo"), F.max("l_quantity").alias("hi"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_agg_rejects_non_mergeable(spark, sf_dir):
+    """avg / count(DISTINCT) partials are rejected loudly instead of
+    silently merging wrong (ADVICE r8 item 4)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError, match="merge-associative"):
+        salted_agg(li, "l_returnflag", {"a": F.avg("l_quantity")})
+    with pytest.raises(ValueError, match="merge-associative"):
+        salted_agg(
+            li, "l_returnflag", {"d": F.count_distinct(F.col("l_partkey"))}
+        )
