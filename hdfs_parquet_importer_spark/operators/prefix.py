@@ -160,6 +160,40 @@ def prefix_sum(
     return prefix_sums(df, order_col, [value_col], bucket, [out_col])
 
 
+def adaptive_bucket_count(
+    n_rows: int, target_rows: int = 2048, max_buckets: int = 256
+) -> int:
+    """Scale-aware bucket count for :func:`prefix_sums` (VERDICT r8
+    item 5): a constant 256-way bucketing makes tiny inputs pay the
+    full two-phase machinery (5 exchanges at sf0.1 for
+    mix_domain_quota, doubling its bench cell), while
+    ``n_rows // target_rows`` keeps per-bucket work ~``target_rows``
+    rows and collapses to 1 bucket — i.e. the plain partitioned
+    window — when the input is small. Output VALUES are independent
+    of the bucket count (monotone bucketing composes to the same
+    prefix), so this is purely a physical-plan knob. The
+    ``max_buckets`` cap matches a leading-byte bucket key's domain;
+    at 100 TB raise it together with more key bytes.
+    """
+    if target_rows < 1 or max_buckets < 1:
+        raise ValueError(
+            f"target_rows and max_buckets must be >= 1, got "
+            f"{target_rows}/{max_buckets}"
+        )
+    return max(1, min(max_buckets, n_rows // target_rows))
+
+
+def md5_byte_bucket(key: Column, n_buckets: int) -> Column:
+    """Bucket id in [0, n_buckets) from the leading md5-hex byte of
+    ``key`` — monotone in the hex-sorted key (the prefix_sums
+    contract), contiguous, evenly sized. n_buckets=256 is the
+    identity over the byte."""
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    byte = F.conv(F.substring(key, 1, 2), 16, 10).cast("long")
+    return F.floor(byte * n_buckets / 256).cast("long")
+
+
 def dist_rank(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -166,14 +166,23 @@ GROUP BY source ORDER BY source
     "n_sources — one hot source serializes through ONE task at "
     "100 TB) to the GROUPED two-phase prefix sum "
     "(operators/prefix.py group_cols): local cumsums partition by "
-    "(source, md5-leading-byte) — 256-way parallel inside every "
-    "source — and the serialized base pass is 256 one-row bucket "
-    "totals PER SOURCE, windowed per source in parallel. cum = "
-    "exclusive offset + n_chars is bit-identical to the window form "
-    "(integer sums), so the oracle is unchanged.",
+    "(source, md5-leading-byte bucket) — up to 256-way parallel "
+    "inside every source — and the serialized base pass is one-row "
+    "bucket totals PER SOURCE, windowed per source in parallel. The "
+    "bucket COUNT is scale-aware (VERDICT r8 item 5): "
+    "adaptive_bucket_count targets ~2k rows per bucket, so tiny "
+    "inputs collapse to 1 bucket (= the plain per-source window, no "
+    "two-phase machinery cost) while big inputs fan out to 256; "
+    "values are bucket-count-independent, so the cum = exclusive "
+    "offset + n_chars stays bit-identical to the window form "
+    "(integer sums) and the oracle is unchanged.",
 )
 def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.prefix import prefix_sums
+    from hdfs_parquet_importer_spark.operators.prefix import (
+        adaptive_bucket_count,
+        md5_byte_bucket,
+        prefix_sums,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
@@ -182,13 +191,13 @@ def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("k"),
     )
-    # Bucket = leading md5 byte: monotone in the order key (hex chars
-    # sort lexicographically = numerically), 256-way.
+    # Parquet-metadata count: one cheap job to size the bucketing.
+    n_buckets = adaptive_bucket_count(docs.count())
     cum = prefix_sums(
         keyed,
         ["k", "doc_id"],
         ["n_chars"],
-        bucket=F.conv(F.substring("k", 1, 2), 16, 10).cast("long"),
+        bucket=md5_byte_bucket(F.col("k"), n_buckets),
         out_cols=["off"],
         group_cols=["source"],
     )

@@ -65,6 +65,17 @@ def main() -> int:
     med: dict[str, dict[str, float]] = {n: {} for n in names}
     totals: dict[str, float] = {}
     for sf, sf_dir in sfs:
+        # Session-state hygiene between SF blocks (BENCH_NOTES r9):
+        # localCheckpoint-heavy queries leave RDD blocks whose release
+        # waits on Python GC of the DataFrame refs; carried into the
+        # next block they stretch ambient noise bursts into
+        # several-sample windows that min-of-N can't cure (the
+        # tokenize_bpe_encode 21 s sf0.1 cell). Collect + clearCache
+        # starts each block from a clean executor heap.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
         for n in names:
             reg[n].fn(spark, sf_dir).collect()  # warmup
         for n in names:
