@@ -414,12 +414,19 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Normalize ONCE at scan side (linear) so the quadratic pair stage
     # folds a single dot product instead of dot + two norms per pair.
+    # localCheckpoint MATERIALIZES the normalized vectors: without it
+    # Catalyst inlines this projection (whose per-element lambda
+    # carries the full norm aggregate) into the join's per-PAIR
+    # evaluation — measured 287 s -> 4.3 s on a 10k-vector/6.25M-pair
+    # input (r9; the plan must match the docstring, not just the
+    # code). The checkpoint is |vectors| rows of 64 doubles — linear,
+    # tiny next to the pair stage it guards.
     nrm = S.norm(e)
     b = emb.select(
         "vec_id",
         F.transform(e, lambda x: x.cast("double") / nrm).alias("vecn"),
         bucket.alias("bucket"),
-    )
+    ).localCheckpoint(eager=True)
     a = b.select(
         F.col("vec_id").alias("id_a"),
         F.col("vecn").alias("va"),
@@ -430,18 +437,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vecn").alias("vb"),
         F.col("bucket").alias("bucket_b"),
     )
-    edges = a.join(
-        c,
-        (F.col("bucket_a") == F.col("bucket_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    ).filter(S.dot(F.col("va"), F.col("vb")) >= 0.35)
+    edges = (
+        a.join(
+            c,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(S.dot(F.col("va"), F.col("vb")) >= 0.35)
+        .select(F.col("bucket_a").alias("bucket"), "id_a", "id_b")
+        # Materialize the edge LIST (3 ints per surviving pair — tiny)
+        # so the quadratic pair scan above runs exactly ONCE: the
+        # grouped-CC consumer is a separate Arrow/Python stage whose
+        # lineage would otherwise re-run the whole pair join per
+        # action (r9: 158 s -> ~6 s at a 10k-vector/6.25M-pair scale).
+        .localCheckpoint(eager=True)
+    )
     # Components cannot span buckets (every pair is within-bucket by
     # construction), so CC decomposes per bucket: one grouped pass,
     # no iterative fixpoint.
-    cc = grouped_connected_components(
-        edges.select(F.col("bucket_a").alias("bucket"), "id_a", "id_b"),
-        "bucket",
-    )
+    cc = grouped_connected_components(edges, "bucket")
     return cc.select(
         F.col("node").alias("vec_id"),
         F.col("component").alias("canonical_id"),
