@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hdfs_parquet_importer_spark.operators.util import record_loop_leg
+
 
 def connected_components(
     edges: DataFrame,
@@ -78,6 +80,7 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("_changed"),
             )
         )
+        record_loop_leg("connected_components.leg", new_labels)
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
@@ -168,6 +171,7 @@ def connected_components_jump(
             .withColumn("_changed", F.col("label") < F.col("_prev"))
             .drop("_prev")
         )
+        record_loop_leg("connected_components_jump.leg", new_labels)
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
@@ -340,6 +344,7 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        record_loop_leg("pagerank.leg", ranks)
         if (
             checkpoint_every
             and not materialize
@@ -466,6 +471,7 @@ def label_propagation(
                 ).alias("top")
             )
             .select("node", F.col("top.label").alias("label"))
-            .localCheckpoint()
         )
+        record_loop_leg("label_propagation.leg", lbl)
+        lbl = lbl.localCheckpoint()
     return lbl

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hdfs_parquet_importer_spark.operators.util import record_loop_leg
+
 
 def covariance_long(emb: DataFrame, col: str = "embedding") -> DataFrame:
     """(i, j, cov) population covariance of an array<float> column.
@@ -98,8 +100,9 @@ def top_eigenvector(
                 F.col("i").cast("int").alias("j"),
                 (F.col("av") / F.col("nrm")).alias("v"),
             )
-            .localCheckpoint(eager=True)
         )
+        record_loop_leg("pca_power.leg", v)
+        v = v.localCheckpoint(eager=True)
     # Rayleigh quotient lambda = v' A v.
     av = (
         cells.join(F.broadcast(v), cells.j == v.j)

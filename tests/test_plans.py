@@ -503,3 +503,46 @@ def test_aqe_skew_join_splits(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Loop-leg gates (VERDICT r8 item 4): iterative operators execute
+# their joins at plan-construction time behind eager localCheckpoints,
+# so the gates above never see the iterated join in the final plan.
+# Loop bodies record each leg's formatted plan via
+# operators/util.record_loop_leg; here one query per loop family runs
+# under capture and every captured leg passes the cartesian gate.
+# ---------------------------------------------------------------------------
+
+# Leg labels allowed a BroadcastNestedLoopJoin: each is a 1-row
+# scalar broadcast (dangling mass / n / merge-state append) — the
+# same justification as the owning query's BRUTE_FORCE_OK entry.
+LOOP_LEG_BNLJ_OK = {"pagerank.leg", "bpe_multiround.leg", "pca_power.leg"}
+
+LOOP_LEG_FAMILIES = {
+    "graph_pagerank": "pagerank.leg",
+    "graph_label_propagation": "label_propagation.leg",
+    "graph_k_core": "k_core_peel.leg",
+    "dedup_clusters": "connected_components.leg",
+    "tokenize_bpe_multiround": "bpe_multiround.leg",
+    "embedding_kmeans": "kmeans.leg",
+}
+
+
+@pytest.mark.parametrize("qname", sorted(LOOP_LEG_FAMILIES))
+def test_loop_leg_plans_pass_gates(spark, sf_dir, qname):
+    from hdfs_parquet_importer_spark.operators.util import capture_loop_legs
+
+    with capture_loop_legs() as legs:
+        # Construction executes the loop (eager checkpoints); the
+        # final collect is irrelevant to the leg capture.
+        registry()[qname].fn(spark, sf_dir)
+    want = LOOP_LEG_FAMILIES[qname]
+    assert want in legs and legs[want], (
+        f"{qname} captured no '{want}' leg — loop instrumentation lost"
+    )
+    for label, plans_ in legs.items():
+        for p in plans_:
+            assert "CartesianProduct" not in p, (qname, label)
+            if label not in LOOP_LEG_BNLJ_OK:
+                assert "BroadcastNestedLoopJoin" not in p, (qname, label)
