@@ -151,28 +151,33 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "topk_orders",
     "unpivot_brand_metrics",
     "window_running_sum",
-    # (P3, AMENDED) The r9 registrations take the two leftover slots
-    # (r8 amendment: new names may seat in-round once P1/P2 and the
-    # committed queue are placed) — URL canonicalization + canonical-
-    # form dedup, VERDICT r8 item 8.
-    "url_canonicalize",
-    "dedup_url_canonical",
+    # (P5) Module representatives: no P1-P4 entry above lands in the
+    # tpch or events modules this round, and the family-coverage gate
+    # (tests/test_smoke.py::test_driver_window_covers_every_family)
+    # requires one row per module — P5 outranks the r8 leftover-slot
+    # amendment, so the two r9 URL registrations queue for r10
+    # instead of seating in-round. Oldest (r4) rows of each module,
+    # family-spread:
+    "q2_min_cost_supplier",
+    "events_session_window",
 )
 # r10 QUEUE (committed now so the next rotation is mechanical):
-# (a) any r9 registrations beyond the two seated above (P3,
-#     registration order);
-# (b) the 36 r4 greens (P4, oldest-first — this drains r4 entirely):
+# (a) the r9 registrations (P3, registration order):
+#     url_canonicalize, dedup_url_canonical;
+# (b) the 34 remaining r4 greens (P4, oldest-first — this drains r4;
+#     q2_min_cost_supplier and events_session_window are windowed in
+#     r9 as the P5 reps above):
 #     agg_having, agg_histogram, agg_mode_per_group,
 #     asof_join_next_purchase, asof_join_purchase_view,
 #     cdc_latest_per_key, corpus_train_eval_split,
 #     events_hourly_rollup, events_interval_join,
-#     events_longest_streak, events_retention, events_session_window,
+#     events_longest_streak, events_retention,
 #     events_sliding_window, events_tumbling_window,
 #     events_user_activity, func_array, func_date, func_explode,
 #     func_json, func_map_props, func_map_transform, func_math,
 #     join_anti, join_full_outer, join_range, join_semi,
 #     q11_important_value, q12_priority_shipping, q20_excess_quantity,
-#     q2_min_cost_supplier, sample_stratified, sample_weighted,
+#     sample_stratified, sample_weighted,
 #     setop_intersect, window_forward_fill, window_lag_lead,
 #     window_share_of_total;
 # (c) then oldest r5 greens, family-spread, to fill the window.
