@@ -105,17 +105,16 @@ def main() -> int:
     header_sf = " | ".join(f"sf{sf} s" for sf in labels)
     header_rt = " | ".join(f"x({a}->{b})" for a, b in steps)
     sf05_note = (
-        "\nThe sf0.5 point is synthesized by tools/make_sf05.py "
-        "(5x key-shifted replication of sf0.1; dims stay real-sized). "
-        "Payloads are deterministically re-keyed per copy (documents: "
-        "alphabet rotation preserving all length statistics; "
-        "embeddings: dimension rotation preserving norms), so "
-        "exact/near-duplicate density matches sf0.1's within-copy "
-        "density instead of every document arriving with 4 verbatim "
-        "twins (VERDICT r7 item 9) — dedup/LSH ratios from this point "
-        "are representative, not an upper bound. Remaining caveat: "
-        "TPC-H fact values repeat 5x (distinct-value growth is "
-        "understated; row counts and join cardinalities are exact).\n"
+        "\nThe sf0.5 point is GENERATED from scratch by "
+        "tools/make_sf05.py (r9, VERDICT r8 item 6): the same "
+        "construction the shipped decades use, measured from sf0.1 "
+        "(Poisson(4) lines/order, quantity-independent uniform "
+        "extendedprice, exponential event values, 5% planted ' dup' "
+        "document copies, unit-norm embeddings with weak label "
+        "signal), produced by distributed seeded Catalyst "
+        "expressions. Distinct-value growth is genuinely linear in "
+        "SF — the earlier key-shifted-replication caveats (repeated "
+        "fact values, understated distinct growth) no longer apply.\n"
         if "0.5" in labels
         else ""
     )
