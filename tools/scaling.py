@@ -78,13 +78,27 @@ def main() -> int:
         spark.catalog.clearCache()
         for n in names:
             reg[n].fn(spark, sf_dir).collect()  # warmup
+        # Samples are split into TWO temporally separated passes over
+        # the query list (runs-1 consecutive samples, then one more
+        # in a later pass). Host noise bursts arrive as a contiguous
+        # time window, so back-to-back-only sampling lets one burst
+        # corrupt ALL N samples of a query (the r8 bpe 21 s cell and
+        # the first r9 study's q1 sf0.1 cell — min-of-N can't cure a
+        # burst longer than the N runs); with the second pass minutes
+        # away, a burst must span both passes to corrupt the min.
+        # Samples within a pass stay CONSECUTIVE on purpose: full
+        # round-robin interleaving thrashes the bounded codegen cache
+        # across 44 queries and recompiles every sample (+50%
+        # measured at sf0.001).
+        samples: dict[str, list[float]] = {n: [] for n in names}
+        for pass_runs in (range(runs - 1), range(1)):
+            for n in names:
+                for _ in pass_runs:
+                    t0 = time.perf_counter()
+                    reg[n].fn(spark, sf_dir).collect()
+                    samples[n].append(time.perf_counter() - t0)
         for n in names:
-            samples = []
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                reg[n].fn(spark, sf_dir).collect()
-                samples.append(time.perf_counter() - t0)
-            med[n][sf] = round(min(samples), 3)
+            med[n][sf] = round(min(samples[n]), 3)
         totals[sf] = round(sum(med[n][sf] for n in names), 3)
         print(f"sf{sf}: total {totals[sf]}s", flush=True)
 
