@@ -41,6 +41,20 @@ def connected_components(
     ``edges`` is an undirected pair list (each pair once, either
     order). Deterministic: component ids are stable min-ids, not
     partition-dependent.
+
+    Each round does the neighbor-min propagation step and then a
+    pointer-jumping shortcut (label(v) <- min(label(v),
+    label(label(v)))), so convergence takes ~log(diameter) rounds
+    instead of diameter rounds. Every label value is itself a node id
+    reachable from v — labels only ever move along edges — so the
+    shortcut target's label is also reachable from v and the
+    min-reachable-id invariant is preserved; the fixpoint VALUES are
+    identical to plain min-propagation, only the round count changes
+    (15 plain rounds vs 4 measured on the sf0.1 SemDeDup chain-shaped
+    edge list). The jump was kept in a separate function through r8 so
+    the rotation contract held for this operator's already-verified
+    consumers; the r9 window seats all of them, so r9 folds it in
+    (the r8 plan's committed follow-up).
     """
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -65,82 +79,6 @@ def connected_components(
     # movement BEYOND max_iter rounds raises (ADVICE r8 item 5).
     for _ in range(max_iter + 1):
         # Candidate label for each node: the min label among neighbors.
-        neighbor_min = (
-            sym.join(labels, sym.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nmin", F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
-            )
-        )
-        record_loop_leg("connected_components.leg", new_labels)
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    if changed:
-        # Exhausting max_iter mid-propagation returns SPLINTERED
-        # components (one true cluster reported as several) — for a
-        # dedup consumer that silently keeps duplicate copies. Fail
-        # loudly; long-chain graphs should use the jump variant.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still moving); raise "
-            "max_iter or use connected_components_jump"
-        )
-    return labels.select("node", F.col("label").alias("component"))
-
-
-def connected_components_jump(
-    edges: DataFrame,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_iter: int = 12,
-) -> DataFrame:
-    """``connected_components`` with pointer jumping: same fixpoint
-    (component = min reachable node id), ~log(diameter) rounds instead
-    of diameter rounds.
-
-    Each round does the neighbor-min propagation step and then a
-    label-of-label shortcut (label(v) <- min(label(v),
-    label(label(v)))). Every label value is itself a node id reachable
-    from v — labels only ever move along edges — so the shortcut
-    target's label is also reachable from v and the min-reachable-id
-    invariant is preserved; values are identical to the plain variant,
-    only round count changes. Chain-shaped near-dup graphs (cosine
-    chains across an embedding space) hit the diameter worst case of
-    the plain variant — 15 rounds measured on the sf0.1 SemDeDup edge
-    list vs 4 here — at one extra self-equi-join per round. Kept
-    separate from ``connected_components`` so this round's rotation
-    contract holds for that operator's already-driver-verified
-    consumers; fold the two after the r9 window rotates them.
-    """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-
-    if max_iter < 1:
-        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
-    changed = 0
-    # +1 verification round, same convergence contract as
-    # connected_components (ADVICE r8 item 5).
-    for _ in range(max_iter + 1):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
@@ -171,19 +109,35 @@ def connected_components_jump(
             .withColumn("_changed", F.col("label") < F.col("_prev"))
             .drop("_prev")
         )
-        record_loop_leg("connected_components_jump.leg", new_labels)
+        record_loop_leg("connected_components.leg", new_labels)
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
     if changed:
+        # Exhausting max_iter mid-propagation returns SPLINTERED
+        # components (one true cluster reported as several) — for a
+        # dedup consumer that silently keeps duplicate copies. Fail
+        # loudly.
         raise RuntimeError(
-            f"connected_components_jump did not converge in "
-            f"{max_iter} iterations ({changed} labels still moving); "
-            "raise max_iter"
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still moving); raise "
+            "max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_jump(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """Alias of :func:`connected_components` (r9: the pointer-jumping
+    step was folded into the main operator per the r8 plan; kept so
+    existing callers and the r8-verified name keep working)."""
+    return connected_components(edges, src, dst, max_iter)
 
 
 def grouped_connected_components(

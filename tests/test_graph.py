@@ -238,25 +238,28 @@ def test_cc_converges_exactly_at_max_iter(spark):
     """ADVICE r8 item 5: a graph whose labels stop moving exactly on
     round max_iter is CONVERGED — the verification round must observe
     changed == 0 instead of raising; movement beyond max_iter still
-    raises; max_iter=0 is rejected (not a silent identity labeling)."""
+    raises; max_iter=0 is rejected (not a silent identity labeling).
+    Round counts are for the r9 folded (pointer-jumping) operator: a
+    31-node path converges in exactly 4 rounds."""
     import pytest
 
     from hdfs_parquet_importer_spark.operators.graph import (
         connected_components,
     )
 
-    # A 6-node path needs exactly 5 min-propagation rounds.
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
     )
+    # Converges exactly at the limit: the +1 verification round sees
+    # changed == 0 and must NOT raise.
     got = {
         (r.node, r.component)
-        for r in connected_components(chain, max_iter=5).collect()
+        for r in connected_components(chain, max_iter=4).collect()
     }
-    assert got == {(i, 0) for i in range(6)}
+    assert got == {(i, 0) for i in range(31)}
 
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=3)
 
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(chain, max_iter=0)
