@@ -105,6 +105,10 @@ HEADLINE = [
     # r8 second batch: SemDeDup (cluster-scoped embedding dedup +
     # recursive-closure-oracled CC) — benched from birth.
     "dedup_semdedup",
+    # r9: the crawl URL-canonicalization pre-dedup stage (pure
+    # scan-side Catalyst canonical form + one hash-groupBy exchange)
+    # — benched from birth.
+    "dedup_url_canonical",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -85,3 +85,36 @@ def test_plan_is_scan_side(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_canonicalize_idempotent_on_generated_urls(spark):
+    """Property: canon(canon(u)) == canon(u) for adversarial
+    generated URLs. All examples ride ONE DataFrame pass (hypothesis'
+    per-example style would launch minutes of Spark jobs); the
+    example set is drawn once with a fixed seed for determinism."""
+    import random
+
+    rnd = random.Random(42)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b.c", "X--Y.net", "localhost"]
+    ports = ["", ":80", ":443", ":8080", ":0", ":65535"]
+    paths = ["", "/", "//", "/a", "/a/", "/a//b///c/", "/%20x", "/a.b,c"]
+    queries = [
+        "", "?", "?a=1", "?b=2&a=1", "?a=1&&b=2", "?utm_source=z&a=1",
+        "?ref=x", "?refx=1&fbclid=2", "?a=b=c&d", "?=empty&a=1",
+    ]
+    frags = ["", "#", "#f", "#a?b=1"]
+    urls = [
+        rnd.choice(schemes) + "://" + rnd.choice(hosts) + rnd.choice(ports)
+        + rnd.choice(paths) + rnd.choice(queries) + rnd.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["raw"])
+    once = canonicalize_url(F.col("raw")).alias("c1")
+    rows = (
+        df.select(F.col("raw"), once)
+        .select("raw", "c1", canonicalize_url(F.col("c1")).alias("c2"))
+        .collect()
+    )
+    bad = [(r.raw, r.c1, r.c2) for r in rows if r.c1 != r.c2]
+    assert not bad, bad[:5]
