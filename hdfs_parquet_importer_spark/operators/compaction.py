@@ -112,7 +112,7 @@ def compact_parquet(
         from pyspark.sql import functions as F
 
         dir_files = {
-            d: max(1, math.ceil(b / target_bytes))
+            _norm_uri(d): max(1, math.ceil(b / target_bytes))
             for d, b in _partition_dir_bytes(spark, src).items()
         }
         n_map = None
@@ -122,14 +122,29 @@ def compact_parquet(
                 pairs.extend([F.lit(d), F.lit(nf)])
             n_map = F.create_map(*pairs)
         data_cols = [c for c in df.columns if c not in part_cols]
-        file_dir = F.regexp_replace(F.input_file_name(), "/[^/]*$", "")
+        # Both sides of the lookup go through the same scheme/slash
+        # normalization: Hadoop Path.toString() prints 'file:/tmp/x'
+        # while input_file_name() prints 'file:///tmp/x' — the raw
+        # strings NEVER match (r9 review), which silently degraded
+        # every directory to one output file.
+        file_dir = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.input_file_name(), "/[^/]*$", ""),
+                "^[A-Za-z][A-Za-z0-9+.-]*:", "",
+            ),
+            "^/+", "",
+        )
         # Fallback to 1 file per (task, value) if a URI-encoding
         # mismatch keeps the lookup from resolving — degrades to
         # fewer, larger files, never wrong data.
         n_files = (
             F.coalesce(n_map[file_dir], F.lit(1)) if n_map is not None else F.lit(1)
         )
-        salt = F.pmod(F.xxhash64(*data_cols), n_files)
+        # All-partition-column tables have nothing row-level to hash:
+        # one file per directory is the only sensible layout.
+        salt = (
+            F.pmod(F.xxhash64(*data_cols), n_files) if data_cols else F.lit(0)
+        )
         df = df.withColumn("__compact_salt", salt).repartition(
             plan.n_output_files, *part_cols, "__compact_salt"
         ).drop("__compact_salt")
@@ -144,19 +159,38 @@ def compact_parquet(
     return plan
 
 
+def _norm_uri(path: str) -> str:
+    """Scheme-and-leading-slash-insensitive form of a path URI, so
+    Hadoop ``Path.toString()`` ('file:/tmp/x', 'hdfs://nn/x') and
+    Spark ``input_file_name()`` ('file:///tmp/x', 'hdfs://nn/x')
+    spellings of the same location compare equal."""
+    import re
+
+    return re.sub(r"^/+", "", re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:", "", path))
+
+
 def _infer_partition_cols(spark: SparkSession, df) -> list[str]:
     """Directory-derived (Hive ``key=value``) columns of ``df``.
 
     A single leaf file read directly has no partition directories
     above it, so its footer schema is exactly the non-partition
     columns; the difference (in dataset-schema order, which is the
-    directory nesting order) is the partition column list.
+    directory nesting order) is the partition column list. Each
+    candidate must ALSO appear as a ``/<name>=`` path segment of the
+    probed file: under schema evolution a data column missing from an
+    older file's footer would otherwise be misread as a partition
+    column and the rewrite would partitionBy a (possibly
+    high-cardinality) data column (r9 review).
     """
     files = df.inputFiles()
     if not files:
         return []
     leaf_fields = {f.name for f in spark.read.parquet(files[0]).schema.fields}
-    return [f.name for f in df.schema.fields if f.name not in leaf_fields]
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.name not in leaf_fields and f"/{f.name}=" in files[0]
+    ]
 
 
 def _partition_dir_bytes(spark: SparkSession, src: str) -> dict[str, int]:

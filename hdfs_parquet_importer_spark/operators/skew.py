@@ -117,13 +117,25 @@ def _merge_fn(name: str, expr: Column):
     # UnresolvedFunction carrying the name and the isDistinct flag
     # (the Column repr HIDES DISTINCT — count_distinct(x) prints as
     # 'count(x)' — so string parsing would wave bad partials through).
+    # Introspection FAILURE (no _jc/node in this environment, e.g.
+    # Spark Connect) must stay distinct from a non-mergeable verdict:
+    # silently rejecting F.sum there would break every salted_agg
+    # caller with a misleading message (r9 review).
+    if not hasattr(expr, "_jc"):
+        raise TypeError(
+            f"salted_agg cannot validate partial {name!r} in this "
+            "environment: Column.node introspection (classic PySpark "
+            ">= 4) is required to enforce the mergeable-aggregate "
+            "contract, and Spark Connect columns do not expose it."
+        )
     fn, distinct = None, False
     try:
         node = expr._jc.node()
         fn = node.functionName().lower()
         distinct = bool(node.isDistinct())
     except Exception:
-        pass  # not a plain function call (arithmetic, literal, ...)
+        pass  # a real node, but not a plain function call (arithmetic,
+        # literal, ...) — correctly rejected below as non-mergeable
     if fn not in _MERGE_BY_FN or distinct:
         raise ValueError(
             f"salted_agg partial {name!r} = {expr} is not "

@@ -16,16 +16,23 @@ the canonical key is the only shuffle of the whole stage.
 
 The rules (applied in order):
 
-1. scheme and host lowercased;
+1. scheme and host lowercased (bracketed IPv6 hosts kept whole);
 2. explicit default port stripped (``http:80``, ``https:443``); any
    other explicit port kept;
 3. path: runs of ``/`` collapsed, empty path → ``/``, trailing slash
    stripped (except the root path);
 4. query: parameters split on ``&``, tracking parameters
-   (``utm_*``/``ref``/``fbclid``/``gclid``) and empty fragments
-   dropped, the rest sorted byte-wise and rejoined — parameter ORDER
-   never distinguishes two URLs;
-5. fragment dropped (never sent to the server).
+   (``utm_*``/``ref``/``fbclid``/``gclid``, with or without ``=``)
+   and empty fragments dropped, the rest sorted byte-wise and
+   rejoined — parameter ORDER never distinguishes two URLs;
+5. fragment dropped (never sent to the server) — including any ``?``
+   that appears only inside the fragment.
+
+Inputs WITHOUT a ``scheme://`` prefix (scheme-relative or malformed
+crawl artifacts) pass through UNCHANGED: canonicalization is defined
+for absolute URLs, and collapsing undecodable inputs onto a shared
+key would merge unrelated documents — passthrough preserves
+distinctness and keeps the function idempotent.
 
 Every rule is restricted to the Java-regex ∩ RE2 dialect so the DuckDB
 oracle (`canonicalize_url_sql`) replays the exact same pipeline.
@@ -36,21 +43,31 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Tracking parameters dropped by rule 4. Shared with the SQL twin.
-TRACKING_PARAM_RE = "^(utm_|ref=|fbclid=|gclid=)"
+# Tracking parameters dropped by rule 4 (bare '?ref' and valued
+# '?ref=x' alike — the alias with and without a value is the same
+# page). Shared with the SQL twin.
+TRACKING_PARAM_RE = "^(utm_|ref(=|$)|fbclid(=|$)|gclid(=|$))"
 
+_ABS_RE = "^[A-Za-z][A-Za-z0-9+.-]*://"
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+# The query must start BEFORE any '#': '[^#?]*' pins the match to the
+# first '?' of the pre-fragment region, so a '?' that appears only
+# inside the fragment (e.g. '/a#x?y=1') is dropped with the fragment.
+_QUERY_RE = "^[^#?]*\\?([^#]*)"
+# Host: a bracketed IPv6 literal is kept whole; otherwise everything
+# up to the first ':' (the port separator).
+_HOST_RE = "^(\\[[^\\]]*\\]|[^:]*)"
+_PORT_RE = "^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$"
 
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of ``url`` as a pure Catalyst expression."""
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     hostport = F.regexp_extract(url, _HOSTPORT_RE, 1)
-    host = F.lower(F.regexp_extract(hostport, "^([^:]*)", 1))
-    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.lower(F.regexp_extract(hostport, _HOST_RE, 1))
+    port = F.regexp_extract(hostport, _PORT_RE, 1)
     raw_path = F.regexp_extract(url, _PATH_RE, 1)
     query = F.regexp_extract(url, _QUERY_RE, 1)
 
@@ -77,7 +94,7 @@ def canonicalize_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
+    canon = F.concat(
         scheme,
         F.lit("://"),
         host,
@@ -85,6 +102,10 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
     )
+    # Non-absolute inputs pass through unchanged (module docstring):
+    # without a scheme every component regex comes back empty and all
+    # such inputs would collapse onto the shared key ':///...'.
+    return F.when(url.rlike(_ABS_RE), canon).otherwise(url)
 
 
 def canonicalize_url_sql(url_expr: str) -> str:
@@ -96,10 +117,10 @@ def canonicalize_url_sql(url_expr: str) -> str:
     """
     scheme = f"lower(regexp_extract({url_expr}, '{_SCHEME_RE}', 1))"
     hostport = f"regexp_extract({url_expr}, '{_HOSTPORT_RE}', 1)"
-    host = f"lower(regexp_extract({hostport}, '^([^:]*)', 1))"
-    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    host = f"lower(regexp_extract({hostport}, '{_HOST_RE}', 1))"
+    port = f"regexp_extract({hostport}, '{_PORT_RE}', 1)"
     raw_path = f"regexp_extract({url_expr}, '{_PATH_RE}', 1)"
-    query = f"regexp_extract({url_expr}, '\\?([^#]*)', 1)"
+    query = f"regexp_extract({url_expr}, '{_QUERY_RE}', 1)"
     port_part = (
         f"CASE WHEN {port} = '' OR ({scheme} = 'http' AND {port} = '80') "
         f"OR ({scheme} = 'https' AND {port} = '443') "
@@ -114,7 +135,11 @@ def canonicalize_url_sql(url_expr: str) -> str:
         f"array_to_string(list_sort(list_filter(string_split({query}, '&'), "
         f"p -> length(p) > 0 AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))), '&')"
     )
-    return (
+    canon = (
         f"{scheme} || '://' || {host} || {port_part} || {path} || "
         f"CASE WHEN {params} <> '' THEN '?' || {params} ELSE '' END"
+    )
+    return (
+        f"CASE WHEN regexp_matches({url_expr}, '{_ABS_RE}') "
+        f"THEN {canon} ELSE {url_expr} END"
     )

@@ -92,9 +92,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (P1) Changed in r9 (ADVICE r8 fixes touch shared operators):
     #   mix_domain_quota — scale-aware bucket count in the grouped
     #       prefix sum (VERDICT r8 item 5), value-identical;
-    #   agg_salted_two_phase — salted_agg salt made retry-
-    #       deterministic + mergeable-aggregate guard (ADVICE item 4),
-    #       value-identical;
+    #   agg_salted_two_phase — salted_agg now ENFORCES the
+    #       merge-associative-partial contract (ADVICE item 4; the
+    #       counter salt stays retry-nondeterministic, which the
+    #       enforced contract makes provably harmless), min/max
+    #       partials merge with min/max; value-identical;
     #   dedup_clusters / dedup_cluster_canonical /
     #   fuzzy_name_clusters — connected_components convergence-on-
     #       final-round fix (ADVICE item 5), value-identical on these

@@ -164,3 +164,37 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_partitioned_compaction_splits_large_partitions(spark, sf_dir, tmp_path):
+    """r9 review: the per-directory sizing must actually resolve —
+    Path.toString() ('file:/...') and input_file_name()
+    ('file:///...') spell the same dir differently, and an unmatched
+    lookup silently fell back to ONE file per partition directory.
+    With a target far below a directory's bytes, each directory must
+    split into multiple output files."""
+    src = str(tmp_path / "bigpart_src")
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("bucket", (F.col("l_orderkey") % 2).cast("int"))
+        .repartition(8)
+        .write.partitionBy("bucket")
+        .parquet(src)
+    )
+    per_dir_bytes = {}
+    import os
+
+    for d in glob.glob(f"{src}/bucket=*"):
+        per_dir_bytes[d] = sum(
+            os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+        )
+    target = min(per_dir_bytes.values()) // 3  # demand >=3 files per dir
+    dest = str(tmp_path / "bigpart_dest")
+    compact_parquet(spark, src, dest, target_bytes=target)
+    for d in glob.glob(f"{dest}/bucket=*"):
+        n = len(glob.glob(f"{d}/*.parquet"))
+        assert n >= 2, f"{d} got {n} files — per-dir sizing fell back to 1"
+    assert (
+        spark.read.parquet(dest).count()
+        == spark.read.parquet(src).count()
+    )

@@ -194,44 +194,64 @@ def test_label_propagation_deterministic(spark):
     assert a == b
 
 
-def test_jump_variant_matches_plain_cc(spark, sf_dir):
-    """connected_components_jump must compute the identical fixpoint
-    (min reachable id) as the plain variant on the real MinHash pair
-    graph, and on a long chain (the jump variant's worst-case input
-    for the plain one)."""
+def _union_find_reference(edge_rows):
+    """Driver-side min-id components — the INDEPENDENT oracle for the
+    folded operator (the pre-r9 jump-vs-plain comparison became
+    vacuous once _jump turned into an alias; r9 review)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_independent_union_find(spark, sf_dir):
+    """connected_components (pointer-jumping since r9) must compute
+    the identical fixpoint (min reachable id) as a driver-side
+    union-find on a long chain (the shortcut's worst-case input) and
+    on the real MinHash pair graph; the _jump alias stays
+    value-identical."""
     from hdfs_parquet_importer_spark.operators.graph import (
         connected_components,
         connected_components_jump,
     )
 
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(30, 60)], ["id_a", "id_b"]
-    )
-    plain = {
+    chain_edges = [(i, i + 1) for i in range(30, 60)]
+    chain = spark.createDataFrame(chain_edges, ["id_a", "id_b"])
+    got = {
         (r.node, r.component)
         for r in connected_components(chain, max_iter=40).collect()
     }
-    jumped = {
+    want = set(_union_find_reference(chain_edges).items())
+    assert got == want
+    assert all(c == 30 for _, c in got)
+    alias = {
         (r.node, r.component)
         for r in connected_components_jump(chain).collect()
     }
-    assert jumped == plain
-    assert all(c == 30 for _, c in jumped)
+    assert alias == want
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.8
     ).select("id_a", "id_b")
-    if pairs.count():
-        p = {
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    if pair_rows:
+        got = {
             (r.node, r.component)
             for r in connected_components(pairs).collect()
         }
-        j = {
-            (r.node, r.component)
-            for r in connected_components_jump(pairs).collect()
-        }
-        assert j == p
+        assert got == set(_union_find_reference(pair_rows).items())
 
 
 def test_cc_converges_exactly_at_max_iter(spark):

@@ -118,3 +118,35 @@ def test_canonicalize_idempotent_on_generated_urls(spark):
     )
     bad = [(r.raw, r.c1, r.c2) for r in rows if r.c1 != r.c2]
     assert not bad, bad[:5]
+
+
+REVIEW_CASES = [
+    # r9 review findings: fragment-'?' leak, schemeless collapse,
+    # IPv6 bracket truncation, bare tracking params.
+    ("https://example.com/a#a?b=1", "https://example.com/a"),
+    ("example.com/a?x=1", "example.com/a?x=1"),  # non-absolute: passthrough
+    ("//cdn.example.com/x", "//cdn.example.com/x"),  # scheme-relative
+    ("https://[::1]:443/a", "https://[::1]/a"),
+    ("https://[::1]:8443/a", "https://[::1]:8443/a"),
+    ("https://[2001:db8::1]/a", "https://[2001:db8::1]/a"),
+    ("https://example.com/a?ref", "https://example.com/a"),
+    ("https://example.com/a?fbclid", "https://example.com/a"),
+    ("https://example.com/a?refx=1", "https://example.com/a?refx=1"),
+]
+
+
+def test_review_edge_cases_spark_and_sql(spark):
+    df = spark.createDataFrame([(r,) for r, _ in REVIEW_CASES], ["raw"])
+    got = [
+        r.canon
+        for r in df.select(canonicalize_url(F.col("raw")).alias("canon"))
+        .collect()
+    ]
+    assert got == [c for _, c in REVIEW_CASES]
+    con = duckdb.connect()
+    expr = canonicalize_url_sql("raw")
+    for raw, want in REVIEW_CASES:
+        [(g,)] = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS raw)", [raw]
+        ).fetchall()
+        assert g == want, raw
