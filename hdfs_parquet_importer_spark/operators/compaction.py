@@ -145,8 +145,20 @@ def compact_parquet(
         salt = (
             F.pmod(F.xxhash64(*data_cols), n_files) if data_cols else F.lit(0)
         )
-        df = df.withColumn("__compact_salt", salt).repartition(
-            plan.n_output_files, *part_cols, "__compact_salt"
+        # Range-partition on (part_cols, salt) rather than hash: with
+        # K ≈ n_output_files distinct keys hashed into K partitions,
+        # ~1/e of the partitions come up empty and colliding salts of
+        # the same directory merge, so per-directory file counts
+        # systematically undershoot and file sizes overshoot ~2x
+        # (ADVICE r9). Range exchange assigns each distinct key its
+        # own contiguous partition (equal keys never split; sampled
+        # boundaries separate well-populated keys), at the cost of
+        # one extra sampling pass — fine for a maintenance rewrite.
+        total_target = (
+            sum(dir_files.values()) if dir_files else plan.n_output_files
+        )
+        df = df.withColumn("__compact_salt", salt).repartitionByRange(
+            max(1, total_target), *part_cols, "__compact_salt"
         ).drop("__compact_salt")
     else:
         df = df.repartition(plan.n_output_files)

@@ -32,7 +32,15 @@ Inputs WITHOUT a ``scheme://`` prefix (scheme-relative or malformed
 crawl artifacts) pass through UNCHANGED: canonicalization is defined
 for absolute URLs, and collapsing undecodable inputs onto a shared
 key would merge unrelated documents — passthrough preserves
-distinctness and keeps the function idempotent.
+distinctness and keeps the function idempotent. URLs whose authority
+carries RFC 3986 userinfo (``user:pw@host``) pass through for the
+same reason: ``_HOST_RE`` reads up to the first ``:``, which inside a
+userinfo authority is the *username* — two different hosts behind the
+same username would collapse onto one canonical key and the dedup
+survivor policy would silently drop documents from a different host
+(ADVICE r9). Real crawls contain such URLs but they are rare and
+usually non-content (auth endpoints), so keeping them distinct is the
+safe trade.
 
 Every rule is restricted to the Java-regex ∩ RE2 dialect so the DuckDB
 oracle (`canonicalize_url_sql`) replays the exact same pipeline.
@@ -104,8 +112,13 @@ def canonicalize_url(url: Column) -> Column:
     )
     # Non-absolute inputs pass through unchanged (module docstring):
     # without a scheme every component regex comes back empty and all
-    # such inputs would collapse onto the shared key ':///...'.
-    return F.when(url.rlike(_ABS_RE), canon).otherwise(url)
+    # such inputs would collapse onto the shared key ':///...'. A
+    # userinfo authority ('user:pw@host') also passes through — the
+    # host split above would otherwise canonicalize two DIFFERENT
+    # hosts behind one username to the same key (ADVICE r9).
+    return F.when(
+        url.rlike(_ABS_RE) & ~hostport.contains("@"), canon
+    ).otherwise(url)
 
 
 def canonicalize_url_sql(url_expr: str) -> str:
@@ -141,5 +154,6 @@ def canonicalize_url_sql(url_expr: str) -> str:
     )
     return (
         f"CASE WHEN regexp_matches({url_expr}, '{_ABS_RE}') "
+        f"AND strpos({hostport}, '@') = 0 "
         f"THEN {canon} ELSE {url_expr} END"
     )

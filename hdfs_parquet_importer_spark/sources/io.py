@@ -171,6 +171,12 @@ def cached_tmp_dataset(namespace: str, src_paths: list[str], build) -> str:
             f"cache root {root_dir} is owned by uid {st.st_uid}, "
             f"not {uid}; remove it or set TMPDIR elsewhere"
         )
+    # makedirs' mode only applies when it CREATES the directory; a
+    # pre-existing same-uid root with wider perms would silently keep
+    # them (ADVICE r9). chmod unconditionally (after the ownership
+    # check, so a squatted dir still gets the clean error above) so
+    # the documented 0700 holds no matter who created it first.
+    os.chmod(root_dir, 0o700)
     marker_name = "_GRAFT_COMPLETE"
     final = os.path.join(root_dir, f"{namespace}_{key}")
     if os.path.exists(final):

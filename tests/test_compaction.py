@@ -191,9 +191,23 @@ def test_partitioned_compaction_splits_large_partitions(spark, sf_dir, tmp_path)
     target = min(per_dir_bytes.values()) // 3  # demand >=3 files per dir
     dest = str(tmp_path / "bigpart_dest")
     compact_parquet(spark, src, dest, target_bytes=target)
+    import math
+
     for d in glob.glob(f"{dest}/bucket=*"):
         n = len(glob.glob(f"{d}/*.parquet"))
-        assert n >= 2, f"{d} got {n} files — per-dir sizing fell back to 1"
+        # ADVICE r9: hash-repartitioning K keys into K partitions
+        # merged ~1/e of them, so this used to assert only >=2 where
+        # >=3 were requested. With repartitionByRange each (dir,
+        # salt) key gets its own partition, so the count must now hit
+        # the plan exactly.
+        expected = math.ceil(
+            per_dir_bytes[str(tmp_path / "bigpart_src") + "/" + d.split("/")[-1]]
+            / target
+        )
+        assert n == expected, (
+            f"{d} got {n} files, planned {expected} — per-dir sizing "
+            "did not resolve or range partitioning merged keys"
+        )
     assert (
         spark.read.parquet(dest).count()
         == spark.read.parquet(src).count()

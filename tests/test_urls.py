@@ -96,7 +96,13 @@ def test_canonicalize_idempotent_on_generated_urls(spark):
 
     rnd = random.Random(42)
     schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
-    hosts = ["Example.COM", "a.b.c", "X--Y.net", "localhost"]
+    hosts = [
+        "Example.COM", "a.b.c", "X--Y.net", "localhost",
+        # userinfo authorities: passthrough (ADVICE r9), and
+        # passthrough is trivially idempotent — but keep them in the
+        # generator so a future host-split change can't regress it.
+        "alice:pw@Site.COM", "bob@h.net",
+    ]
     ports = ["", ":80", ":443", ":8080", ":0", ":65535"]
     paths = ["", "/", "//", "/a", "/a/", "/a//b///c/", "/%20x", "/a.b,c"]
     queries = [
@@ -132,6 +138,13 @@ REVIEW_CASES = [
     ("https://example.com/a?ref", "https://example.com/a"),
     ("https://example.com/a?fbclid", "https://example.com/a"),
     ("https://example.com/a?refx=1", "https://example.com/a?refx=1"),
+    # ADVICE r9 (medium): userinfo authorities pass through — the host
+    # split would otherwise collapse DIFFERENT hosts behind one
+    # username ('alice@site1.com' and 'alice@site2.com' → 'alice').
+    ("https://alice:pw@site1.com/p", "https://alice:pw@site1.com/p"),
+    ("https://alice:pw@site2.com/p", "https://alice:pw@site2.com/p"),
+    ("http://bob@example.com:80/a/", "http://bob@example.com:80/a/"),
+    ("ftp://u@h/x//y?utm_source=1", "ftp://u@h/x//y?utm_source=1"),
 ]
 
 

@@ -320,15 +320,19 @@ def _gen_documents(spark: SparkSession, scale: float) -> DataFrame:
     # 5% of docs copy an EARLIER doc's text + ' dup' (the planted
     # near-dup structure). The source doc's text is recomputed from
     # its id via the same deterministic expression — zero joins. A
-    # source that is itself a dup-doc is nudged down one id so the
-    # copied body is always an original's.
+    # source that is itself a dup-doc is nudged down one id, REPEATED
+    # until the landed-on id is a non-dup: a single step could land on
+    # another dup (~5% chance), whose recomputed body is NOT its
+    # actual text (ADVICE r9). Six unrolled steps bound the residual
+    # at 20^-6 ≈ 1.6e-8 per doc — zero expected misses even at sf1.
     is_dup = (_i("id", salt="d_isdup", n=20) == 19) & (id_ >= 20)
     src_raw = _i("id", salt="d_src", n=n_docs)
     src = F.when(src_raw >= id_, F.pmod(src_raw, F.greatest(id_, F.lit(1))))\
         .otherwise(src_raw)
-    src = F.when(
-        (_i(src, salt="d_isdup", n=20) == 19) & (src >= 20), src - 1
-    ).otherwise(src)
+    for _ in range(6):
+        src = F.when(
+            (_i(src, salt="d_isdup", n=20) == 19) & (src >= 20), src - 1
+        ).otherwise(src)
     src_words = 10 + _i(src, salt="d_len", n=91)
     text = F.when(
         is_dup, F.concat(_doc_words(src, src_words), F.lit(" dup"))
