@@ -1,0 +1,156 @@
+"""SemDeDup (Abbas et al. 2023, public method) as a parameterized
+operator: cluster the embedding space, find near-duplicate pairs ONLY
+within a cluster, connected-components the edge list, keep the min-id
+canonical per component.
+
+The CLUSTER COUNT is the load-bearing production knob (VERDICT r9
+item 4): the pair stage is quadratic per cluster, so total pair work
+is sum(n_b^2) ~ n^2 / 2^bits for balanced buckets. Production scales
+clusters with corpus size — constant expected cluster size gives
+LINEAR total pair work. This module exposes that knob as ``bits``
+(signed-random-projection bucket width); the registered
+``dedup_semdedup`` query pins ``bits=3`` so its DuckDB oracle replays
+the identical buckets, and ``tests/test_semdedup_knob.py`` verifies
+value-level correctness at two knob settings plus the refinement
+property (finer buckets only ever REMOVE candidate pairs, because the
+b-bit bucket is a prefix of the (b+k)-bit bucket).
+
+The SRP axes are fixed dims 0..bits-1 (not learned k-means centroids)
+precisely so both engines replay the bucketing bit-identically; swap
+in ``operators/kmeans.assign`` for learned clusters — the downstream
+shape (bucket equi-join, grouped CC) is unchanged.
+
+Scale notes (measured r9, preserved here from queries/llm.py):
+vectors are normalized ONCE scan-side so the quadratic pair stage
+folds a single dot product; ``localCheckpoint`` MATERIALIZES that
+projection — without it Catalyst inlines the per-element lambda
+(carrying the full norm aggregate) into the join's per-PAIR
+evaluation (287 s -> 4.3 s on 10k vectors / 6.25M pairs). The edge
+list is materialized too (3 ints per surviving pair) so the
+quadratic scan runs exactly once rather than per downstream action
+(158 s -> ~6 s at the same scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators import similarity as S
+
+
+def srp_bucket(vec: Column, bits: int) -> Column:
+    """Deterministic signed-random-projection bucket: bit i is the
+    sign of dim i, MSB-first — so the ``bits``-bit bucket id is a
+    strict prefix of any wider bucketing (nested refinement)."""
+    if bits < 1:
+        raise ValueError(f"bits must be >= 1, got {bits}")
+    out = F.lit(0)
+    for i in range(bits):
+        out = out + (vec[i] > 0).cast("int") * (1 << (bits - 1 - i))
+    return out
+
+
+def srp_bucket_sql(vec_expr: str, bits: int) -> str:
+    """DuckDB twin of :func:`srp_bucket` (1-based list indexing)."""
+    terms = [
+        f"{1 << (bits - 1 - i)}*CAST({vec_expr}[{i + 1}] > 0 AS INT)"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    bits: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over ``emb`` -> (vec_id, canonical_id, is_removed).
+
+    ``bits`` controls the cluster count (2^bits SRP buckets); see the
+    module docstring for the production sizing rule. All joins are
+    bucket equi-joins; CC is ONE grouped union-find pass (components
+    cannot span buckets by construction — no iterative fixpoint).
+    """
+    from hdfs_parquet_importer_spark.operators.graph import (
+        grouped_connected_components,
+    )
+
+    e = F.col(vec_col)
+    # Normalize ONCE at scan side (linear) so the quadratic pair stage
+    # folds a single dot product instead of dot + two norms per pair.
+    # localCheckpoint materializes the projection — see module
+    # docstring for the measured Catalyst-inlining failure mode.
+    nrm = S.norm(e)
+    b = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(e, lambda x: x.cast("double") / nrm).alias("vecn"),
+        srp_bucket(e, bits).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    a = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vecn").alias("va"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vecn").alias("vb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    edges = (
+        a.join(
+            c,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(S.dot(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("bucket_a").alias("bucket"), "id_a", "id_b")
+        # Materialize the edge LIST so the quadratic pair scan runs
+        # exactly ONCE (module docstring).
+        .localCheckpoint(eager=True)
+    )
+    cc = grouped_connected_components(edges, "bucket")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") != F.col("component")).alias("is_removed"),
+    )
+
+
+def semdedup_oracle_sql(*, bits: int = 3, threshold: float = 0.35) -> str:
+    """DuckDB replay of :func:`semdedup` at the same knob settings.
+
+    Replays the SAME normalize-then-dot formula (not
+    ``list_cosine_similarity``'s dot/(|a||b|)): the two algebraic
+    forms round differently in IEEE, and one ulp-flipped edge at the
+    threshold boundary would relabel a whole component. The
+    transitive closure is a RECURSIVE CTE enumerating
+    (node, reachable-id) pairs with MIN per node — plan-independent,
+    so it must agree exactly with the Spark fixpoint.
+    """
+    bucket = srp_bucket_sql("embedding", bits)
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS vecn,
+         {bucket} AS bucket
+  FROM embeddings),
+edges AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE list_dot_product(a.vecn, c.vecn) >= {threshold}),
+sym AS (SELECT id_a AS u, id_b AS v FROM edges
+        UNION SELECT id_b, id_a FROM edges),
+reach AS (
+  SELECT u AS node, u AS lab FROM sym
+  UNION
+  SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node)
+SELECT node AS vec_id, MIN(lab) AS canonical_id,
+       (node <> MIN(lab)) AS is_removed
+FROM reach GROUP BY node
+"""

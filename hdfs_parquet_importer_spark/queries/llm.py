@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 
 from hdfs_parquet_importer_spark.operators import dedup as D
 from hdfs_parquet_importer_spark.operators import similarity as S
+from hdfs_parquet_importer_spark.operators.semdedup import (
+    semdedup_oracle_sql as _semdedup_oracle_sql,
+)
 from hdfs_parquet_importer_spark.operators import textstats as T
 from hdfs_parquet_importer_spark.queries import register
 from hdfs_parquet_importer_spark.tables import load_table
@@ -342,29 +345,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semdedup",
-    oracle="""
-WITH RECURSIVE b AS (
-  SELECT vec_id,
-         list_transform(embedding::DOUBLE[],
-           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[]))) AS vecn,
-         4*CAST(embedding[1] > 0 AS INT) + 2*CAST(embedding[2] > 0 AS INT)
-           + CAST(embedding[3] > 0 AS INT) AS bucket
-  FROM embeddings),
-edges AS (
-  SELECT a.vec_id AS id_a, c.vec_id AS id_b
-  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE list_dot_product(a.vecn, c.vecn) >= 0.35),
-sym AS (SELECT id_a AS u, id_b AS v FROM edges
-        UNION SELECT id_b, id_a FROM edges),
-reach AS (
-  SELECT u AS node, u AS lab FROM sym
-  UNION
-  SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node)
-SELECT node AS vec_id, MIN(lab) AS canonical_id,
-       (node <> MIN(lab)) AS is_removed
-FROM reach GROUP BY node
-""",
+    oracle=_semdedup_oracle_sql(bits=3),
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
     "method): partition the embedding space into clusters, then find "
     "near-duplicate pairs ONLY within a cluster — the pair space "
@@ -396,71 +377,20 @@ FROM reach GROUP BY node
     "cluster COUNT is the load-bearing knob: per-bucket pair work is "
     "quadratic, so production scales clusters with corpus size "
     "(constant expected cluster size -> linear total pair work — more "
-    "SRP bits or kmeans k ~ n/size); this demo's fixed 8 buckets are "
-    "why its scaling-study ratio tracks pair growth, not row growth.",
+    "SRP bits or kmeans k ~ n/size). The knob is the ``bits`` "
+    "parameter of operators/semdedup.semdedup (VERDICT r9 item 4); "
+    "this query pins bits=3 (8 buckets) so the DuckDB oracle replays "
+    "identical buckets — which is why its scaling-study ratio tracks "
+    "pair growth, not row growth. tests/test_semdedup_knob.py "
+    "value-checks a second knob setting and the nested-refinement "
+    "property; SCALING.md records the measured pair-space reduction.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.graph import (
-        grouped_connected_components,
-    )
+    from hdfs_parquet_importer_spark.operators.semdedup import semdedup
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    e = F.col("embedding")
-    bucket = (
-        (e[0] > 0).cast("int") * 4
-        + (e[1] > 0).cast("int") * 2
-        + (e[2] > 0).cast("int")
-    )
-    # Normalize ONCE at scan side (linear) so the quadratic pair stage
-    # folds a single dot product instead of dot + two norms per pair.
-    # localCheckpoint MATERIALIZES the normalized vectors: without it
-    # Catalyst inlines this projection (whose per-element lambda
-    # carries the full norm aggregate) into the join's per-PAIR
-    # evaluation — measured 287 s -> 4.3 s on a 10k-vector/6.25M-pair
-    # input (r9; the plan must match the docstring, not just the
-    # code). The checkpoint is |vectors| rows of 64 doubles — linear,
-    # tiny next to the pair stage it guards.
-    nrm = S.norm(e)
-    b = emb.select(
-        "vec_id",
-        F.transform(e, lambda x: x.cast("double") / nrm).alias("vecn"),
-        bucket.alias("bucket"),
-    ).localCheckpoint(eager=True)
-    a = b.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("vecn").alias("va"),
-        F.col("bucket").alias("bucket_a"),
-    )
-    c = b.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("vecn").alias("vb"),
-        F.col("bucket").alias("bucket_b"),
-    )
-    edges = (
-        a.join(
-            c,
-            (F.col("bucket_a") == F.col("bucket_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(S.dot(F.col("va"), F.col("vb")) >= 0.35)
-        .select(F.col("bucket_a").alias("bucket"), "id_a", "id_b")
-        # Materialize the edge LIST (3 ints per surviving pair — tiny)
-        # so the quadratic pair scan above runs exactly ONCE: the
-        # grouped-CC consumer is a separate Arrow/Python stage whose
-        # lineage would otherwise re-run the whole pair join per
-        # action (r9: 158 s -> ~6 s at a 10k-vector/6.25M-pair scale).
-        .localCheckpoint(eager=True)
-    )
-    # Components cannot span buckets (every pair is within-bucket by
-    # construction), so CC decomposes per bucket: one grouped pass,
-    # no iterative fixpoint.
-    cc = grouped_connected_components(edges, "bucket")
-    return cc.select(
-        F.col("node").alias("vec_id"),
-        F.col("component").alias("canonical_id"),
-        (F.col("node") != F.col("component")).alias("is_removed"),
-    )
+    return semdedup(emb, bits=3, threshold=0.35)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,79 @@
+"""The SemDeDup cluster-count knob (operators/semdedup.py, VERDICT r9
+item 4): value-level correctness at TWO knob settings against the
+parameterized DuckDB oracle, the nested-refinement property, and the
+predicted pair-space reduction.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_parquet_importer_spark.operators.semdedup import (
+    semdedup,
+    semdedup_oracle_sql,
+    srp_bucket,
+)
+
+
+def _spark_result(spark, sf_dir, bits):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = semdedup(emb, bits=bits).collect()
+    return sorted((r.vec_id, r.canonical_id, r.is_removed) for r in rows)
+
+
+def _oracle_result(sf_dir, bits):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    return sorted(
+        tuple(t) for t in con.execute(semdedup_oracle_sql(bits=bits)).fetchall()
+    )
+
+
+@pytest.mark.parametrize("bits", [3, 6])
+def test_semdedup_matches_oracle_at_both_knob_settings(spark, sf_dir, bits):
+    """Correctness is knob-independent: at every ``bits`` the oracle
+    replays the same buckets, so Spark and DuckDB must agree exactly
+    — not just at the registered query's pinned bits=3."""
+    assert _spark_result(spark, sf_dir, bits) == _oracle_result(sf_dir, bits)
+
+
+def test_semdedup_finer_buckets_refine_components(spark, sf_dir):
+    """The b-bit SRP bucket is a strict PREFIX of the (b+k)-bit bucket
+    (srp_bucket is MSB-first on fixed axes), so raising the knob only
+    REMOVES candidate pairs: every 6-bit component must sit inside one
+    3-bit component, and the 6-bit dedup can only remove fewer."""
+    coarse = dict(
+        (v, c) for v, c, _ in _spark_result(spark, sf_dir, 3)
+    )
+    fine = _spark_result(spark, sf_dir, 6)
+    for vec_id, canonical_id, _ in fine:
+        # Same 6-bit component -> same 3-bit component (edges at 6
+        # bits are a subset of edges at 3 bits, so the coarse labels
+        # of a fine component's members all coincide).
+        assert coarse[vec_id] == coarse[canonical_id], (vec_id, canonical_id)
+    removed_fine = sum(1 for _, _, r in fine if r)
+    removed_coarse = sum(1 for v, c in coarse.items() if v != c)
+    assert removed_fine <= removed_coarse
+
+
+def test_semdedup_pair_space_drops_as_knob_predicts(spark, sf_dir):
+    """Candidate-pair count = sum_b C(n_b, 2). For ~balanced buckets
+    doubling 2^bits halves it; 3 -> 6 bits predicts ~8x. Assert the
+    measured reduction is at least 4x (skew slack) — the knob must
+    BUY pair-space, not just relabel."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def pairs(bits):
+        return (
+            emb.select(srp_bucket(F.col("embedding"), bits).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+            .collect()[0]["p"]
+        )
+
+    p3, p6 = pairs(3), pairs(6)
+    assert p6 * 4 <= p3, (p3, p6)
