@@ -109,6 +109,9 @@ HEADLINE = [
     # scan-side Catalyst canonical form + one hash-groupBy exchange)
     # — benched from birth.
     "dedup_url_canonical",
+    # r10: the model-scored quality filter (broadcast linear
+    # classifier over hashed features) — benched from birth.
+    "quality_classifier_score",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -223,15 +226,27 @@ def main() -> int:
 
 
 def _load_prev_table(sf) -> dict:
-    """Previous run's table (same sf) for drift comparison; {} if
-    absent/unreadable/different-sf."""
+    """Committed drift baseline (same sf) for drift comparison; {} if
+    absent/unreadable/different-sf.
+
+    r10 (VERDICT r9 item 5): the baseline is BENCH_BASELINE.json — a
+    COMMITTED file updated deliberately at round close — not
+    BENCH_LOCAL.json, which every run (including the driver's
+    post-commit run) overwrites and which is therefore untracked now.
+    Splitting the two makes "previous run" unambiguous for the
+    speed-factor normalizer and lets rounds close with a clean tree.
+    Falls back to BENCH_LOCAL.json only when no baseline exists yet
+    (fresh clone mid-round)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
-            prev = json.load(fh)
-        return prev if prev.get("sf") == sf else {}
-    except (OSError, ValueError):
-        return {}
+    for fname in ("BENCH_BASELINE.json", "BENCH_LOCAL.json"):
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf:
+                return prev
+        except (OSError, ValueError):
+            continue
+    return {}
 
 
 def _write_full_table(sf, total, medians, stdevs, mins, prev, drift, speed_factor) -> None:

@@ -83,106 +83,105 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 9 rotation (executes the committed r9 QUEUE: all 26
-    # never-windowed r8 registrations, then the 17 remaining r3
-    # greens — after this round no driver row anywhere predates r4 —
-    # plus the round's P1 changed-code cohort and the two r9
-    # registrations in leftover slots per the r8 amendment).
+    # -- Round 10 rotation (executes the committed r10 QUEUE: the two
+    # r9 URL registrations first — the registry's only never-windowed
+    # queries — then all 34 remaining r4 greens, draining r4; fill
+    # from oldest r5, family-spread).
     #
-    # (P1) Changed in r9 (ADVICE r8 fixes touch shared operators):
-    #   mix_domain_quota — scale-aware bucket count in the grouped
-    #       prefix sum (VERDICT r8 item 5), value-identical;
-    #   agg_salted_two_phase — salted_agg now ENFORCES the
-    #       merge-associative-partial contract (ADVICE item 4; the
-    #       counter salt stays retry-nondeterministic, which the
-    #       enforced contract makes provably harmless), min/max
-    #       partials merge with min/max; value-identical;
-    #   dedup_clusters / dedup_cluster_canonical /
-    #   fuzzy_name_clusters — connected_components convergence-on-
-    #       final-round fix (ADVICE item 5), value-identical on these
-    #       convergent graphs.
-    "mix_domain_quota",
-    "agg_salted_two_phase",
-    "dedup_clusters",
-    "dedup_cluster_canonical",
-    "fuzzy_name_clusters",
-    # (P3) All 26 never-windowed r8 registrations, registration order
-    # (queue item a).
-    "join_dpp_prune",
-    "join_skew_aqe",
-    "etl_schema_evolution",
-    "agg_approx_top_k",
-    "sql_recursive_cte",
-    "func_parameterized_sql",
+    # (P1/P3) The r9 URL pair — never windowed AND changed this round
+    # (ADVICE r9 medium: userinfo authorities now pass through in
+    # both engines' rules):
+    "url_canonicalize",
+    "dedup_url_canonical",
+    # (P1) Changed in r10:
+    #   dedup_semdedup — SRP bucketing lifted into
+    #       operators/semdedup.py with the cluster-count knob
+    #       (VERDICT r9 item 4); query pins bits=3, value-identical,
+    #       oracle now generated from the shared builder;
+    #   join_dpp_prune / etl_schema_evolution — consume
+    #       sources/io.cached_tmp_dataset, whose cache root now
+    #       chmods 0700 unconditionally (ADVICE r9; value-neutral).
     "dedup_semdedup",
-    "ann_mips_topk",
-    "vocab_growth_heaps",
-    "dedup_substring_span",
-    "multimodal_video_framesample",
-    "embedding_hard_negatives",
-    "mix_quota_by_quality",
-    "pack_sorted_stream",
-    "text_kneser_ney_bigram",
-    "quality_dsir_weights",
-    "arrow_grouped_stats",
-    "arrow_map_norms",
-    "stat_theil_sen_slope",
-    "dq_psi_drift",
-    "dq_observe_metrics",
-    "ts_ewma",
-    "report_data_card",
-    "graph_label_propagation",
-    "graph_jaccard_neighbors",
-    "graph_k_core",
-    # (P4) The 17 remaining r3 greens (queue item b) — after these,
-    # the whole registry's driver rows are r4+.
-    "agg_approx_percentile",
-    "join_salted_skew",
-    "pack_sequences",
-    "q14_promo_effect",
-    "q19_disjunctive_pred",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "sample_bernoulli",
-    "setop_except",
-    "setop_union_by_name",
-    "subq_in_heavy_orders",
-    "subq_scalar_avg_qty",
-    "text_pii_scan",
-    "text_repetition",
-    "topk_orders",
-    "unpivot_brand_metrics",
-    "window_running_sum",
-    # (P5) Module representatives: no P1-P4 entry above lands in the
-    # tpch or events modules this round, and the family-coverage gate
-    # (tests/test_smoke.py::test_driver_window_covers_every_family)
-    # requires one row per module — P5 outranks the r8 leftover-slot
-    # amendment, so the two r9 URL registrations queue for r10
-    # instead of seating in-round. Oldest (r4) rows of each module,
-    # family-spread:
-    "q2_min_cost_supplier",
-    "events_session_window",
+    "join_dpp_prune",
+    "etl_schema_evolution",
+    # (new, r10) The model-scored quality filter pair (VERDICT r9
+    # item 6 explicitly requires a passing CORRECTNESS entry this
+    # round, which outranks the r8 leftover-slot amendment's default
+    # of queueing new registrations):
+    "quality_classifier_score",
+    "quality_classifier_filter",
+    # (P4) All 34 remaining r4 greens (queue item b) — drains r4;
+    # after this round the oldest driver row anywhere is r5.
+    "agg_having",
+    "agg_histogram",
+    "agg_mode_per_group",
+    "asof_join_next_purchase",
+    "asof_join_purchase_view",
+    "cdc_latest_per_key",
+    "corpus_train_eval_split",
+    "events_hourly_rollup",
+    "events_interval_join",
+    "events_longest_streak",
+    "events_retention",
+    "events_sliding_window",
+    "events_tumbling_window",
+    "events_user_activity",
+    "func_array",
+    "func_date",
+    "func_explode",
+    "func_json",
+    "func_map_props",
+    "func_map_transform",
+    "func_math",
+    "join_anti",
+    "join_full_outer",
+    "join_range",
+    "join_semi",
+    "q11_important_value",
+    "q12_priority_shipping",
+    "q20_excess_quantity",
+    "sample_stratified",
+    "sample_weighted",
+    "setop_intersect",
+    "window_forward_fill",
+    "window_lag_lead",
+    "window_share_of_total",
+    # (P4/P5) Fill from oldest rows, family-spread (queue item c).
+    # graphs and pandas_surface have NO r5 rows, so their oldest
+    # rows seat as the P5 module reps the family-coverage gate
+    # requires; the rest are r5 greens chosen one-per-module, with
+    # dedup_incremental_batch picked deliberately — it carries the
+    # r9 BENCH_NOTES ~1.3x watch item this round adjudicates.
+    "graph_degree_distribution",   # graphs, r7 (oldest in module)
+    "pandas_udf_log_price",        # pandas_surface, r6 (oldest)
+    "report_mom_yoy",              # reporting, r5
+    "stat_corr_matrix",            # stats, r5
+    "dedup_incremental_batch",     # llm, r5 (bench watch item)
+    "etl_csv_roundtrip",           # etl_parity, r5 (reference O1)
+    "func_string",                 # functions, r5
+    "agg_freq_items",              # relational, r5
+    "q4_priority_check",           # tpch, r5
 )
-# r10 QUEUE (committed now so the next rotation is mechanical):
-# (a) the r9 registrations (P3, registration order):
-#     url_canonicalize, dedup_url_canonical;
-# (b) the 34 remaining r4 greens (P4, oldest-first — this drains r4;
-#     q2_min_cost_supplier and events_session_window are windowed in
-#     r9 as the P5 reps above):
-#     agg_having, agg_histogram, agg_mode_per_group,
-#     asof_join_next_purchase, asof_join_purchase_view,
-#     cdc_latest_per_key, corpus_train_eval_split,
-#     events_hourly_rollup, events_interval_join,
-#     events_longest_streak, events_retention,
-#     events_sliding_window, events_tumbling_window,
-#     events_user_activity, func_array, func_date, func_explode,
-#     func_json, func_map_props, func_map_transform, func_math,
-#     join_anti, join_full_outer, join_range, join_semi,
-#     q11_important_value, q12_priority_shipping, q20_excess_quantity,
-#     sample_stratified, sample_weighted,
-#     setop_intersect, window_forward_fill, window_lag_lead,
-#     window_share_of_total;
-# (c) then oldest r5 greens, family-spread, to fill the window.
+# r11 QUEUE (committed now so the next rotation is mechanical):
+# (a) the 34 remaining r5 greens (P4, family-spread — this drains
+#     r5; report_mom_yoy, stat_corr_matrix, dedup_incremental_batch,
+#     etl_csv_roundtrip, func_string, agg_freq_items and
+#     q4_priority_check are windowed in r10 above):
+#     agg_hll_mergeable, ann_pq_adc, asof_join_tolerance,
+#     bpe_top_merges, doc_tfidf_cosine_topk, events_markov_transitions,
+#     events_ohlc_resample, events_session_path_topk, mix_epoch_order,
+#     mix_kl_divergence, mix_temperature_sampling,
+#     multimodal_wav_energy, pipeline_corpus_prep, profile_table_stats,
+#     q17_small_qty_revenue, q18_large_volume_customer,
+#     q22_sales_opportunity, quality_gopher_rules,
+#     scd2_event_type_history, sink_roundtrip_jsonl, sink_roundtrip_orc,
+#     sink_roundtrip_partitioned, sink_roundtrip_plain,
+#     sketch_countmin_heavy, snapshot_as_of_day15,
+#     stat_entropy_by_source, stat_rolling_zscore, stat_spearman_rank,
+#     subq_lateral_top2, ts_linear_interpolate, vocab_coverage,
+#     window_ewma, window_range_frame, zorder_curve;
+# (b) then oldest r6 greens, family-spread, to fill the window
+#     (pandas_udf_log_price is windowed in r10 as a module rep).
 
 
 def registry() -> dict[str, Query]:

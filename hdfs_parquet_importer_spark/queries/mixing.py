@@ -1866,3 +1866,141 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("logw"), "doc_id")
         .limit(20)
     )
+
+
+# Shared CTE prefix for the classifier twins: hashed features, labels,
+# NB log-count-ratio weights and bias, per-doc margin + sigmoid —
+# replaying operators/quality_clf.py formula-for-formula.
+_CLF_SQL_PREFIX = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+fb AS (
+  SELECT doc_id, substr(md5(term), 1, 2) AS b, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2
+),
+lab AS (SELECT doc_id, (source = 'src0') AS pos FROM documents),
+agg AS (
+  SELECT f.b,
+         SUM(CASE WHEN l.pos THEN f.n ELSE 0 END) AS pn,
+         SUM(CASE WHEN l.pos THEN 0 ELSE f.n END) AS nn
+  FROM fb f JOIN lab l USING (doc_id) GROUP BY 1
+),
+tots AS (SELECT SUM(pn) AS pt, SUM(nn) AS nt, COUNT(*) AS v FROM agg),
+bias AS (
+  SELECT ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM lab WHERE pos)
+            / (SELECT COUNT(*) FROM lab WHERE NOT pos)) AS bias
+),
+w AS (
+  SELECT a.b,
+         ln((a.pn + 1.0) / (t.pt + t.v))
+         - ln((a.nn + 1.0) / (t.nt + t.v)) AS w
+  FROM agg a CROSS JOIN tots t
+),
+sc AS (
+  SELECT f.doc_id,
+         CAST(SUM(f.n) AS BIGINT) AS n_tokens,
+         SUM(f.n * w.w) / SUM(f.n) AS margin,
+         1.0 / (1.0 + exp(-((SELECT bias FROM bias)
+                            + SUM(f.n * w.w) / SUM(f.n)))) AS prob
+  FROM fb f JOIN w USING (b) GROUP BY 1
+)"""
+
+
+def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark prefix: train on ALL docs (src0 = positive), score
+    every doc, join source back. Mirrors _CLF_SQL_PREFIX."""
+    from hdfs_parquet_importer_spark.operators.quality_clf import (
+        hashed_doc_features,
+        nb_linear_classifier,
+        score_documents,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    feats = hashed_doc_features(docs).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", (F.col("source") == "src0").alias("pos"))
+    model = nb_linear_classifier(feats, labels)
+    return score_documents(feats, model).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+
+
+@register(
+    "quality_classifier_score",
+    oracle=_CLF_SQL_PREFIX
+    + """
+SELECT sc.doc_id, d.source, sc.n_tokens, ROUND(sc.prob, 6) AS prob
+FROM sc JOIN documents d USING (doc_id)
+WHERE d.source <> 'src0'
+ORDER BY prob DESC, sc.doc_id LIMIT 20
+""",
+    doc="Model-scored quality filter, scoring half (VERDICT r9 item "
+    "6): the classifier-based filtering stage of CCNet/Gopher/LLaMA "
+    "data work. A linear classifier over hashed unigram features "
+    "(the SAME 256 md5-prefix buckets quality_dsir_weights built) is "
+    "trained in closed form as the Naive-Bayes log-count ratio "
+    "(NBSVM observation: multinomial NB IS a linear model — Wang & "
+    "Manning 2012, public) with source 'src0' as the curated-domain "
+    "positives, then every candidate doc is scored "
+    "sigmoid(bias + mean-pooled dot product). Top 20 non-src0 docs "
+    "by prob. Zero Python UDFs: training is ONE fixed-width (256-"
+    "row) aggregation, the weight vector rides ONE broadcast join, "
+    "scoring folds into a map-side-combinable agg — at 100 TB no "
+    "vocab-sized shuffle exists anywhere, and an offline-trained "
+    "fasttext model drops in as a literal weight table without "
+    "changing the plan (operators/quality_clf.py). ROUND(6) before "
+    "the ORDER BY; ties broken by doc_id.",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _clf_scored(spark, sf_dir)
+    return (
+        sc.filter(F.col("source") != "src0")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("prob", 6).alias("prob"),
+        )
+        .orderBy(F.desc("prob"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "quality_classifier_filter",
+    oracle=_CLF_SQL_PREFIX
+    + """
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ROUND(sc.margin, 6) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       ROUND(SUM(CASE WHEN ROUND(sc.margin, 6) > 0 THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS kept_frac
+FROM sc JOIN documents d USING (doc_id)
+WHERE d.source <> 'src0'
+GROUP BY 1 ORDER BY 1
+""",
+    doc="Model-scored quality filter, filtering half: per-source "
+    "keep rates when the classifier gate is margin > 0 — i.e. keep "
+    "docs whose hashed-feature evidence leans MORE curated than the "
+    "class prior (threshold on the mean-pooled dot product, "
+    "prior-independent, the natural operating point when positives "
+    "are a small exemplar set and sigmoid(bias + margin) would sit "
+    "far below 0.5 for every doc). The margin is ROUND(6)ed before "
+    "the comparison so both engines gate on the identical value "
+    "(registry-wide convention for float boundaries). Same "
+    "single-broadcast-join scoring plan as "
+    "quality_classifier_score; the per-source rollup is one "
+    "map-side-combinable agg over |sources| groups.",
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _clf_scored(spark, sf_dir)
+    kept = (F.round("margin", 6) > 0).cast("int")
+    return (
+        sc.filter(F.col("source") != "src0")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )

@@ -174,6 +174,14 @@ BRUTE_FORCE_OK = {
                              # feature-weight table — the DSIR "model
                              # broadcast"; scoring joins are b-key
                              # equi-joins
+    "quality_classifier_score",   # 1-row smoothing-totals + 1-row
+                             # class-prior-bias broadcast cross joins
+                             # building the 256-row NB weight table
+                             # (closed-form training, same shape as
+                             # quality_dsir_weights); the scoring
+                             # join is a b-key equi-join
+    "quality_classifier_filter",  # same classifier training prefix
+                             # as quality_classifier_score
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already

@@ -40,8 +40,14 @@ growth is now genuinely linear in SF: no repeated fact values, no
 replicated payloads, and the old "TPC-H fact values repeat 5x"
 SCALING.md caveat is gone.
 
-Usage: python tools/make_sf05.py   (idempotent; writes
-       /tmp/spark_graft_sf0.5/{table}.parquet)
+r10 (VERDICT r9 item 3): the generator is SF-parameterized — the
+construction above is per-SF row counts scaled linearly, so any
+decade point can be produced. The scaling study generates sf0.5 AND
+sf1.0, giving the superlinear-operator screen a true 10x step
+(sf0.1 -> sf1).
+
+Usage: python tools/make_sf05.py [SCALE]   (idempotent; writes
+       /tmp/spark_graft_sf{SCALE}/{table}.parquet; default 0.5)
 """
 
 from __future__ import annotations
@@ -56,9 +62,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-OUT_DIR = "/tmp/spark_graft_sf0.5"
 SEED = 42
-SCALE = 0.5  # target scale factor
+SCALE = 0.5  # default target scale factor
+
+
+def out_dir_for(scale: float) -> str:
+    return f"/tmp/spark_graft_sf{scale:g}"
+
+
+OUT_DIR = out_dir_for(SCALE)
 
 # Rows per 1.0 SF, from the shipped decades (each is exactly 10x the
 # previous): sf0.1 has 15000 customers, 1000 suppliers, ...
@@ -391,10 +403,14 @@ _MARKER = "_GEN_COMPLETE"
 
 
 def generate(
-    spark: SparkSession, out_dir: str = OUT_DIR, scale: float = SCALE
+    spark: SparkSession, out_dir: str | None = None, scale: float = SCALE
 ) -> str:
     """Write all ten tables; idempotent per (seed, scale) marker."""
-    tag = f"seed={SEED} scale={scale} v=r9-true-generator"
+    if out_dir is None:
+        out_dir = out_dir_for(scale)
+    # v bumped r10: the dup-source nudge now iterates (ADVICE r9), so
+    # documents content changed — stale r9 trees must regenerate.
+    tag = f"seed={SEED} scale={scale} v=r10-nudge6"
     marker = os.path.join(out_dir, _MARKER)
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -423,13 +439,17 @@ def generate(
 if __name__ == "__main__":
     from hdfs_parquet_importer_spark.session import build_session
 
+    scale_arg = float(sys.argv[1]) if len(sys.argv) > 1 else SCALE
     spark = build_session(
         "make-sf05",
         shuffle_partitions=32,
-        conf={"spark.ui.showConsoleProgress": "false"},
+        conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "64g",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    d = generate(spark)
+    d = generate(spark, scale=scale_arg)
     for t in sorted(
         ["region", "nation", "customer", "supplier", "part", "orders",
          "lineitem", "events", "documents", "embeddings"]

@@ -59,7 +59,12 @@ def main() -> int:
     if not os.environ.get("SPARK_GRAFT_SKIP_SF05"):
         from tools.make_sf05 import generate
 
-        sfs.append(("0.5", generate(spark)))
+        sfs.append(("0.5", generate(spark, scale=0.5)))
+        # r10 (VERDICT r9 item 3): a TRUE sf1 decade point — the
+        # 0.1 -> 1 step is a genuine 10x, making the superlinear
+        # screen decisive where the 5x step was ambiguous.
+        if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+            sfs.append(("1", generate(spark, scale=1.0)))
     labels = [s for s, _ in sfs]
 
     med: dict[str, dict[str, float]] = {n: {} for n in names}
@@ -106,6 +111,11 @@ def main() -> int:
         return round(med[n][b] / med[n][a], 2)
 
     steps = list(zip(labels, labels[1:]))  # adjacent SF pairs
+    if "0.1" in labels and "1" in labels:
+        # The decisive DECADE step: 0.1 -> 1 is 10x data with both
+        # endpoints true-generated; the worst-ratio summary below
+        # keys off the LAST step, so append it last on purpose.
+        steps.append(("0.1", "1"))
     rows = []
     for n in names:
         cells = [str(med[n][sf]) for sf in labels]
@@ -119,8 +129,9 @@ def main() -> int:
     header_sf = " | ".join(f"sf{sf} s" for sf in labels)
     header_rt = " | ".join(f"x({a}->{b})" for a, b in steps)
     sf05_note = (
-        "\nThe sf0.5 point is GENERATED from scratch by "
-        "tools/make_sf05.py (r9, VERDICT r8 item 6): the same "
+        "\nThe sf0.5 and sf1 points are GENERATED from scratch by "
+        "tools/make_sf05.py (r9, VERDICT r8 item 6; SF-parameterized "
+        "r10 so the 0.1->1 column is a TRUE 10x decade step): the same "
         "construction the shipped decades use, measured from sf0.1 "
         "(Poisson(4) lines/order, quantity-independent uniform "
         "extendedprice, exponential event values, 5% planted ' dup' "
