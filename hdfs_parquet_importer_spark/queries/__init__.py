@@ -163,6 +163,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q4_priority_check",           # tpch, r5
 )
 # r11 QUEUE (committed now so the next rotation is mechanical):
+# (a0) eval_dedup_recall (r10-new, registered after the r10 window
+#     closed; P3 never-windowed outranks the P4 stale greens below);
 # (a) the 34 remaining r5 greens (P4, family-spread — this drains
 #     r5; report_mom_yoy, stat_corr_matrix, dedup_incremental_batch,
 #     etl_csv_roundtrip, func_string, agg_freq_items and

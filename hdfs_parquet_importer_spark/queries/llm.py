@@ -186,6 +186,125 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_dedup_recall",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql(3)} AS s FROM toks),
+truth AS (
+  SELECT DISTINCT LEAST(d.doc_id, s.doc_id) AS id_a,
+                  GREATEST(d.doc_id, s.doc_id) AS id_b
+  FROM documents d JOIN documents s
+    ON md5(d.text) = md5(s.text || ' dup') AND d.doc_id <> s.doc_id),
+found AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(a.s || b.s)) >= 0.8),
+tj AS (
+  SELECT len(list_intersect(a.s, b.s))::DOUBLE
+           / len(list_distinct(a.s || b.s)) AS j
+  FROM truth t JOIN sh a ON a.doc_id = t.id_a
+               JOIN sh b ON b.doc_id = t.id_b),
+hits AS (SELECT 1 FROM truth JOIN found USING (id_a, id_b))
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       (SELECT COUNT(*) FROM hits) AS n_hit,
+       ROUND((SELECT MIN(j) FROM tj), 6) AS min_truth_jaccard,
+       ROUND((SELECT COUNT(*) FROM hits) * 1.0
+             / (SELECT COUNT(*) FROM truth), 6) AS recall,
+       ROUND((SELECT COUNT(*) FROM hits) * 1.0
+             / (SELECT COUNT(*) FROM found), 6) AS planted_share
+""",
+    doc="Dedup-pipeline EVAL against planted ground truth (the "
+    "classifier-eval pattern of eval_langid_confusion, applied to "
+    "dedup): the corpus construction plants ~5% near-duplicates as "
+    "an earlier doc's text + ' dup', so the true pair set is exactly "
+    "recoverable — a dup and its source join on "
+    "md5(text) = md5(src_text || ' dup'). Measures the shipped "
+    "MinHash(32)+LSH(8x4) pipeline at threshold 0.8 against that "
+    "truth: recall (planted pairs found), planted_share (found pairs "
+    "explained by planted structure — below 1.0 because genuine "
+    "non-planted near-dups like dup-of-dup chains are also found, "
+    "and a correctly-working pipeline should find them), and "
+    "min_truth_jaccard (the weakest planted pair's exact Jaccard — "
+    "the margin to the threshold; a 10-word doc's ' dup' copy sits "
+    "at 8/9 ~ 0.889). SCALE: the truth join shuffles 32-char md5 "
+    "keys, never full texts; the found set is the dedup_minhash_lsh "
+    "scale path (band-bucket equi-joins only); the three count "
+    "aggregates combine via 1-row broadcast cross joins. ORACLE: "
+    "truth replayed rule-identically; the found set is the exact "
+    "brute-force Jaccard pair set, which the dedup_minhash_lsh gate "
+    "separately proves equal to the LSH-verified set at this SF — a "
+    "mismatch HERE means the eval harness (truth join, hit join, "
+    "ratio arithmetic) broke, while a recall drop would fail BOTH "
+    "queries' gates.",
+)
+def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Truth pairs: join dup -> source on md5 so the exchange carries
+    # 32-char keys, not document bodies (the text itself never
+    # shuffles — same contract as dedup_exact's hash-groupBy).
+    dup_side = docs.select("doc_id", F.md5("text").alias("k"))
+    src_side = docs.select(
+        F.col("doc_id").alias("src_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+    )
+    truth = (
+        dup_side.join(src_side, "k")
+        .filter(F.col("doc_id") != F.col("src_id"))
+        .select(
+            F.least("doc_id", "src_id").alias("id_a"),
+            F.greatest("doc_id", "src_id").alias("id_b"),
+        )
+        .distinct()
+        # Read three times below (count, hit join, margin join);
+        # tiny (~5% of docs) — materialize so the md5 join runs once.
+        .localCheckpoint(eager=True)
+    )
+    found = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    # Exact-Jaccard margin of every truth pair (not just the found
+    # ones): one shingle pass, two id equi-joins against the tiny
+    # truth table.
+    tok_df = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
+    sets_df = tok_df.select(
+        "doc_id", D.shingles_of_tokens(F.col("_t"), 3).alias("s")
+    )
+    tj = (
+        truth.join(
+            sets_df.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sets_df.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+            "id_b",
+        )
+        .select(D.jaccard(F.col("sa"), F.col("sb")).alias("j"))
+    )
+    hits = truth.join(found.select("id_a", "id_b"), ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    f = found.agg(F.count(F.lit(1)).alias("n_found"))
+    h = hits.agg(F.count(F.lit(1)).alias("n_hit"))
+    m = tj.agg(F.round(F.min("j"), 6).alias("min_truth_jaccard"))
+    return (
+        t.crossJoin(F.broadcast(f))  # 1-row aggregate pairs
+        .crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hit",
+            "min_truth_jaccard",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_found"), 6).alias(
+                "planted_share"
+            ),
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     oracle="""
 SELECT COUNT(*) AS n_docs,

@@ -182,6 +182,11 @@ BRUTE_FORCE_OK = {
                              # join is a b-key equi-join
     "quality_classifier_filter",  # same classifier training prefix
                              # as quality_classifier_score
+    "eval_dedup_recall",     # three 1-row aggregate broadcast cross
+                             # joins (n_truth x n_found x n_hit x
+                             # min-margin); the truth join is an md5
+                             # equi-join and the found set is the
+                             # dedup_minhash_lsh equi-join path
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
