@@ -159,8 +159,9 @@ def main() -> int:
     total = round(sum(medians.values()), 3)
 
     # Drift flags (VERDICT r7 item 7): compare each median against the
-    # PREVIOUS bench run's table (BENCH_LOCAL.json — the last run on
-    # this machine, whichever round it belonged to). The r7->r8
+    # COMMITTED drift baseline (BENCH_BASELINE.json, promoted from the
+    # final quiet-window run at round close — see _load_prev_table;
+    # r10, VERDICT r9 item 5). The r7->r8
     # adjudication of text_bm25_search showed WHY raw deltas mislead:
     # the shared host drifts wholesale (r8 measured q1 +52%, simhash
     # +6%, triangles +11%, bm25 +11% in one window — every unchanged
@@ -273,9 +274,9 @@ def _write_full_table(sf, total, medians, stdevs, mins, prev, drift, speed_facto
             f"(Written by bench.py on every run; medians are the "
             f"headline numbers, stdev/min give the noise floor, and "
             f"drift flags medians that moved more than 2x the larger "
-            f"run's stdev vs the previous run's BENCH_LOCAL.json "
+            f"run's stdev vs the committed BENCH_BASELINE.json "
             f"AFTER normalizing by the global speed factor "
-            f"{speed_factor} (median per-query ratio vs previous run "
+            f"{speed_factor} (median per-query ratio vs the baseline "
             f"— ambient host drift moves the factor, a structural "
             f"regression flags its name) — automated per VERDICT r7 "
             f"item 7. The driver's "

@@ -150,15 +150,21 @@ def compact_parquet(
         # ~1/e of the partitions come up empty and colliding salts of
         # the same directory merge, so per-directory file counts
         # systematically undershoot and file sizes overshoot ~2x
-        # (ADVICE r9). Range exchange assigns each distinct key its
-        # own contiguous partition (equal keys never split; sampled
-        # boundaries separate well-populated keys), at the cost of
-        # one extra sampling pass — fine for a maintenance rewrite.
+        # (ADVICE r9). Range exchange never SPLITS equal keys (bounds
+        # are distinct key values), but its sampled boundaries can
+        # still MERGE two adjacent keys when a key's sampled share
+        # reads low — so ask for 2x the partitions. With 2x headroom
+        # a merge needs a well-populated key's sampled weight to come
+        # in under HALF its true share (many sigma out at the default
+        # ~100 samples per input partition); empty partitions write
+        # no files, so the 2x does not change per-directory file
+        # counts. One extra sampling pass — fine for a maintenance
+        # rewrite.
         total_target = (
             sum(dir_files.values()) if dir_files else plan.n_output_files
         )
         df = df.withColumn("__compact_salt", salt).repartitionByRange(
-            max(1, total_target), *part_cols, "__compact_salt"
+            max(1, 2 * total_target), *part_cols, "__compact_salt"
         ).drop("__compact_salt")
     else:
         df = df.repartition(plan.n_output_files)

@@ -100,16 +100,41 @@ def score_documents(feats: DataFrame, model: DataFrame) -> DataFrame:
     sigmoid(bias + margin). ``model`` is the (b, w, bias) table from
     :func:`nb_linear_classifier` (or any offline-trained drop-in) —
     broadcast, so scoring adds ZERO shuffles beyond the feature
-    table's own partial agg."""
-    margin = F.sum(F.col("n") * F.col("w")) / F.sum("n")
-    logit = F.col("bias") + margin
+    table's own partial agg.
+
+    The weight join is a LEFT join with missing weights read as 0:
+    on the documented offline-weights swap path the model table may
+    lack buckets the corpus produces, and an inner join would make
+    such documents silently VANISH from the scored set (or undercount
+    ``n_tokens`` on a partial match) instead of scoring them on the
+    evidence that is present. With :func:`nb_linear_classifier` the
+    model covers every bucket the corpus produced, so the join kinds
+    coincide there. ``bias`` rides a separate 1-row broadcast so a
+    zero-match document still gets prob = sigmoid(bias)."""
+    margin = (
+        F.sum(F.col("n") * F.coalesce(F.col("w"), F.lit(0.0))) / F.sum("n")
+    )
+    # The model is read twice below (weight join + bias row); it is
+    # <=256 rows, and without materialization the second read re-runs
+    # the whole closed-form training lineage (cheap in work, but it
+    # doubles the plan and the number of exchanges).
+    model = model.localCheckpoint(eager=True)
+    bias_1row = model.agg(F.max("bias").alias("bias"))
     return (
-        feats.join(F.broadcast(model), "b")
-        .groupBy("doc_id", "bias")
+        feats.join(F.broadcast(model.select("b", "w")), "b", "left")
+        .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_tokens"),
             margin.alias("margin"),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
         )
-        .drop("bias")
+        .crossJoin(F.broadcast(bias_1row))  # 1-row broadcast
+        .select(
+            "doc_id",
+            "n_tokens",
+            "margin",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("bias") + F.col("margin"))))
+            ).alias("prob"),
+        )
     )

@@ -42,13 +42,33 @@ from hdfs_parquet_importer_spark.operators import similarity as S
 def srp_bucket(vec: Column, bits: int) -> Column:
     """Deterministic signed-random-projection bucket: bit i is the
     sign of dim i, MSB-first — so the ``bits``-bit bucket id is a
-    strict prefix of any wider bucketing (nested refinement)."""
+    strict prefix of any wider bucketing (nested refinement).
+
+    ``bits`` must not exceed the vector dimension: past it, vec[i]
+    is NULL under non-ANSI semantics, every bucket goes NULL, the
+    pair equi-join silently emits zero edges, and the DuckDB twin
+    diverges with its own out-of-range rules — so the expression
+    raises per-row instead (one size comparison, nothing next to
+    the pair stage it feeds)."""
     if bits < 1:
         raise ValueError(f"bits must be >= 1, got {bits}")
+    if bits > 63:
+        # 1 << 63 overflows the long bucket id at expression-build
+        # time (and 2^63 clusters is past any corpus) — fail with the
+        # real reason, not a NumberFormatException from the literal.
+        raise ValueError(f"bits must be <= 63, got {bits}")
     out = F.lit(0)
     for i in range(bits):
         out = out + (vec[i] > 0).cast("int") * (1 << (bits - 1 - i))
-    return out
+    return F.when(
+        F.size(vec) < bits,
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_bucket: bits={bits} exceeds vector dim "),
+                F.size(vec).cast("string"),
+            )
+        ).cast("int"),
+    ).otherwise(out)
 
 
 def srp_bucket_sql(vec_expr: str, bits: int) -> str:

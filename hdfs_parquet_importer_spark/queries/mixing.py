@@ -1759,7 +1759,10 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_dsir_weights",
     oracle=f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+WITH tok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+  WHERE term <> ''),
 fb AS (
   SELECT doc_id, substr(md5(term), 1, 2) AS b, COUNT(*) AS n
   FROM tok GROUP BY 1, 2
@@ -1811,18 +1814,22 @@ ORDER BY sc.logw DESC, sc.doc_id LIMIT 20
     "ROUND(6) before the ORDER BY; ties broken by doc_id.",
 )
 def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.tokenize import doc_term_counts
+    from hdfs_parquet_importer_spark.operators.quality_clf import (
+        hashed_doc_features,
+    )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     src = docs.select("doc_id", "source")
     # One tokenize pass; the hashed-bucket projection collapses the
     # vocab dimension immediately after (256 features), so everything
     # downstream is either 256-row (broadcast) or per-doc-bounded.
+    # The projection is the SHARED operators/quality_clf
+    # .hashed_doc_features — DSIR and the NB classifier must score
+    # over the SAME feature space, and a single definition makes that
+    # equivalence structural instead of two copies that must stay
+    # byte-identical (r10 review).
     doc_b = (
-        doc_term_counts(docs)
-        .withColumn("b", F.substring(F.md5("term"), 1, 2))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("n").alias("n"))
+        hashed_doc_features(docs)
         .join(src, "doc_id")
         .localCheckpoint(eager=True)
     )
@@ -1872,7 +1879,10 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NB log-count-ratio weights and bias, per-doc margin + sigmoid —
 # replaying operators/quality_clf.py formula-for-formula.
 _CLF_SQL_PREFIX = f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+WITH tok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+  WHERE term <> ''),
 fb AS (
   SELECT doc_id, substr(md5(term), 1, 2) AS b, COUNT(*) AS n
   FROM tok GROUP BY 1, 2

@@ -197,8 +197,10 @@ def test_partitioned_compaction_splits_large_partitions(spark, sf_dir, tmp_path)
         n = len(glob.glob(f"{d}/*.parquet"))
         # ADVICE r9: hash-repartitioning K keys into K partitions
         # merged ~1/e of them, so this used to assert only >=2 where
-        # >=3 were requested. With repartitionByRange each (dir,
-        # salt) key gets its own partition, so the count must now hit
+        # >=3 were requested. With repartitionByRange at 2x headroom
+        # each (dir, salt) key lands in its own partition unless the
+        # range sampler misreads a key's share by 2x (many sigma out
+        # for these well-populated keys), so the count must now hit
         # the plan exactly.
         expected = math.ceil(
             per_dir_bytes[str(tmp_path / "bigpart_src") + "/" + d.split("/")[-1]]

@@ -59,6 +59,25 @@ def test_semdedup_finer_buckets_refine_components(spark, sf_dir):
     assert removed_fine <= removed_coarse
 
 
+def test_srp_bucket_raises_past_vector_dim(spark, sf_dir):
+    """bits beyond the embedding dimension must raise loudly (r10
+    review): under non-ANSI semantics vec[i] past the end is NULL,
+    every bucket goes NULL, the pair equi-join silently emits zero
+    edges, and the DuckDB twin diverges with its own out-of-range
+    rules — a raise is the only cross-engine-safe behavior."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # bits within the long-shift range but past the (sliced) vector
+    # dimension — the per-row guard must fire.
+    short = emb.select(F.slice(F.col("embedding"), 1, 4).alias("v"))
+    bad = short.select(srp_bucket(F.col("v"), 6).alias("b"))
+    with pytest.raises(Exception, match="exceeds vector dim"):
+        bad.collect()
+    # bits past the long bucket id raises at build time with the
+    # real reason, not a literal-overflow NumberFormatException.
+    with pytest.raises(ValueError, match="<= 63"):
+        srp_bucket(F.col("embedding"), 64 + 1)
+
+
 def test_semdedup_pair_space_drops_as_knob_predicts(spark, sf_dir):
     """Candidate-pair count = sum_b C(n_b, 2). For ~balanced buckets
     doubling 2^bits halves it; 3 -> 6 bits predicts ~8x. Assert the

@@ -345,6 +345,16 @@ def _gen_documents(spark: SparkSession, scale: float) -> DataFrame:
         src = F.when(
             (_i(src, salt="d_isdup", n=20) == 19) & (src >= 20), src - 1
         ).otherwise(src)
+    # Materialize (id, src) before building text: every unrolled
+    # nudge step references the previous src expression ~4x (cond
+    # hash, bound check, then/else), so the inlined tree is ~4^6
+    # copies of the base hash expression — and _doc_words would embed
+    # that tree once PER GENERATED WORD (up to 100). The checkpoint
+    # collapses src to a plain column (2 longs x n_docs — tiny) so
+    # Catalyst analyzes the text expression once, not 10^5 times
+    # (r10 review). Values are identical; only the plan shrinks.
+    ids = ids.select(id_, src.alias("_src")).localCheckpoint(eager=True)
+    src = F.col("_src")
     src_words = 10 + _i(src, salt="d_len", n=91)
     text = F.when(
         is_dup, F.concat(_doc_words(src, src_words), F.lit(" dup"))

@@ -11,8 +11,10 @@ corrupt 2-of-3 samples, flipping the median; a timing can only ever be
 inflated by noise, never deflated below true cost, so min is the
 robust estimator for scale RATIOS; bench.py keeps medians for
 round-over-round comparability and already ships min alongside).
-Usage:  python tools/scaling.py            (4 SFs; writes SCALING.md)
-        SPARK_GRAFT_SKIP_SF05=1 python tools/scaling.py   (3 SFs)
+Usage:  python tools/scaling.py            (5 SFs; writes SCALING.md)
+        SPARK_GRAFT_SKIP_SF05=1 python tools/scaling.py  (skip sf0.5)
+        SPARK_GRAFT_SKIP_SF1=1 python tools/scaling.py   (skip sf1)
+        (set both to run only the 3 shipped decades)
 """
 
 from __future__ import annotations
@@ -56,14 +58,20 @@ def main() -> int:
     sfs: list[tuple[str, str]] = [
         (sf, os.path.join(root, f"sf{sf}")) for sf in ("0.001", "0.01", "0.1")
     ]
-    if not os.environ.get("SPARK_GRAFT_SKIP_SF05"):
+    skip05 = os.environ.get("SPARK_GRAFT_SKIP_SF05")
+    skip1 = os.environ.get("SPARK_GRAFT_SKIP_SF1")
+    if not (skip05 and skip1):
         from tools.make_sf05 import generate
 
-        sfs.append(("0.5", generate(spark, scale=0.5)))
+        # The two generated points are INDEPENDENT skips (r10 review:
+        # nesting sf1 under the sf0.5 guard silently dropped the
+        # decisive 0.1->1 decade column from the 3-SF mode).
+        if not skip05:
+            sfs.append(("0.5", generate(spark, scale=0.5)))
         # r10 (VERDICT r9 item 3): a TRUE sf1 decade point — the
         # 0.1 -> 1 step is a genuine 10x, making the superlinear
         # screen decisive where the 5x step was ambiguous.
-        if not os.environ.get("SPARK_GRAFT_SKIP_SF1"):
+        if not skip1:
             sfs.append(("1", generate(spark, scale=1.0)))
     labels = [s for s, _ in sfs]
 
@@ -111,10 +119,12 @@ def main() -> int:
         return round(med[n][b] / med[n][a], 2)
 
     steps = list(zip(labels, labels[1:]))  # adjacent SF pairs
-    if "0.1" in labels and "1" in labels:
+    if "0.1" in labels and "1" in labels and ("0.1", "1") not in steps:
         # The decisive DECADE step: 0.1 -> 1 is 10x data with both
         # endpoints true-generated; the worst-ratio summary below
         # keys off the LAST step, so append it last on purpose.
+        # (Already an adjacent pair when sf0.5 was skipped — don't
+        # duplicate the column then.)
         steps.append(("0.1", "1"))
     rows = []
     for n in names:
