@@ -58,9 +58,9 @@ def nb_linear_classifier(feats: DataFrame, labels: DataFrame) -> DataFrame:
 
     ``labels`` is (doc_id, pos: boolean). Returns a single broadcast-
     sized DataFrame: 256 rows of (b, w) CROSS JOINed with the 1-row
-    bias — i.e. (b, w, bias) — so scoring needs exactly one broadcast
-    join. V is the count of buckets PRESENT in the corpus (matches
-    the DSIR smoothing convention)."""
+    bias — i.e. (b, w, bias) — so scoring rides one broadcast weight
+    join plus a 1-row bias broadcast. V is the count of buckets
+    PRESENT in the corpus (matches the DSIR smoothing convention)."""
     fl = feats.join(labels, "doc_id")
     agg = fl.groupBy("b").agg(
         F.sum(F.when(F.col("pos"), F.col("n")).otherwise(0)).alias("pn"),

@@ -619,3 +619,93 @@ def test_check_partition_layout_file_uri(spark, tmp_path):
         .parquet(str(part))
     )
     check_partition_layout(spark, f"file://{part}")
+
+
+def test_streaming_url_canonical_dedup(spark, tmp_path):
+    """The crawl ingest stage end-to-end on a STREAM (r10): canonicalize
+    URLs scan-side, then exactly-once dedup on the CANONICAL key.
+    Two raw-distinct spellings of the same resource (case/default-port/
+    trailing-slash/utm noise) must collapse across micro-batches —
+    raw-key dedup would pass both, so this exercises the composition,
+    not just dropDuplicatesWithinWatermark."""
+    import pyspark.sql.types as T
+
+    from hdfs_parquet_importer_spark.operators.urls import canonicalize_url
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        canon = stream.withColumn("canonical", canonicalize_url(F.col("url")))
+        deduped = ST.dedup_stream(canon, ["canonical"], "ts", "2 hours")
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+
+    def write(path, rows):
+        # One real parquet FILE (not a Spark output directory — the
+        # file stream source does not recurse into nested dirs).
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array([r[0] for r in rows], pa.string()),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                }
+            ),
+            path,
+        )
+
+    # Batch 1: one resource under two raw spellings + one distinct.
+    write(
+        str(src / "b1.parquet"),
+        [
+            ("https://Example.COM:443/a/?utm_source=x", t0),
+            ("https://example.com/a/", t0 + dt.timedelta(minutes=1)),
+            ("https://other.net/b", t0 + dt.timedelta(minutes=2)),
+        ],
+    )
+    run()
+    first = sorted(r.canonical for r in spark.read.parquet(out).collect())
+    assert first == ["https://example.com/a", "https://other.net/b"]
+
+    # Batch 2 (same checkpoint): a THIRD spelling of the same resource
+    # within the watermark is dropped by checkpoint state; a new
+    # resource passes.
+    write(
+        str(src / "b2.parquet"),
+        [
+            ("HTTPS://EXAMPLE.com/a/?fbclid", t0 + dt.timedelta(minutes=3)),
+            ("https://new.org/c", t0 + dt.timedelta(minutes=4)),
+        ],
+    )
+    run()
+    final = sorted(r.canonical for r in spark.read.parquet(out).collect())
+    assert final == [
+        "https://example.com/a",
+        "https://new.org/c",
+        "https://other.net/b",
+    ]
