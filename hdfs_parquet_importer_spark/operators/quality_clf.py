@@ -119,6 +119,20 @@ def score_documents(feats: DataFrame, model: DataFrame) -> DataFrame:
     # the whole closed-form training lineage (cheap in work, but it
     # doubles the plan and the number of exchanges).
     model = model.localCheckpoint(eager=True)
+    # Validate the (already-materialized, <=256-row) model at the
+    # swap point rather than scoring through it: an EMPTY weight
+    # table (bad offline load) would make bias NULL and prob NULL for
+    # every document, and the margin>0 filter would then silently
+    # drop the whole corpus; inconsistent per-row biases mean the
+    # table is not one model (r10 review).
+    biases = {r["bias"] for r in model.select("bias").distinct().collect()}
+    if not biases:
+        raise ValueError("score_documents: model table is empty")
+    if len(biases) > 1 or None in biases:
+        raise ValueError(
+            f"score_documents: model bias must be one non-null value, "
+            f"got {sorted(biases, key=str)}"
+        )
     bias_1row = model.agg(F.max("bias").alias("bias"))
     return (
         feats.join(F.broadcast(model.select("b", "w")), "b", "left")

@@ -60,12 +60,24 @@ def srp_bucket(vec: Column, bits: int) -> Column:
     out = F.lit(0)
     for i in range(bits):
         out = out + (vec[i] > 0).cast("int") * (1 << (bits - 1 - i))
+    # The bad-row condition must be null-safe: size(NULL) is NULL,
+    # which a bare `<` turns into not-true and the NULL vector would
+    # fall through to a silent NULL bucket — the exact silent-
+    # exclusion mode this guard exists to kill. NULL ELEMENTS within
+    # the first `bits` dims null the bucket the same way, so they
+    # raise too (r10 review).
+    bad = (
+        vec.isNull()
+        | (F.size(vec) < bits)
+        | F.exists(F.slice(vec, 1, bits), lambda x: x.isNull())
+    )
     return F.when(
-        F.size(vec) < bits,
+        bad,
         F.raise_error(
             F.concat(
-                F.lit(f"srp_bucket: bits={bits} exceeds vector dim "),
-                F.size(vec).cast("string"),
+                F.lit(f"srp_bucket: bits={bits} needs {bits} non-null "),
+                F.lit("leading dims; got size "),
+                F.coalesce(F.size(vec).cast("string"), F.lit("NULL")),
             )
         ).cast("int"),
     ).otherwise(out)

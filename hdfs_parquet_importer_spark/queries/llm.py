@@ -263,13 +263,27 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiny (~5% of docs) — materialize so the md5 join runs once.
         .localCheckpoint(eager=True)
     )
-    found = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    # Materialized: read twice below (pair count + hit join), and
+    # Spark does not dedupe common subplans — without this the whole
+    # sketch+verify pipeline executes twice per run (same contract as
+    # minhash_dedup_pairs' own internal checkpoint; r10 review).
+    found = D.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.8
+    ).localCheckpoint(eager=True)
     # Exact-Jaccard margin of every truth pair (not just the found
-    # ones): one shingle pass, two id equi-joins against the tiny
-    # truth table.
-    tok_df = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
-    sets_df = tok_df.select(
-        "doc_id", D.shingles_of_tokens(F.col("_t"), 3).alias("s")
+    # ones). Shingle sets are built ONLY for ids appearing in a truth
+    # pair (a semi-join — ~2x the planted-dup count, not the corpus)
+    # and materialized once for the two sides of the pair join.
+    truth_ids = (
+        truth.select(F.col("id_a").alias("doc_id"))
+        .union(truth.select(F.col("id_b")))
+        .distinct()
+    )
+    sets_df = (
+        docs.join(truth_ids, "doc_id", "left_semi")
+        .select("doc_id", D.tokens(F.col("text")).alias("_t"))
+        .select("doc_id", D.shingles_of_tokens(F.col("_t"), 3).alias("s"))
+        .localCheckpoint(eager=True)
     )
     tj = (
         truth.join(

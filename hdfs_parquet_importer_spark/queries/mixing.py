@@ -1336,7 +1336,10 @@ def mix_upsample_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_ccnet_buckets",
     oracle=f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+WITH tok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+  WHERE term <> ''),
 tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
 tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tf),
 pd AS (

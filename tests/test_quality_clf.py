@@ -73,6 +73,26 @@ def test_trimmed_model_keeps_every_document(spark):
     assert abs(part[0]["margin"] - full[0]["margin"]) < 1e-12
 
 
+def test_empty_or_inconsistent_model_raises(spark):
+    """An empty weight table (bad offline load) must fail loudly at
+    the swap point — scored-through it would yield NULL prob for
+    every doc and the margin>0 filter would silently drop the whole
+    corpus. Inconsistent per-row biases are not one model."""
+    import pytest
+
+    docs, labels = _toy(spark)
+    feats = hashed_doc_features(docs)
+    model = nb_linear_classifier(feats, labels)
+    empty = model.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty"):
+        score_documents(feats, empty)
+    mixed = model.withColumn(
+        "bias", F.when(F.col("b") < "80", 0.1).otherwise(0.2)
+    )
+    with pytest.raises(ValueError, match="one non-null value"):
+        score_documents(feats, mixed)
+
+
 def test_full_model_scores_match_manual_formula(spark):
     """score_documents replays bias + mean-pooled dot product: check
     one document end-to-end against a hand-computed sigmoid."""

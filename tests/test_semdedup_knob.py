@@ -70,8 +70,21 @@ def test_srp_bucket_raises_past_vector_dim(spark, sf_dir):
     # dimension — the per-row guard must fire.
     short = emb.select(F.slice(F.col("embedding"), 1, 4).alias("v"))
     bad = short.select(srp_bucket(F.col("v"), 6).alias("b"))
-    with pytest.raises(Exception, match="exceeds vector dim"):
+    with pytest.raises(Exception, match="non-null leading dims"):
         bad.collect()
+    # NULL vectors and NULL leading elements must raise too, not fall
+    # through to a silent NULL bucket (size(NULL) < bits is NULL, so
+    # a bare comparison would skip the guard).
+    nullvec = spark.createDataFrame(
+        [([0.1, -0.2, 0.3],), (None,)], "v: array<double>"
+    )
+    with pytest.raises(Exception, match="non-null leading dims"):
+        nullvec.select(srp_bucket(F.col("v"), 3).alias("b")).collect()
+    nullelem = spark.createDataFrame(
+        [([0.1, None, 0.3],)], "v: array<double>"
+    )
+    with pytest.raises(Exception, match="non-null leading dims"):
+        nullelem.select(srp_bucket(F.col("v"), 3).alias("b")).collect()
     # bits past the long bucket id raises at build time with the
     # real reason, not a literal-overflow NumberFormatException.
     with pytest.raises(ValueError, match="<= 63"):
