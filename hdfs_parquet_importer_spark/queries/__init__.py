@@ -163,13 +163,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q4_priority_check",           # tpch, r5
 )
 # r11 QUEUE (committed now so the next rotation is mechanical):
-# (a0) quality_dsir_weights (P1 changed-code: the r10 review pass
-#     refactored its feature projection onto the shared
-#     operators/quality_clf.hashed_doc_features and added the
-#     empty-token filter to its oracle's tok CTE — value-identical
-#     on gate data, but P1 means the driver re-proves it), then
-#     eval_dedup_recall (r10-new, registered after the r10 window
-#     closed; P3 never-windowed outranks the P4 stale greens below);
+# (a0) quality_dsir_weights and quality_ccnet_buckets (P1
+#     changed-code: the r10 review passes refactored dsir's feature
+#     projection onto the shared quality_clf.hashed_doc_features and
+#     added the empty-token filter to both oracles' tok CTEs —
+#     value-identical on gate data, but P1 means the driver
+#     re-proves them; the other r10-review-touched queries are
+#     already IN the r10 window, so their close rows reflect current
+#     code), then eval_dedup_recall (r10-new, registered after the
+#     r10 window closed; P3 never-windowed outranks the P4 stale
+#     greens below);
 # (a) the 34 remaining r5 greens (P4, family-spread — this drains
 #     r5; report_mom_yoy, stat_corr_matrix, dedup_incremental_batch,
 #     etl_csv_roundtrip, func_string, agg_freq_items and
