@@ -103,9 +103,15 @@ def shingles(col: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard over two *distinct-element* arrays (double)."""
+    """Exact Jaccard over two *distinct-element* arrays (double).
+
+    Union size by inclusion-exclusion (|a| + |b| - |a∩b|), valid
+    exactly because the contract is distinct elements — the previous
+    array_distinct(concat(a, b)) allocated and hash-deduped a
+    combined array PER CANDIDATE PAIR in the verify-join hot path for
+    the same number (r10 review)."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_distinct(F.concat(a, b))).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
@@ -302,6 +308,16 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     ignored); anything else is rejected up front rather than failing
     deep in the banding plan.
     """
+    if max_hamming > 3:
+        # 4 fixed chunks pigeonhole-guarantee recall only for
+        # distance <= 3; a larger threshold would silently DROP
+        # qualifying pairs that differ in every chunk (same convention
+        # as lsh_candidate_pairs' num_perm % bands check: knobs that
+        # silently shift recall must raise).
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the 4-chunk pigeonhole "
+            f"guarantee (max 3); re-band with more chunks instead"
+        )
     if fp is None:
         fp = simhash_fingerprints(df, id_col, text_col)
     elif not {"id", "fp"} <= set(fp.columns):

@@ -399,7 +399,12 @@ def label_propagation(
         F.col(src).alias("node"), F.col(dst).alias("nb")
     ).unionAll(
         edges.select(F.col(dst).alias("node"), F.col(src).alias("nb"))
-    )
+    # Loop-invariant, read once per round plus once for the initial
+    # labels: without materialization the upstream EDGES pipeline
+    # (often itself a banded self-join) re-executes ~2x per round —
+    # the same reason connected_components checkpoints `sym` and
+    # pagerank its edge table (r10 review).
+    ).localCheckpoint(eager=True)
     lbl = (
         nbr.select("node")
         .distinct()

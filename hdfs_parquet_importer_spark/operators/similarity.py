@@ -115,6 +115,20 @@ def salted_topk(
     numeric (the salt is a modulus) — true for this engine's tables;
     hash non-numeric ids upstream."""
     from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
+
+    id_type = scored.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        # pmod would implicitly cast (string ids -> NULL salt), and
+        # every candidate of a query would collapse into ONE window
+        # partition — the single-reducer funnel this function exists
+        # to prevent, silently, with correct-looking results. Fail
+        # fast instead (r10 review).
+        raise TypeError(
+            f"salted_topk: {id_col} must be numeric for the salt "
+            f"modulus, got {id_type.simpleString()}; hash non-numeric "
+            f"ids upstream (e.g. xxhash64)"
+        )
 
     salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
     partial_w = Window.partitionBy(query_id_col, salt).orderBy(*order_cols)
@@ -146,6 +160,28 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         bit = F.when(dot(vec, plane_col) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
+
+
+def lsh_tables(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int,
+    bucket_alias: str = "bucket",
+) -> Column:
+    """The (tbl, bucket) struct-array every LSH surface explodes —
+    ONE definition shared by the in-memory ranker (lsh_topk), the
+    index WRITER (build_lsh_index) and the index READER
+    (query_lsh_index). Writer and reader must compute bit-identical
+    buckets forever or probes silently miss and recall collapses with
+    no error; before r10 the expression was copy-pasted at all three
+    sites, which is exactly the drift this helper removes."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("tbl"),
+            lsh_bucket(vec, hyperplanes(dim, n_planes, seed + t)).alias(
+                bucket_alias
+            ),
+        )
+        for t in range(n_tables)
+    ])
 
 
 def lsh_topk(
@@ -186,15 +222,7 @@ def lsh_topk(
         )
 
     def banded(df: DataFrame, id_: str, vec: str, out: str) -> DataFrame:
-        tables = F.array(*[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket(
-                    F.col(vec), hyperplanes(dim, n_planes, seed + t)
-                ).alias(out),
-            )
-            for t in range(n_tables)
-        ])
+        tables = lsh_tables(F.col(vec), dim, n_planes, n_tables, seed, out)
         return df.select(
             F.col(id_), F.col(vec), F.explode(tables).alias("tb")
         ).select(id_, vec, "tb.tbl", F.col(f"tb.{out}").alias(out))
@@ -261,6 +289,14 @@ def ivf_topk(
     Unlike hyperplane LSH (data-independent planes), the partition
     adapts to the data's cluster structure, which is what makes IVF
     the scale path for clustered embedding corpora.
+
+    CONTRACT: embeddings should be (approximately) unit-norm. The
+    coarse probe picks lists by squared-L2 to the centroids while the
+    final ranking is cosine; on unit vectors L2 and cosine are
+    rank-equivalent (||q-x||^2 = 2 - 2 q.x), but on unnormalized
+    corpora a large-norm vector can be cosine-closest yet land in an
+    unprobed list. This engine's embeddings table is unit-norm by
+    construction; normalize other inputs upstream.
     """
 
     from hdfs_parquet_importer_spark.operators.kmeans import (
@@ -287,9 +323,10 @@ def ivf_topk(
         )
         for _, ci in d2[:n_probe]:
             probe_rows.append((r[query_id_col], qv, ci))
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     probe_df = queries.sparkSession.createDataFrame(
         probe_rows,
-        f"{query_id_col} long, {query_vec_col} array<double>, cell int",
+        f"{query_id_col} {qid_type}, {query_vec_col} array<double>, cell int",
     )
 
     scored = cells.join(F.broadcast(probe_df), "cell").select(
@@ -327,15 +364,7 @@ def build_lsh_index(
     inverted-list (IVF) ANN index, built with nothing but partitioned
     parquet."""
     dim = _vec_dim(vectors, vec_col)
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket(F.col(vec_col), hyperplanes(dim, n_planes, seed + t)).alias(
-                "bucket"
-            ),
-        )
-        for t in range(n_tables)
-    ])
+    tables = lsh_tables(F.col(vec_col), dim, n_planes, n_tables, seed)
     banded = (
         ensure_parallelism(vectors)
         .select(F.col(id_col), F.col(vec_col), F.explode(tables).alias("tb"))
@@ -368,22 +397,25 @@ def query_lsh_index(
     (PartitionFilters, zero IO for unprobed buckets). Candidates from
     all probed buckets are deduped per (query, id) then ranked by
     exact cosine."""
-    dim = _vec_dim(queries, query_vec_col)
-    # Home buckets are computed through the SAME lsh_bucket Spark
-    # expression the index writer used — a driver-side Python rehash
-    # would have to stay bit-identical with it forever or probes
-    # silently miss (recall collapses with no error). Queries are
-    # small by definition, so routing them through one tiny Spark job
-    # costs nothing.
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("tbl"),
-            lsh_bucket(
-                F.col(query_vec_col), hyperplanes(dim, n_planes, seed + t)
-            ).alias("bucket"),
+    # The INDEX's dimensionality is authoritative (the writer derived
+    # its hyperplanes from it); a query set from a different encoder
+    # must fail loudly — probing with planes of the wrong dim would
+    # compute unrelated buckets and the cosine over zip_with of
+    # mismatched arrays null-pads, so the job would SUCCEED with
+    # garbage neighbors (r10 review — the same guard lsh_topk has).
+    index = spark.read.parquet(path)
+    dim = _vec_dim(index, vec_col)
+    qdim = _vec_dim(queries, query_vec_col)
+    if qdim != dim:
+        raise ValueError(
+            f"query dim {qdim} != indexed corpus dim {dim}: "
+            f"different encoders?"
         )
-        for t in range(n_tables)
-    ])
+    # Home buckets are computed through the SAME lsh_tables Spark
+    # expression the index writer used (shared helper — a drift here
+    # silently misses every probe). Queries are small by definition,
+    # so routing them through one tiny Spark job costs nothing.
+    tables = lsh_tables(F.col(query_vec_col), dim, n_planes, n_tables, seed)
     q_rows = (
         queries.select(
             query_id_col, query_vec_col, F.explode(tables).alias("tb")
@@ -402,15 +434,16 @@ def query_lsh_index(
             probes.add((r["tbl"], bb))
         qb.append((r[query_id_col], list(r[query_vec_col]), r["tbl"], buckets))
 
-    index = spark.read.parquet(path)
     probe_pred = F.struct(F.col("tbl"), F.col("bucket")).isin(
         [F.struct(F.lit(t), F.lit(b)) for t, b in probes]
     )
     cand = index.filter(probe_pred)
 
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     probe_df = spark.createDataFrame(
         [(qid, vec, t, b) for qid, vec, t, bs in qb for b in bs],
-        f"{query_id_col} long, {query_vec_col} array<double>, tbl int, bucket int",
+        f"{query_id_col} {qid_type}, {query_vec_col} array<double>, "
+        f"tbl int, bucket int",
     )
     deduped = (
         cand.join(F.broadcast(probe_df), ["tbl", "bucket"])
@@ -507,6 +540,14 @@ def pq_topk(
     * **Refine**: the ``refine`` best ADC candidates per query (two-
       phase salted top-R, no single-reducer window) re-rank by EXACT
       cosine via an id equi-join back to the raw vectors.
+
+    CONTRACT: embeddings should be (approximately) unit-norm — the
+    ADC candidate stage minimizes squared-L2 while the refine stage
+    maximizes cosine, and the two orders agree only on unit vectors
+    (||q-x||^2 = 2 - 2 q.x). On an unnormalized corpus a large-norm
+    vector can be cosine-best yet rank outside the ``refine`` ADC
+    cutoff and silently miss. This engine's embeddings table is
+    unit-norm by construction; normalize other inputs upstream.
     """
     from pyspark.sql import Window
 
@@ -524,8 +565,9 @@ def pq_topk(
             for ci, cent in enumerate(codebooks[mi]):
                 d2 = sum((a - b) * (a - b) for a, b in zip(qs, cent))
                 dtab_rows.append((r[query_id_col], mi, ci, d2))
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     dtab = queries.sparkSession.createDataFrame(
-        dtab_rows, f"{query_id_col} long, sub int, code int, d2 double"
+        dtab_rows, f"{query_id_col} {qid_type}, sub int, code int, d2 double"
     )
 
     adc = (
