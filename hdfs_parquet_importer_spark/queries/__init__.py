@@ -83,84 +83,78 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 10 rotation (executes the committed r10 QUEUE: the two
-    # r9 URL registrations first — the registry's only never-windowed
-    # queries — then all 34 remaining r4 greens, draining r4; fill
-    # from oldest r5, family-spread).
+    # -- Round 11 rotation (executes the committed r11 QUEUE: P1
+    # changed-oracle pair, then eval_dedup_recall — the registry's
+    # only never-windowed query — then all 34 remaining r5 greens,
+    # draining r5; fill from oldest r6, family-spread).
     #
-    # (P1/P3) The r9 URL pair — never windowed AND changed this round
-    # (ADVICE r9 medium: userinfo authorities now pass through in
-    # both engines' rules):
-    "url_canonicalize",
-    "dedup_url_canonical",
-    # (P1) Changed in r10:
-    #   dedup_semdedup — SRP bucketing lifted into
-    #       operators/semdedup.py with the cluster-count knob
-    #       (VERDICT r9 item 4); query pins bits=3, value-identical,
-    #       oracle now generated from the shared builder;
-    #   join_dpp_prune / etl_schema_evolution — consume
-    #       sources/io.cached_tmp_dataset, whose cache root now
-    #       chmods 0700 unconditionally (ADVICE r9; value-neutral).
-    "dedup_semdedup",
-    "join_dpp_prune",
-    "etl_schema_evolution",
-    # (new, r10) The model-scored quality filter pair (VERDICT r9
-    # item 6 explicitly requires a passing CORRECTNESS entry this
-    # round, which outranks the r8 leftover-slot amendment's default
-    # of queueing new registrations):
-    "quality_classifier_score",
-    "quality_classifier_filter",
-    # (P4) All 34 remaining r4 greens (queue item b) — drains r4;
-    # after this round the oldest driver row anywhere is r5.
-    "agg_having",
-    "agg_histogram",
-    "agg_mode_per_group",
-    "asof_join_next_purchase",
-    "asof_join_purchase_view",
-    "cdc_latest_per_key",
-    "corpus_train_eval_split",
-    "events_hourly_rollup",
-    "events_interval_join",
-    "events_longest_streak",
-    "events_retention",
-    "events_sliding_window",
-    "events_tumbling_window",
-    "events_user_activity",
-    "func_array",
-    "func_date",
-    "func_explode",
-    "func_json",
-    "func_map_props",
-    "func_map_transform",
-    "func_math",
-    "join_anti",
-    "join_full_outer",
-    "join_range",
-    "join_semi",
-    "q11_important_value",
-    "q12_priority_shipping",
-    "q20_excess_quantity",
-    "sample_stratified",
-    "sample_weighted",
-    "setop_intersect",
-    "window_forward_fill",
-    "window_lag_lead",
-    "window_share_of_total",
-    # (P4/P5) Fill from oldest rows, family-spread (queue item c).
-    # graphs and pandas_surface have NO r5 rows, so their oldest
-    # rows seat as the P5 module reps the family-coverage gate
-    # requires; the rest are r5 greens chosen one-per-module, with
-    # dedup_incremental_batch picked deliberately — it carries the
-    # r9 BENCH_NOTES ~1.3x watch item this round adjudicates.
-    "graph_degree_distribution",   # graphs, r7 (oldest in module)
-    "pandas_udf_log_price",        # pandas_surface, r6 (oldest)
-    "report_mom_yoy",              # reporting, r5
-    "stat_corr_matrix",            # stats, r5
-    "dedup_incremental_batch",     # llm, r5 (bench watch item)
-    "etl_csv_roundtrip",           # etl_parity, r5 (reference O1)
-    "func_string",                 # functions, r5
-    "agg_freq_items",              # relational, r5
-    "q4_priority_check",           # tpch, r5
+    # (P1) Changed in r10 AFTER the r10 window froze: the r10 review
+    # passes moved dsir's feature projection onto the shared
+    # quality_clf.hashed_doc_features and added the empty-token
+    # filter to both oracles' tok CTEs — value-identical on gate
+    # data, but a changed query may never ship on a stale green:
+    "quality_dsir_weights",
+    "quality_ccnet_buckets",
+    # (P3) Registered in r10 after that round's window froze — the
+    # only query that has never held a driver row:
+    "eval_dedup_recall",
+    # (new, r11) ANN-recall eval (VERDICT r10 item 3) takes the
+    # leftover slot per the r8 amendment — P1/P2 and the committed
+    # queue are all seated below:
+    "eval_ann_recall",
+    # (P4) All 34 remaining r5 greens (queue item a) — drains r5;
+    # after this round the oldest driver row anywhere is r6.
+    "agg_hll_mergeable",
+    "ann_pq_adc",
+    "asof_join_tolerance",
+    "bpe_top_merges",
+    "doc_tfidf_cosine_topk",
+    "events_markov_transitions",
+    "events_ohlc_resample",
+    "events_session_path_topk",
+    "mix_epoch_order",
+    "mix_kl_divergence",
+    "mix_temperature_sampling",
+    "multimodal_wav_energy",
+    "pipeline_corpus_prep",
+    "profile_table_stats",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q22_sales_opportunity",
+    "quality_gopher_rules",
+    "scd2_event_type_history",
+    "sink_roundtrip_jsonl",
+    "sink_roundtrip_orc",
+    "sink_roundtrip_partitioned",
+    "sink_roundtrip_plain",
+    "sketch_countmin_heavy",
+    "snapshot_as_of_day15",
+    "stat_entropy_by_source",
+    "stat_rolling_zscore",
+    "stat_spearman_rank",
+    "subq_lateral_top2",
+    "ts_linear_interpolate",
+    "vocab_coverage",
+    "window_ewma",
+    "window_range_frame",
+    "zorder_curve",
+    # (P5 + queue item b) Fill from oldest rows, family-spread.
+    # pandas_surface has no r5/r6 rows, so its oldest green (r7)
+    # seats as the P5 module rep the family-coverage gate requires;
+    # the remaining 11 slots take r6 greens one-per-module
+    # (func_timezone_convert doubles as the functions module rep):
+    "udtf_text_chunks",            # pandas_surface, r7 (oldest)
+    "stat_mad_outliers",           # relational, r6
+    "q6_forecast_revenue",         # tpch, r6
+    "scd2_temporal_join",          # etl_parity, r6
+    "func_timezone_convert",       # functions, r6 (module rep)
+    "window_percent_rank_cume",    # windows, r6
+    "graph_pagerank",              # events, r6
+    "multimodal_image_dhash_dedup",  # llm, r6
+    "sample_k_per_group",          # mixing, r6
+    "subq_not_in_null_trap",       # subqueries, r6
+    "agg_activity_bitmap",         # stats, r6
+    "dq_expectations",             # reporting, r6
 )
 # r11 QUEUE (committed now so the next rotation is mechanical):
 # (a0) quality_dsir_weights and quality_ccnet_buckets (P1
