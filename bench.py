@@ -237,16 +237,25 @@ def _load_prev_table(sf) -> dict:
     Splitting the two makes "previous run" unambiguous for the
     speed-factor normalizer and lets rounds close with a clean tree.
     Falls back to BENCH_LOCAL.json only when no baseline exists yet
-    (fresh clone mid-round)."""
+    (fresh clone mid-round). A readable baseline with a DIFFERENT sf
+    means this run is off the committed scale — return {} (no drift
+    comparison) rather than normalizing against an arbitrary stale
+    scratch run (r10 ADVICE)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    for fname in ("BENCH_BASELINE.json", "BENCH_LOCAL.json"):
-        try:
-            with open(os.path.join(here, fname)) as fh:
-                prev = json.load(fh)
-            if prev.get("sf") == sf:
-                return prev
-        except (OSError, ValueError):
-            continue
+    try:
+        with open(os.path.join(here, "BENCH_BASELINE.json")) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = None
+    if prev is not None:
+        return prev if prev.get("sf") == sf else {}
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") == sf:
+            return prev
+    except (OSError, ValueError):
+        pass
     return {}
 
 

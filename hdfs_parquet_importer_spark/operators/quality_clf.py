@@ -91,7 +91,9 @@ def nb_linear_classifier(feats: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def score_documents(feats: DataFrame, model: DataFrame) -> DataFrame:
+def score_documents(
+    feats: DataFrame, model: DataFrame, validate: bool = True
+) -> DataFrame:
     """(doc_id, n_tokens, margin, prob). ``margin`` is the
     mean-pooled dot product (sum_b n_b w_b)/n_tokens — the model's
     evidence relative to the class prior (margin > 0 means the doc
@@ -110,29 +112,41 @@ def score_documents(feats: DataFrame, model: DataFrame) -> DataFrame:
     evidence that is present. With :func:`nb_linear_classifier` the
     model covers every bucket the corpus produced, so the join kinds
     coincide there. ``bias`` rides a separate 1-row broadcast so a
-    zero-match document still gets prob = sigmoid(bias)."""
+    zero-match document still gets prob = sigmoid(bias).
+
+    With ``validate=True`` (default) this call is EAGER: it
+    materializes the <=256-row model (``localCheckpoint``) and runs a
+    driver-side sanity collect so a bad offline-weights load fails
+    loudly AT THE SWAP POINT instead of silently nulling every score
+    downstream. Callers composing lazy plans on the trusted
+    closed-form path (model fresh from :func:`nb_linear_classifier`
+    in the same lineage) can pass ``validate=False`` to keep the
+    build fully lazy — no checkpoint, no driver job (r10 ADVICE)."""
     margin = (
         F.sum(F.col("n") * F.coalesce(F.col("w"), F.lit(0.0))) / F.sum("n")
     )
-    # The model is read twice below (weight join + bias row); it is
-    # <=256 rows, and without materialization the second read re-runs
-    # the whole closed-form training lineage (cheap in work, but it
-    # doubles the plan and the number of exchanges).
-    model = model.localCheckpoint(eager=True)
-    # Validate the (already-materialized, <=256-row) model at the
-    # swap point rather than scoring through it: an EMPTY weight
-    # table (bad offline load) would make bias NULL and prob NULL for
-    # every document, and the margin>0 filter would then silently
-    # drop the whole corpus; inconsistent per-row biases mean the
-    # table is not one model (r10 review).
-    biases = {r["bias"] for r in model.select("bias").distinct().collect()}
-    if not biases:
-        raise ValueError("score_documents: model table is empty")
-    if len(biases) > 1 or None in biases:
-        raise ValueError(
-            f"score_documents: model bias must be one non-null value, "
-            f"got {sorted(biases, key=str)}"
-        )
+    if validate:
+        # The model is read twice below (weight join + bias row); it
+        # is <=256 rows, and without materialization the second read
+        # re-runs the whole closed-form training lineage (cheap in
+        # work, but it doubles the plan and the number of exchanges).
+        model = model.localCheckpoint(eager=True)
+        # Validate the (already-materialized, <=256-row) model at the
+        # swap point rather than scoring through it: an EMPTY weight
+        # table (bad offline load) would make bias NULL and prob NULL
+        # for every document, and the margin>0 filter would then
+        # silently drop the whole corpus; inconsistent per-row biases
+        # mean the table is not one model (r10 review).
+        biases = {
+            r["bias"] for r in model.select("bias").distinct().collect()
+        }
+        if not biases:
+            raise ValueError("score_documents: model table is empty")
+        if len(biases) > 1 or None in biases:
+            raise ValueError(
+                f"score_documents: model bias must be one non-null "
+                f"value, got {sorted(biases, key=str)}"
+            )
     bias_1row = model.agg(F.max("bias").alias("bias"))
     return (
         feats.join(F.broadcast(model.select("b", "w")), "b", "left")

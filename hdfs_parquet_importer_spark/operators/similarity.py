@@ -404,13 +404,23 @@ def query_lsh_index(
     # mismatched arrays null-pads, so the job would SUCCEED with
     # garbage neighbors (r10 review — the same guard lsh_topk has).
     index = spark.read.parquet(path)
-    dim = _vec_dim(index, vec_col)
     qdim = _vec_dim(queries, query_vec_col)
-    if qdim != dim:
-        raise ValueError(
-            f"query dim {qdim} != indexed corpus dim {dim}: "
-            f"different encoders?"
-        )
+    head = index.select(vec_col).first()
+    if head is None or head[0] is None:
+        # Empty index (or all-NULL vectors): stay queryable — probe
+        # with the query-side dim so the plan below runs; the
+        # candidate join against the empty index yields an empty
+        # top-k with the normal schema instead of the opaque
+        # "cannot infer vector dim" raise (r10 ADVICE: the dim
+        # guard must not break the zero-rows edge).
+        dim = qdim
+    else:
+        dim = len(head[0])
+        if qdim != dim:
+            raise ValueError(
+                f"query dim {qdim} != indexed corpus dim {dim}: "
+                f"different encoders?"
+            )
     # Home buckets are computed through the SAME lsh_tables Spark
     # expression the index writer used (shared helper — a drift here
     # silently misses every probe). Queries are small by definition,

@@ -206,7 +206,11 @@ def test_partitioned_compaction_splits_large_partitions(spark, sf_dir, tmp_path)
             per_dir_bytes[str(tmp_path / "bigpart_src") + "/" + d.split("/")[-1]]
             / target
         )
-        assert n == expected, (
+        # ADVICE r10: range boundaries come from a probabilistic
+        # sampler, so a same-directory salt merge is unlikely at 2x
+        # headroom but not impossible — tolerate exactly one merged
+        # pair per directory instead of asserting the plan exactly.
+        assert expected - 1 <= n <= expected, (
             f"{d} got {n} files, planned {expected} — per-dir sizing "
             "did not resolve or range partitioning merged keys"
         )

@@ -107,3 +107,28 @@ def test_full_model_scores_match_manual_formula(spark):
     got = score_documents(feats, model).filter(F.col("doc_id") == 0).first()
     assert abs(got["prob"] - want) < 1e-12
     assert got["n_tokens"] == 4
+
+
+def test_score_documents_validate_false_is_lazy(spark):
+    """validate=False keeps score_documents a pure plan-builder: no
+    Spark job may launch at build time (r10 ADVICE — the default
+    path's eager localCheckpoint + sanity collect is the documented
+    swap-point contract, not a tax on trusted closed-form callers)."""
+    docs, labels = _toy(spark)
+    feats = hashed_doc_features(docs)
+    model = nb_linear_classifier(feats, labels)
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    scored = score_documents(feats, model, validate=False)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "build launched a Spark job"
+
+    # And the lazy path still computes the same scores.
+    want = {
+        (r["doc_id"], round(r["prob"], 12))
+        for r in score_documents(feats, model).collect()
+    }
+    got = {(r["doc_id"], round(r["prob"], 12)) for r in scored.collect()}
+    assert got == want

@@ -271,3 +271,31 @@ def test_mips_differs_from_cosine_and_reduction_agrees(spark, tmp_path):
     assert [r.vec_id for r in got] == [6, 5, 7]
     assert [r.dot for r in got] == [3.0, 2.0, 0.1]
     assert all(r.reduction_agrees for r in got)
+
+
+def test_query_lsh_index_on_empty_index_returns_empty(spark, tmp_path):
+    """An empty persisted index stays queryable: probing returns an
+    empty top-k with the normal schema instead of the opaque 'cannot
+    infer vector dim' raise (r10 ADVICE — the dim-mismatch guard must
+    not break the zero-rows edge)."""
+    from hdfs_parquet_importer_spark.operators.similarity import (
+        query_lsh_index,
+    )
+
+    # build_lsh_index itself refuses empty input (indexing nothing is
+    # a writer bug); an index can still BECOME empty — e.g. rewritten
+    # after a full-corpus retention purge — so write the empty index
+    # layout directly.
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, tbl int, bucket int"
+    )
+    idx_path = str(tmp_path / "empty_index")
+    empty.write.parquet(idx_path)
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    got = query_lsh_index(spark, idx_path, q, k=5)
+    assert got.count() == 0
+    assert {"query_id", "vec_id", "rank"} <= set(got.columns)
