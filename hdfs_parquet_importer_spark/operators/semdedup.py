@@ -92,7 +92,7 @@ def srp_bucket_sql(vec_expr: str, bits: int) -> str:
     return " + ".join(terms)
 
 
-def semdedup(
+def semdedup_edges(
     emb: DataFrame,
     *,
     bits: int = 3,
@@ -100,17 +100,14 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup over ``emb`` -> (vec_id, canonical_id, is_removed).
+    """The candidate-edge stage of :func:`semdedup`:
+    ``(bucket, id_a, id_b)`` for every same-bucket pair with cosine
+    >= ``threshold`` (``id_a < id_b``), materialized so the quadratic
+    scan runs exactly once.
 
-    ``bits`` controls the cluster count (2^bits SRP buckets); see the
-    module docstring for the production sizing rule. All joins are
-    bucket equi-joins; CC is ONE grouped union-find pass (components
-    cannot span buckets by construction — no iterative fixpoint).
-    """
-    from hdfs_parquet_importer_spark.operators.graph import (
-        grouped_connected_components,
-    )
-
+    Exposed separately so the knob study can measure edge-set RECALL
+    across ``bits`` settings directly (the nested-prefix property
+    makes the wider-bits edge set a strict superset)."""
     e = F.col(vec_col)
     # Normalize ONCE at scan side (linear) so the quadratic pair stage
     # folds a single dot product instead of dot + two norms per pair.
@@ -132,7 +129,7 @@ def semdedup(
         F.col("vecn").alias("vb"),
         F.col("bucket").alias("bucket_b"),
     )
-    edges = (
+    return (
         a.join(
             c,
             (F.col("bucket_a") == F.col("bucket_b"))
@@ -143,6 +140,40 @@ def semdedup(
         # Materialize the edge LIST so the quadratic pair scan runs
         # exactly ONCE (module docstring).
         .localCheckpoint(eager=True)
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    bits: int = 3,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup over ``emb`` -> (vec_id, canonical_id, is_removed).
+
+    ``bits`` controls the cluster count (2^bits SRP buckets); see the
+    module docstring for the production sizing rule. All joins are
+    bucket equi-joins; CC is ONE grouped union-find pass (components
+    cannot span buckets by construction — no iterative fixpoint).
+
+    RECALL TRADE (r10 verdict): dedup is cluster-scoped by
+    definition, so raising ``bits`` trades recall for cost — a
+    near-dup pair split across two finer buckets is simply not a
+    candidate. The knob study (tools/semdedup_knob_study.py,
+    SCALING.md) quantifies it: at 3 -> 6 bits pair work drops ~8x
+    while the detected edge set keeps the measured `edge recall`
+    fraction of the bits=3 edges. Correctness is knob-independent
+    only in the sense that the DuckDB oracle replays the SAME
+    buckets; WHICH near-dups are found genuinely depends on the
+    clustering, exactly as in the published method."""
+    from hdfs_parquet_importer_spark.operators.graph import (
+        grouped_connected_components,
+    )
+
+    edges = semdedup_edges(
+        emb, bits=bits, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
     cc = grouped_connected_components(edges, "bucket")
     return cc.select(
