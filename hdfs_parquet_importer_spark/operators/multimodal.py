@@ -11,15 +11,19 @@ payloads in their own parquet column, never inside a struct with hot
 metadata), and decode stages should run AFTER filters so only
 surviving rows are decoded.
 
-Codec status: PNG (grayscale 8-bit) and WAV (PCM16) are REAL,
-implemented stdlib-only — PNG chunk parsing with CRC verification,
+Codec status: PNG (grayscale 8-bit), JPEG (baseline DCT grayscale),
+and WAV (PCM16) are REAL — PNG chunk parsing with CRC verification,
 zlib inflate, and full scanline un-filtering (None/Sub/Up/Average/
-Paeth); WAV RIFF parsing with struct. ``decode_media`` dispatches on
-the payload magic and returns decoded pixel/sample statistics;
-``resize_image`` does a real nearest-neighbor resample
-(decode -> numpy index -> re-encode). Only codecs that genuinely
-need absent libraries (JPEG/ffmpeg video) remain out of scope and
-raise ``NotImplementedError`` explicitly. The legacy ``SGMM`` fake
+Paeth); JPEG with quality-scaled Annex K quantization, standard
+Huffman tables, byte stuffing, and restart markers (r11; the decoder
+parses whatever DQT/DHT/SOF0/DRI the file carries, so it is not
+limited to this encoder's output — progressive/arithmetic/color
+streams raise NotImplementedError by name); WAV RIFF parsing with
+struct. ``decode_media`` dispatches on the payload magic and returns
+decoded pixel/sample statistics; ``resize_image`` does a real
+nearest-neighbor resample (decode -> numpy index -> re-encode). Only
+video containers (ffmpeg territory) remain out of scope and raise
+``NotImplementedError`` explicitly. The legacy ``SGMM`` fake
 container is still accepted for plumbing tests.
 """
 
@@ -219,6 +223,453 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
         out.extend(line)
         prev = bytes(line)
     return width, height, bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Real JPEG codec (baseline DCT, grayscale), stdlib + numpy.
+#
+# Full JFIF pipeline: level shift -> 8x8 FDCT -> quality-scaled Annex K
+# luminance quantization -> zigzag -> DC-diff/AC-RLE Huffman coding with
+# the Annex K standard tables and 0xFF byte stuffing. The decoder is
+# GENERIC on the format (parses whatever DQT/DHT/SOF0/DRI the file
+# carries, unstuffs, handles restart markers), so it reads real-world
+# baseline grayscale JPEGs, not just this encoder's output; progressive
+# (SOF2) and multi-component (color) files raise NotImplementedError by
+# name. JPEG is lossy, so unlike the PNG path the pixel oracle is an
+# error-bound gate, not byte equality.
+# --------------------------------------------------------------------------
+_JPEG_STD_LUMA_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+# Zigzag scan order: _ZIGZAG[k] = row-major block index of the k-th
+# zigzag position.
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Annex K.3.3 standard luminance Huffman tables: (BITS counts by code
+# length 1..16, HUFFVAL). Round-trip safety does not depend on these
+# being the published values (both halves share them via DHT), but
+# using the standard tables keeps the output readable by any decoder.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert sum(_AC_BITS) == len(_AC_VALS) == 162
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical Huffman (BITS, HUFFVAL)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _scaled_qt(quality: int) -> list[int]:
+    """libjpeg quality scaling of the Annex K luminance table."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [
+        min(255, max(1, (q * scale + 50) // 100)) for q in _JPEG_STD_LUMA_QT
+    ]
+
+
+def _dct_mat():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for k in range(8):
+        s = math.sqrt(1 / 8) if k == 0 else math.sqrt(2 / 8)
+        for n in range(8):
+            c[k, n] = s * math.cos(math.pi * (2 * n + 1) * k / 16)
+    return c
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            b = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            self.write(0x7F, 8 - self._nbits)  # pad with 1s
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """(size, appended-bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    return size, (v if v > 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quality: int = 90,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major 8-bit grayscale pixels as a baseline JFIF JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (the error-resilience / parallel-decode feature real
+    encoders use for large images; also what keeps the decoder's
+    restart path honestly tested)."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(f"expected {width * height} pixels, got {len(pixels)}")
+    if width == 0 or height == 0:
+        raise ValueError("JPEG cannot encode an empty image")
+    qt = _scaled_qt(quality)  # natural (row-major) order
+    qmat = np.array(qt, dtype=np.float64).reshape(8, 8)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = img
+    padded[height:, :width] = img[-1:, :]  # edge-replicate pad
+    padded[:, width:] = padded[:, width - 1: width]
+    c = _dct_mat()
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    prev_dc, mcu, rst_n = 0, 0, 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()  # byte-align (pad with 1s) before the marker
+                bw.out += bytes([0xFF, 0xD0 + rst_n % 8])
+                rst_n += 1
+                prev_dc = 0
+            mcu += 1
+            block = padded[by: by + 8, bx: bx + 8] - 128.0
+            coef = c @ block @ c.T
+            q = np.round(coef / qmat).astype(np.int64)
+            zz = q.reshape(64)[_ZIGZAG]
+            # DC
+            size, mag = _mag_bits(int(zz[0]) - prev_dc)
+            prev_dc = int(zz[0])
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(mag, size)
+            # AC: (run, size) pairs with ZRL and EOB
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]  # ZRL
+                    bw.write(zc, zl)
+                    run -= 16
+                size, mag = _mag_bits(v)
+                acode, alen = ac_codes[(run << 4) | size]
+                bw.write(acode, alen)
+                bw.write(mag, size)
+                run = 0
+            if run:
+                ec, el = ac_codes[0x00]  # EOB
+                bw.write(ec, el)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(payload)) + payload
+
+    # DQT entries are serialized in ZIGZAG order per the spec.
+    dqt = seg(0xDB, bytes([0]) + bytes(qt[i] for i in _ZIGZAG))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+        + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops AT restart/terminating markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data ended at marker early")
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                raise ValueError("JPEG entropy data ended at marker early")
+        self._acc = (self._acc << 8) | b
+        self._nbits += 8
+
+    def read_bit(self) -> int:
+        if not self._nbits:
+            self._fill()
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Consume a restart marker (byte-aligned) and reset state."""
+        self._acc = self._nbits = 0
+        if self.marker is None:
+            # Skip stuffed FF00 pairs first: flush padding before the
+            # marker can itself be a 0xFF byte, which the entropy
+            # coder stuffs — those are unread padding, not the marker.
+            while (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and self.data[self.pos + 1] == 0x00
+            ):
+                self.pos += 2
+            # Marker not yet hit during bit fill: it must be next.
+            if (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+            ):
+                self.marker = self.data[self.pos + 1]
+                self.pos += 2
+            else:
+                raise ValueError("expected JPEG restart marker")
+        else:
+            self.pos += 1  # consume the marker id byte
+        if self.marker != 0xD0 + (n % 8):
+            raise ValueError(
+                f"expected RST{n % 8}, got marker {self.marker:#x}"
+            )
+        self.marker = None
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG -> (width, height, pixels).
+
+    Generic baseline decoder: parses DQT/DHT/SOF0/SOS/DRI from the
+    file, unstuffs 0xFF00, honors restart markers. Progressive (SOF2),
+    arithmetic coding, and multi-component (color) streams raise
+    ``NotImplementedError`` naming the missing piece."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    restart_interval = 0
+    comp_qt = dc_id = ac_id = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("progressive JPEG not supported")
+        if marker in (0xC9, 0xCB, 0xCD):
+            raise NotImplementedError("arithmetic-coded JPEG not supported")
+        (length,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        if pos + 2 + length > len(data):
+            raise ValueError("truncated JPEG segment")
+        payload = data[pos + 4: pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                qts[tq] = list(payload[p + 1: p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1: p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17: p + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            precision, height, width, nf = struct.unpack(">BHHB", payload[:6])
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if nf != 1:
+                raise NotImplementedError(
+                    "multi-component (color) JPEG not supported"
+                )
+            sampling, comp_qt = payload[7], payload[8]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampled JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if payload[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            pos = pos + 2 + length
+            break
+        elif marker == 0xD9:
+            raise ValueError("JPEG has no scan data")
+        pos += 2 + length
+    if width is None or dc_id is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    if comp_qt not in qts:
+        raise ValueError("JPEG scan references missing DQT table")
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("JPEG scan references missing DHT table")
+
+    qmat = np.array(qts[comp_qt], dtype=np.float64)[
+        np.argsort(_ZIGZAG)
+    ].reshape(8, 8)
+    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    c = _dct_mat()
+    bw, bh = -(-width // 8), -(-height // 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    br = _BitReader(data, pos)
+    prev_dc, mcu, rst_n = 0, 0, 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_and_expect_rst(rst_n)
+                rst_n += 1
+                prev_dc = 0
+            zz = np.zeros(64, dtype=np.float64)
+            size = _huff_decode(br, dc_tab)
+            diff = _extend(br.read_bits(size), size) if size else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tab)
+                run, size = sym >> 4, sym & 0xF
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient index overflow")
+                zz[k] = _extend(br.read_bits(size), size)
+                k += 1
+            block = np.zeros(64, dtype=np.float64)
+            block[_ZIGZAG] = zz
+            coef = block.reshape(8, 8) * qmat
+            pix = c.T @ coef @ c + 128.0
+            out[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = pix
+            mcu += 1
+    cropped = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, cropped.tobytes()
 
 
 # --------------------------------------------------------------------------
@@ -424,9 +875,98 @@ def png_encode_pixels(df: DataFrame) -> DataFrame:
     return df.mapInPandas(enc, out_schema)
 
 
+def jpeg_encode_pixels(df: DataFrame, quality: int = 90) -> DataFrame:
+    """Encode stage: (media_id, width, height, pixels raw-gray bytes or
+    int array) -> (media_id, payload baseline-JPEG bytes),
+    Arrow-batched — the lossy twin of :func:`png_encode_pixels`. Rows
+    never leave their task."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def enc(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, w, h, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                raw = (
+                    bytes(px)
+                    if isinstance(px, (bytes, bytearray))
+                    else bytes(bytearray(int(v) & 0xFF for v in px))
+                )
+                ids.append(mid)
+                payloads.append(
+                    encode_jpeg_gray(raw, int(w), int(h), quality=quality)
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.mapInPandas(enc, out_schema)
+
+
+JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("max_abs_err", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
+    """Codec-QA stage: encode each (media_id, width, height, pixels)
+    row as baseline JPEG, decode it back, and emit the max absolute
+    pixel error — the validation pass an ingest pipeline runs before
+    trusting a lossy codec path at scale. Both codec halves run inside
+    ONE mapInPandas task per batch; payload bytes are born and die
+    task-side (never shuffled)."""
+
+    def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                raw = (
+                    bytes(px)
+                    if isinstance(px, (bytes, bytearray))
+                    else bytes(bytearray(int(v) & 0xFF for v in px))
+                )
+                w, h = int(w), int(h)
+                _, _, dec = decode_jpeg_gray(
+                    encode_jpeg_gray(raw, w, h, quality=quality)
+                )
+                err = int(
+                    np.abs(
+                        np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                        - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    ).max()
+                )
+                rows.append((mid, w, h, w * h, err))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "max_abs_err",
+                ],
+            )
+
+    return df.mapInPandas(check, JPEG_ROUNDTRIP_SCHEMA)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage with REAL codecs, dispatching on payload magic:
     PNG -> pixel statistics (CRC-verified, inflated, un-filtered),
+    JPEG -> pixel statistics (baseline DCT Huffman decode + IDCT),
     WAV -> PCM16 sample statistics, SGMM -> legacy fake-container
     header parse (byte statistics). Unknown magic raises — silent
     passthrough would hide corrupt inputs at scale."""
@@ -445,6 +985,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                     w, h, px = decode_png_gray(b)
                     rows.append(
                         (mid, "png", w, h, len(px), sum(px),
+                         min(px) if px else 0, max(px) if px else 0)
+                    )
+                elif b[:2] == b"\xff\xd8":
+                    w, h, px = decode_jpeg_gray(b)
+                    rows.append(
+                        (mid, "jpeg", w, h, len(px), sum(px),
                          min(px) if px else 0, max(px) if px else 0)
                     )
                 elif b[:4] == b"RIFF":
@@ -509,6 +1055,15 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
                 if b[:8] != _PNG_SIG:
                     raise ValueError(f"resize_image: id {mid} is not a PNG")
                 w, h, px = decode_png_gray(b)
+                if w == 0 or h == 0:
+                    # A 0x0 source is decodable (decode_media emits
+                    # stats for it) but has no pixels to sample — the
+                    # numpy index below would die with an opaque
+                    # IndexError mid-task (r11 review).
+                    raise ValueError(
+                        f"resize_image: id {mid} is {w}x{h}; cannot "
+                        "resample an empty image"
+                    )
                 img = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
                 ys = (np.arange(height) * h) // height
                 xs = (np.arange(width) * w) // width

@@ -1082,6 +1082,69 @@ def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(8 + doc_id % 7 AS BIGINT) AS height,
+       CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+       TRUE AS within_tol
+FROM documents ORDER BY media_id
+""",
+    doc="REAL lossy image codec through the multimodal pipeline: "
+    "deterministic per-doc smooth gradients (pixel = 20 + id%40 + "
+    "2*col + 3*row, values <= 128 so no wrap edge) -> encode_jpeg_gray "
+    "(baseline JFIF: quality-scaled Annex K quantization, FDCT, "
+    "zigzag, standard-table Huffman with byte stuffing) -> "
+    "decode_jpeg_gray (generic DQT/DHT/SOF0 parse, Huffman decode, "
+    "dequantize, IDCT) -> per-image max abs pixel error, all inside "
+    "ONE mapInPandas stage per batch (payloads never shuffle). JPEG "
+    "is lossy, so unlike multimodal_png_roundtrip the gate is an "
+    "ERROR BOUND: within_tol pins max_abs_err <= 4, a fixed "
+    "deterministic fact (the exhaustive sweep of all 9*7*40 "
+    "(width, height, seed) classes the formula can produce measured "
+    "worst-case 2 at quality 90 — r11, tools-local). The oracle "
+    "re-derives dims and pixel counts from the formula and pins the "
+    "bound TRUE; any codec regression (quantizer, Huffman table, "
+    "filter, stuffing) blows the bound or the dims and flips the "
+    "hash. Cites reference gap: the reference has no media codecs — "
+    "this is driver-mandated extension surface "
+    "(operators/multimodal.py).",
+)
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gen = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+    ).withColumn(
+        "pixels",
+        F.transform(
+            F.sequence(
+                F.lit(0), (F.col("width") * F.col("height") - 1).cast("int")
+            ),
+            lambda i: (
+                F.lit(20)
+                + F.col("media_id") % 40
+                + (i % F.col("width")) * 2
+                + F.floor(i / F.col("width")) * 3
+            ).cast("int"),
+        ),
+    )
+    checked = M.jpeg_roundtrip_error(gen, quality=90)
+    return checked.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        (F.col("max_abs_err") <= 4).alias("within_tol"),
+    ).orderBy("media_id")
+
+
+@register(
     "embedding_centroids",
     oracle="""
 SELECT label, d.dim AS dim, ROUND(AVG(embedding[d.dim]), 6) AS centroid

@@ -283,3 +283,88 @@ def test_image_dhash_gradient_bit_semantics(spark):
     assert rows[1] == (full, full)
     # Bit index r*8+c = 2*8+4 = 20 lives in the hi half.
     assert rows[2] == (full ^ (1 << 20), full)
+
+
+# --------------------------------------------------------------------------
+# JPEG baseline codec (r11)
+# --------------------------------------------------------------------------
+def _gradient(w, h, seed=0):
+    # Smooth, non-wrapping gradient: JPEG-friendly, error stays small.
+    # (A %256 wrap would put a sawtooth edge in the image and the DCT
+    # ringing around it blows the tight error bound.)
+    return bytes(
+        min(255, 20 + seed % 40 + 2 * (i % w) + 3 * (i // w))
+        for i in range(w * h)
+    )
+
+
+def test_jpeg_roundtrip_error_bound():
+    import numpy as np
+
+    for w, h in [(8, 8), (9, 8), (17, 13), (1, 1), (32, 24)]:
+        px = _gradient(w, h, seed=w * h)
+        data = M.encode_jpeg_gray(px, w, h, quality=90)
+        dw, dh, dec = M.decode_jpeg_gray(data)
+        assert (dw, dh) == (w, h)
+        assert len(dec) == w * h
+        err = np.abs(
+            np.frombuffer(dec, dtype=np.uint8).astype(int)
+            - np.frombuffer(px, dtype=np.uint8).astype(int)
+        ).max()
+        assert err <= 4, f"{w}x{h}: max_abs_err {err}"
+
+
+def test_jpeg_restart_markers_decode_identically():
+    px = _gradient(40, 24, seed=3)
+    plain = M.decode_jpeg_gray(M.encode_jpeg_gray(px, 40, 24, quality=85))
+    for ri in (1, 3, 7):
+        with_rst = M.decode_jpeg_gray(
+            M.encode_jpeg_gray(px, 40, 24, quality=85, restart_interval=ri)
+        )
+        assert with_rst == plain
+
+
+def test_jpeg_decoder_rejects_unsupported_by_name():
+    data = bytearray(M.encode_jpeg_gray(_gradient(8, 8), 8, 8))
+    # SOF0 -> SOF2 (progressive): find the marker and patch it.
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_jpeg_gray(bytes(data))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.decode_jpeg_gray(b"\x00\x01")
+
+
+def test_jpeg_truncated_entropy_raises():
+    data = M.encode_jpeg_gray(_gradient(32, 32), 32, 32)
+    with pytest.raises(ValueError):
+        M.decode_jpeg_gray(data[: len(data) // 2])
+
+
+def test_decode_media_dispatches_jpeg(spark):
+    px = _gradient(16, 16)
+    jpg = M.encode_jpeg_gray(px, 16, 16, quality=95)
+    df = spark.createDataFrame(
+        [(7, jpg)], "media_id long, payload binary"
+    )
+    row = M.decode_media(df).collect()[0]
+    assert row["format"] == "jpeg"
+    assert (row["width"], row["height"]) == (16, 16)
+    assert row["n_values"] == 256
+    # Lossy: value_sum is near (not equal to) the source sum.
+    assert abs(row["value_sum"] - sum(px)) <= 4 * 256
+
+
+def test_jpeg_roundtrip_error_operator(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 9, 8, list(_gradient(9, 8, seed=1))),
+            (2, 16, 16, list(_gradient(16, 16, seed=2))),
+        ],
+        "media_id long, width int, height int, pixels array<int>",
+    )
+    rows = {
+        r.media_id: r for r in M.jpeg_roundtrip_error(df, quality=90).collect()
+    }
+    assert rows[1].n_pixels == 72 and rows[2].n_pixels == 256
+    assert rows[1].max_abs_err <= 4 and rows[2].max_abs_err <= 4
