@@ -32,6 +32,7 @@ from __future__ import annotations
 import hashlib
 import struct
 import zlib
+from functools import lru_cache as _lru_cache
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -306,6 +307,18 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
+@_lru_cache(maxsize=None)
+def _std_codes() -> tuple[dict, dict]:
+    """The (DC, AC) standard-table canonical codes, built once per
+    process — encode_jpeg_gray runs per ROW inside mapInPandas, so
+    rebuilding these constants per call is pure repeated work
+    (r11 review)."""
+    return (
+        _canonical_codes(_DC_BITS, _DC_VALS),
+        _canonical_codes(_AC_BITS, _AC_VALS),
+    )
+
+
 def _scaled_qt(quality: int) -> list[int]:
     """libjpeg quality scaling of the Annex K luminance table."""
     if not 1 <= quality <= 100:
@@ -316,7 +329,10 @@ def _scaled_qt(quality: int) -> list[int]:
     ]
 
 
+@_lru_cache(maxsize=None)
 def _dct_mat():
+    """8x8 orthonormal DCT-II matrix, built once per process (the
+    codec runs per row in mapInPandas — r11 review)."""
     import math
 
     import numpy as np
@@ -327,6 +343,16 @@ def _dct_mat():
         for n in range(8):
             c[k, n] = s * math.cos(math.pi * (2 * n + 1) * k / 16)
     return c
+
+
+def _raw_gray(px) -> bytes:
+    """Normalize a pixel cell (binary column bytes OR int array
+    column) to raw row-major grayscale bytes — one shared coercion for
+    every encode stage, so the semantics can't drift apart
+    (r11 review: this was copy-pasted in three mapInPandas closures)."""
+    if isinstance(px, (bytes, bytearray)):
+        return bytes(px)
+    return bytes(bytearray(int(v) & 0xFF for v in px))
 
 
 class _BitWriter:
@@ -390,8 +416,7 @@ def encode_jpeg_gray(
     padded[:, width:] = padded[:, width - 1: width]
     c = _dct_mat()
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    dc_codes, ac_codes = _std_codes()
     bw = _BitWriter()
     prev_dc, mcu, rst_n = 0, 0, 0
     for by in range(0, ph, 8):
@@ -565,11 +590,22 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
+        # Any number of 0xFF fill bytes may precede a marker id
+        # (ITU T.81 B.1.1.2) — skip them or the real marker bytes
+        # get misread as a segment length (r11 review).
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(data):
+                raise ValueError("truncated JPEG segment")
         marker = data[pos + 1]
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError("progressive JPEG not supported")
-        if marker in (0xC9, 0xCB, 0xCD):
+        if marker in (0xC9, 0xCB, 0xCC, 0xCD):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
+        if marker in (0xC3, 0xC5, 0xC7, 0xCF):
+            raise NotImplementedError(
+                "lossless/differential JPEG not supported"
+            )
         (length,) = struct.unpack(">H", data[pos + 2: pos + 4])
         if pos + 2 + length > len(data):
             raise ValueError("truncated JPEG segment")
@@ -860,14 +896,7 @@ def png_encode_pixels(df: DataFrame) -> DataFrame:
             for mid, w, h, px in zip(
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
             ):
-                # pixels may arrive as raw bytes (binary column) or an
-                # int array column — normalize without relying on the
-                # ndarray buffer (dtype-width dependent).
-                raw = (
-                    bytes(px)
-                    if isinstance(px, (bytes, bytearray))
-                    else bytes(bytearray(int(v) & 0xFF for v in px))
-                )
+                raw = _raw_gray(px)
                 ids.append(mid)
                 payloads.append(encode_png_gray(raw, int(w), int(h)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
@@ -895,11 +924,7 @@ def jpeg_encode_pixels(df: DataFrame, quality: int = 90) -> DataFrame:
             for mid, w, h, px in zip(
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
             ):
-                raw = (
-                    bytes(px)
-                    if isinstance(px, (bytes, bytearray))
-                    else bytes(bytearray(int(v) & 0xFF for v in px))
-                )
+                raw = _raw_gray(px)
                 ids.append(mid)
                 payloads.append(
                     encode_jpeg_gray(raw, int(w), int(h), quality=quality)
@@ -937,11 +962,7 @@ def jpeg_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
             for mid, w, h, px in zip(
                 pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
             ):
-                raw = (
-                    bytes(px)
-                    if isinstance(px, (bytes, bytearray))
-                    else bytes(bytearray(int(v) & 0xFF for v in px))
-                )
+                raw = _raw_gray(px)
                 w, h = int(w), int(h)
                 _, _, dec = decode_jpeg_gray(
                     encode_jpeg_gray(raw, w, h, quality=quality)

@@ -107,7 +107,9 @@ def semdedup_edges(
 
     Exposed separately so the knob study can measure edge-set RECALL
     across ``bits`` settings directly (the nested-prefix property
-    makes the wider-bits edge set a strict superset)."""
+    makes the wider-bits edge set a strict SUBSET of the
+    narrower-bits one: same 6-bit bucket implies same 3-bit bucket,
+    never the reverse)."""
     e = F.col(vec_col)
     # Normalize ONCE at scan side (linear) so the quadratic pair stage
     # folds a single dot product instead of dot + two norms per pair.

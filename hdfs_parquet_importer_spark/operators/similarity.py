@@ -405,10 +405,13 @@ def query_lsh_index(
     # garbage neighbors (r10 review — the same guard lsh_topk has).
     index = spark.read.parquet(path)
     qdim = _vec_dim(queries, query_vec_col)
-    head = index.select(vec_col).first()
-    if head is None or head[0] is None:
-        # Empty index (or all-NULL vectors): stay queryable — probe
-        # with the query-side dim so the plan below runs; the
+    # First NON-NULL vector, not first row: a stray NULL row that
+    # parquet happens to return first must not silently bypass the
+    # encoder-mismatch guard (r11 review of the r10-ADVICE fix).
+    head = index.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if head is None:
+        # Genuinely empty index (no non-null vectors): stay queryable
+        # — probe with the query-side dim so the plan below runs; the
         # candidate join against the empty index yields an empty
         # top-k with the normal schema instead of the opaque
         # "cannot infer vector dim" raise (r10 ADVICE: the dim

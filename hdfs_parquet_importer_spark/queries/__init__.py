@@ -156,36 +156,35 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_activity_bitmap",         # stats, r6
     "dq_expectations",             # reporting, r6
 )
-# r11 QUEUE (committed now so the next rotation is mechanical):
-# (a0) quality_dsir_weights and quality_ccnet_buckets (P1
-#     changed-code: the r10 review passes refactored dsir's feature
-#     projection onto the shared quality_clf.hashed_doc_features and
-#     added the empty-token filter to both oracles' tok CTEs —
-#     value-identical on gate data, but P1 means the driver
-#     re-proves them; the other r10-review-touched queries are
-#     already IN the r10 window, so their close rows reflect current
-#     code), then eval_dedup_recall (r10-new, registered after the
-#     r10 window closed; P3 never-windowed outranks the P4 stale
-#     greens below);
-# (a) the 34 remaining r5 greens (P4, family-spread — this drains
-#     r5; report_mom_yoy, stat_corr_matrix, dedup_incremental_batch,
-#     etl_csv_roundtrip, func_string, agg_freq_items and
-#     q4_priority_check are windowed in r10 above):
-#     agg_hll_mergeable, ann_pq_adc, asof_join_tolerance,
-#     bpe_top_merges, doc_tfidf_cosine_topk, events_markov_transitions,
-#     events_ohlc_resample, events_session_path_topk, mix_epoch_order,
-#     mix_kl_divergence, mix_temperature_sampling,
-#     multimodal_wav_energy, pipeline_corpus_prep, profile_table_stats,
-#     q17_small_qty_revenue, q18_large_volume_customer,
-#     q22_sales_opportunity, quality_gopher_rules,
-#     scd2_event_type_history, sink_roundtrip_jsonl, sink_roundtrip_orc,
-#     sink_roundtrip_partitioned, sink_roundtrip_plain,
-#     sketch_countmin_heavy, snapshot_as_of_day15,
-#     stat_entropy_by_source, stat_rolling_zscore, stat_spearman_rank,
-#     subq_lateral_top2, ts_linear_interpolate, vocab_coverage,
-#     window_ewma, window_range_frame, zorder_curve;
-# (b) then oldest r6 greens, family-spread, to fill the window
-#     (pandas_udf_log_price is windowed in r10 as a module rep).
+# r12 QUEUE (committed at r11 close so the next rotation is
+# mechanical; the r11 window above refreshes its 50 at this round's
+# driver run, so cohort ages below are post-r11):
+# (a0) multimodal_jpeg_roundtrip (P3: registered r11 after this
+#     window froze — the registry's only never-windowed query once
+#     eval_dedup_recall/eval_ann_recall seat their r11 rows above);
+# (a) all 35 remaining r6 greens (P4, drains r6 — the oldest cohort
+#     after r11 drains r5):
+#     agg_partial_reaggregate, agg_string_concat, dedup_containment,
+#     dq_benford_digits, dq_table_checksum, embedding_covariance,
+#     events_audience_overlap, events_cumulative_reach,
+#     events_dau_wau_mtd, events_error_rate_sli, events_funnel_3step,
+#     events_peak_concurrency, events_seasonality_index,
+#     events_time_to_conversion, join_relational_division,
+#     join_shuffled_hash_hint, market_basket_lift, mix_source_dup_rate,
+#     profile_fk_inclusion, quality_unigram_logprob,
+#     report_pareto_concentration, setop_except_all,
+#     setop_union_evolved, snapshot_diff, source_python_datasource,
+#     stat_autocorrelation, stat_ks_two_sample, stat_ols_catalyst,
+#     stat_welch_ttest, text_bm25_search, text_keyword_extraction,
+#     text_ngram_novelty, window_max_drawdown, window_running_distinct,
+#     window_time_range_frame;
+# (b) 14 oldest-r7 greens, family-spread, to fill the window:
+#     agg_distinct, ann_cosine_topk, corpus_source_overlap,
+#     dedup_minhash_lsh, etl_cleanse, eval_langid_confusion,
+#     events_rfm_segmentation, func_try_arithmetic,
+#     graph_triangle_count, mix_upsample_rare, multimodal_png_roundtrip,
+#     q1_pricing_summary, stat_zipf_fit, text_quality
+#     (the other 32 r7 greens roll to the r13 queue).
 
 
 def registry() -> dict[str, Query]:

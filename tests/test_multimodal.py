@@ -368,3 +368,17 @@ def test_jpeg_roundtrip_error_operator(spark):
     }
     assert rows[1].n_pixels == 72 and rows[2].n_pixels == 256
     assert rows[1].max_abs_err <= 4 and rows[2].max_abs_err <= 4
+
+
+def test_jpeg_fill_bytes_and_lossless_marker():
+    """Spec-legal 0xFF fill bytes before a marker parse fine; lossless
+    (SOF3) raises by name (r11 review)."""
+    px = _gradient(16, 16)
+    d = M.encode_jpeg_gray(px, 16, 16)
+    filled = d[:2] + b"\xff\xff\xff" + d[2:]
+    assert M.decode_jpeg_gray(filled) == M.decode_jpeg_gray(d)
+    i = d.find(b"\xff\xc0")
+    patched = bytearray(d)
+    patched[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        M.decode_jpeg_gray(bytes(patched))

@@ -299,3 +299,25 @@ def test_query_lsh_index_on_empty_index_returns_empty(spark, tmp_path):
     got = query_lsh_index(spark, idx_path, q, k=5)
     assert got.count() == 0
     assert {"query_id", "vec_id", "rank"} <= set(got.columns)
+
+
+def test_query_lsh_index_null_first_row_keeps_dim_guard(spark, tmp_path):
+    """A stray NULL vector row that parquet returns first must not
+    bypass the encoder dim-mismatch guard (r11 review): dim comes from
+    the first NON-NULL vector."""
+    from hdfs_parquet_importer_spark.operators.similarity import (
+        query_lsh_index,
+    )
+
+    rows = [(None, None, 0, 0), (1, [1.0, 0.0, 0.0, 0.0], 0, 1)]
+    idx = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, tbl int, bucket int"
+    ).coalesce(1)
+    idx_path = str(tmp_path / "nullfirst_index")
+    idx.write.parquet(idx_path)
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    with pytest.raises(ValueError, match="different encoders"):
+        query_lsh_index(spark, idx_path, q, k=5)
