@@ -112,6 +112,10 @@ HEADLINE = [
     # r10: the model-scored quality filter (broadcast linear
     # classifier over hashed features) — benched from birth.
     "quality_classifier_score",
+    # r11: the real baseline-JPEG codec round-trip (per-row
+    # encode+decode+error inside one mapInPandas stage — the
+    # Python-UDF-heavy representative) — benched from birth.
+    "multimodal_jpeg_roundtrip",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

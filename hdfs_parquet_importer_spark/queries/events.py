@@ -102,7 +102,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     oracle="""
 WITH o AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w >= INTERVAL '2 hours'
               THEN 1 ELSE 0 END AS new_s
@@ -110,7 +110,8 @@ WITH o AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT *, SUM(new_s) OVER
-    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+    (PARTITION BY user_id ORDER BY ts, event_id
+     ROWS UNBOUNDED PRECEDING) AS sid
   FROM o)
 SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -210,7 +211,11 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         "user_id",
         (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("gap_s"),
-    ).orderBy("purchase_id", "view_id")
+    )
+    # No global orderBy: the driver's digest is order-insensitive and
+    # this is raw join output that grows with event volume — the only
+    # thing a full sort would add here is a range exchange (r11
+    # review; aggregate-bounded outputs elsewhere keep their sorts).
 
 
 @register(
@@ -377,7 +382,7 @@ def _pagerank_oracle(n_iter: int = 5, d: float = 0.85) -> str:
     Spark operator (1 - SUM(contrib) — see operators/graph.py).
     Damping constants are emitted as repr'd doubles so both engines
     parse the identical IEEE-754 values Python handed Spark."""
-    base = (1.0 - d) / 1.0  # (1-d) as the same double Spark uses
+    base = 1.0 - d
     sql = [
         f"""
 WITH {_EDGES_SQL},
@@ -940,24 +945,38 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("negf") * 4096 + ublock,
         out_col="f_rnk",
     )
-    # Monetary DESC is BIMODAL: positives are near-unique (a
+    # Three consumers below (pos/zer/neg branches) would each re-run
+    # the two dist_rank pipelines above — Spark does not dedupe
+    # common subplans — so materialize once (r11 review).
+    m = m.localCheckpoint(eager=True)
+    # Monetary DESC is MULTIMODAL: positives are near-unique (a
     # value-keyed fan-out bucket would put one bucket per purchaser —
-    # an O(n) single-task totals pass), while zero holds every
+    # an O(n) single-task totals pass), zero holds every
     # non-purchaser (a range bucket would put them all in ONE
-    # partition). Split at the zero plateau: positives range-bucket
-    # on $100 cells (occupied cells bounded by the spend DOMAIN);
-    # zeros rank by user_id over uid blocks and shift by the
-    # broadcast positive count. Zeros sort after every positive
-    # (negm = 0 > any negative), so the shifted union is exactly
-    # row_number over (negm, user_id).
+    # partition), and NEGATIVE totals (refund-heavy users) are rare
+    # but must not vanish (r11 review: the old two-way split dropped
+    # them from the output and shifted every ntile boundary). Split
+    # three ways on the zero plateau: positives range-bucket on $100
+    # cells (occupied cells bounded by the spend DOMAIN); zeros rank
+    # by user_id over uid blocks and shift by the broadcast positive
+    # count; refunds range-bucket on the same $100 cells and shift by
+    # positives + zeros. The global order negm ASC puts negatives
+    # (negm < 0) first, the zero plateau next, refunds (negm > 0)
+    # last, so the shifted union is exactly row_number over
+    # (negm, user_id) — the oracle's ntile(5) ORDER BY monetary DESC.
     pos = dist_rank(
         m.filter(F.col("negm") < 0),
         ["negm", "user_id"],
         F.floor(F.col("negm") / 10_000),
         out_col="m_rnk",
     )
-    n_pos = m.filter(F.col("negm") < 0).agg(
+    # Count scalars ride the cheap checkpointed per-user aggregate,
+    # not the rank pipelines (r11 review).
+    n_pos = rfm.filter(F.col("monetary_cents") > 0).agg(
         F.count(F.lit(1)).alias("npos")
+    )
+    n_zer = rfm.filter(F.col("monetary_cents") == 0).agg(
+        F.count(F.lit(1)).alias("nzer")
     )
     zer = (
         dist_rank(
@@ -970,7 +989,19 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("m_rnk", F.col("m_rnk") + F.col("npos"))
         .drop("npos")
     )
-    m = pos.unionByName(zer)
+    neg = (
+        dist_rank(
+            m.filter(F.col("negm") > 0),
+            ["negm", "user_id"],
+            F.floor(F.col("negm") / 10_000),
+            out_col="m_rnk",
+        )
+        .crossJoin(F.broadcast(n_pos))
+        .crossJoin(F.broadcast(n_zer))
+        .withColumn("m_rnk", F.col("m_rnk") + F.col("npos") + F.col("nzer"))
+        .drop("npos", "nzer")
+    )
+    m = pos.unionByName(zer).unionByName(neg)
     n_users = rfm.agg(F.count(F.lit(1)).alias("nu"))
     nu = F.col("nu")
     scored = m.crossJoin(F.broadcast(n_users)).select(

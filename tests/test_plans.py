@@ -187,6 +187,14 @@ BRUTE_FORCE_OK = {
                              # min-margin); the truth join is an md5
                              # equi-join and the found set is the
                              # dedup_minhash_lsh equi-join path
+    "eval_ann_recall",       # embeds brute_force_topk (broadcast(q)
+                             # x vectors, no equi key) as the exact
+                             # recall anchor — the same reason
+                             # ann_lsh_bucketed/ann_ivf/ann_pq_adc
+                             # are here — plus the 3-row hit-counts x
+                             # 1-row anchor broadcast cross join; the
+                             # hit joins are (query_id, vec_id)
+                             # equi-joins
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
