@@ -134,7 +134,7 @@ WITH counts AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_langs,
        CAST(SUM(n) AS BIGINT) AS n_docs,
-       ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) AS lang_entropy
+       ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6) + 0.0 AS lang_entropy
 FROM counts
 GROUP BY source
 ORDER BY source
@@ -158,10 +158,16 @@ def stat_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_langs"),
             F.sum("n").cast("bigint").alias("n_docs"),
-            F.round(
-                F.log(F.sum("n"))
-                - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
-                6,
+            (
+                F.round(
+                    F.log(F.sum("n"))
+                    - F.sum(F.col("n") * F.log("n")) / F.sum("n"),
+                    6,
+                )
+                # -0.0 rule (queries/__init__.py): a single-language
+                # source is analytically 0 but fp-negative for ~6% of
+                # counts; DuckDB ROUND keeps the sign, Spark drops it.
+                + F.lit(0.0)
             ).alias("lang_entropy"),
         )
         .orderBy("source")
@@ -520,8 +526,11 @@ def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stat_zipf_fit",
     oracle="""
 WITH tok AS (
-  SELECT unnest(string_split(lower(regexp_replace(
-           text, '[^a-zA-Z0-9 ]', '', 'g')), ' ')) AS term
+  -- canonical normalize_text twin (r11 review: the old '' replacement
+  -- JOINED tokens across punctuation where Spark's D.tokens splits)
+  SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+           lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+           ' ')) AS term
   FROM documents
 ),
 tf AS (SELECT term, COUNT(*) AS f FROM tok WHERE term != '' GROUP BY term),
@@ -530,7 +539,7 @@ ranked AS (
   FROM tf
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
-       ROUND(regr_slope(ln(f), ln(rnk)), 6) AS zipf_slope,
+       ROUND(regr_slope(ln(f), ln(rnk)), 6) + 0.0 AS zipf_slope,
        ROUND(regr_r2(ln(f), ln(rnk)), 6) AS fit_r2
 FROM ranked
 """,
@@ -580,9 +589,10 @@ def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("f", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.round(F.regr_slope(F.log("f"), F.log("rnk")), 6).alias(
-            "zipf_slope"
-        ),
+        (
+            F.round(F.regr_slope(F.log("f"), F.log("rnk")), 6)
+            + F.lit(0.0)  # -0.0 rule
+        ).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("f"), F.log("rnk")), 6).alias("fit_r2"),
     )
 
@@ -606,7 +616,7 @@ g AS (
 SELECT ROUND(a.mu, 6) AS mean_weekday,
        ROUND(b.mu, 6) AS mean_weekend,
        ROUND((a.mu - b.mu)
-             / sqrt(a.v / a.k + b.v / b.k), 6) AS t_stat,
+             / sqrt(a.v / a.k + b.v / b.k), 6) + 0.0 AS t_stat,
        ROUND(pow(a.v / a.k + b.v / b.k, 2)
              / (pow(a.v / a.k, 2) / (a.k - 1)
                 + pow(b.v / b.k, 2) / (b.k - 1)), 4) AS welch_dof
@@ -645,9 +655,10 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.crossJoin(F.broadcast(b)).select(
         F.round("mua", 6).alias("mean_weekday"),
         F.round("mub", 6).alias("mean_weekend"),
-        F.round((F.col("mua") - F.col("mub")) / F.sqrt(se2), 6).alias(
-            "t_stat"
-        ),
+        (
+            F.round((F.col("mua") - F.col("mub")) / F.sqrt(se2), 6)
+            + F.lit(0.0)  # -0.0 rule
+        ).alias("t_stat"),
         F.round(
             F.pow(se2, 2)
             / (
@@ -729,7 +740,8 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The 64x replicate expansion is CPU-bound; a narrow (single-file)
     # scan would pin all 64 x n coin draws to one core.
-    o = ensure_parallelism(load_table(spark, sf_dir, "orders")).select(
+    raw = load_table(spark, sf_dir, "orders")
+    o = ensure_parallelism(raw).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
@@ -762,7 +774,10 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = m.select(
         F.expr("swt / CAST(nullif(sw, 0) AS DOUBLE)").alias("mb")
     )
-    n_rows = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    # Count the PRE-repartition scan: counting o would replay the
+    # ensure_parallelism round-robin exchange just for a row count
+    # (r11 review); the raw scan count is metadata-pushable.
+    n_rows = raw.agg(F.count(F.lit(1)).alias("n_rows"))
     return (
         means.agg(
             F.count(F.lit(1)).alias("n_replicates"),
@@ -961,7 +976,7 @@ SELECT CAST(na AS BIGINT) AS n_en,
        ROUND(ra - na * (na + 1) / 2, 2) AS u_stat,
        ROUND((ra - na * (na + 1) / 2 - na * nb / 2)
              / sqrt(na * nb / 12.0
-                    * ((n + 1) - ties / (n * (n - 1)))), 4) AS z_score
+                    * ((n + 1) - ties / (n * (n - 1)))), 4) + 0.0 AS z_score
 FROM s
 """,
     doc="Mann-Whitney U rank-sum test (tie-corrected normal "
@@ -1020,8 +1035,9 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").cast("long").alias("n_en"),
         F.col("nb").cast("long").alias("n_other"),
         F.round(u, 2).alias("u_stat"),
-        F.round(
-            (u - F.col("na") * F.col("nb") / 2) / sigma, 4
+        (
+            F.round((u - F.col("na") * F.col("nb") / 2) / sigma, 4)
+            + F.lit(0.0)  # -0.0 rule
         ).alias("z_score"),
     )
 
@@ -1046,8 +1062,8 @@ ic AS (SELECT percentile_cont(0.5)
          WITHIN GROUP (ORDER BY x.cents - ms.m_slope * x.i) AS b0
        FROM x, ms)
 SELECT (SELECT COUNT(*) FROM x) AS n_months,
-       ROUND(ms.m_slope, 4) AS slope_cents,
-       ROUND(ic.b0, 4) AS intercept_cents
+       ROUND(ms.m_slope, 4) + 0.0 AS slope_cents,
+       ROUND(ic.b0, 4) + 0.0 AS intercept_cents
 FROM ms, ic
 """,
     doc="Theil-Sen robust trend estimator over monthly revenue: the "
@@ -1064,8 +1080,6 @@ FROM ms, ic
     "Spark's percentile() interpolate identically; ROUND(4).",
 )
 def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
@@ -1101,7 +1115,7 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ic))
         .select(
             "n_months",
-            F.round("m_slope", 4).alias("slope_cents"),
-            F.round("b0", 4).alias("intercept_cents"),
+            (F.round("m_slope", 4) + F.lit(0.0)).alias("slope_cents"),
+            (F.round("b0", 4) + F.lit(0.0)).alias("intercept_cents"),  # -0.0 rule
         )
     )
