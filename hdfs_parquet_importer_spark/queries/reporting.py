@@ -77,8 +77,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_date"),
         viol(F.col("o_custkey").isNotNull()).alias("v_null"),
     )
+    # No broadcast hint: customer grows with sf (tables.py policy —
+    # AQE picks broadcast while the dim fits and falls back to a
+    # shuffle join when it doesn't; a hard-coded hint OOMs at 100x).
     fk = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("v_fk"))
     )
     melted = scalar.crossJoin(F.broadcast(fk)).select(
@@ -93,6 +96,39 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_checked",
     )
     return melted.orderBy("rule")
+
+
+def _fuzzy_candidate_pairs(names: DataFrame) -> DataFrame:
+    """Length-banded Levenshtein<=1 pairs over a distinct-name frame:
+    each left name probes lengths {L-1, L, L+1} via a 3-way explode so
+    the join is an EQUI-join on candidate length (lossless for
+    dist<=1 — one edit changes length by at most 1). ONE shared
+    implementation for fuzzy_name_pairs and fuzzy_name_clusters (r11
+    review: the block was duplicated verbatim, so a blocking-scheme
+    change could silently give the two queries different candidate
+    sets). Returns (name_a, name_b, dist), name_a < name_b; no dedup
+    needed — a pair matches exactly one probe band."""
+    left = names.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.array(
+                F.length("name") - 1,
+                F.length("name"),
+                F.length("name") + 1,
+            )
+        ).alias("probe_len"),
+    )
+    right = names.select(
+        F.col("name").alias("name_b"), F.length("name").alias("len_b")
+    )
+    cand = left.join(
+        right,
+        (left.probe_len == right.len_b) & (left.name_a < right.name_b),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist <= 1).select(
+        "name_a", "name_b", dist.cast("bigint").alias("dist")
+    )
 
 
 @register(
@@ -124,31 +160,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_name").alias("name"))
         .distinct()
     )
-    left = names.select(
-        F.col("name").alias("name_a"),
-        F.explode(
-            F.array(
-                F.length("name") - 1,
-                F.length("name"),
-                F.length("name") + 1,
-            )
-        ).alias("probe_len"),
-    )
-    right = names.select(
-        F.col("name").alias("name_b"), F.length("name").alias("len_b")
-    )
-    cand = left.join(
-        right,
-        (left.probe_len == right.len_b) & (left.name_a < right.name_b),
-    )
-    dist = F.levenshtein("name_a", "name_b")
-    # No dedup needed: a pair (a, b) matches exactly ONE probe band
-    # (len(b) is a single value), so the equi-join emits it once.
-    return (
-        cand.filter(dist <= 1)
-        .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
-        .orderBy("name_a", "name_b")
-    )
+    return _fuzzy_candidate_pairs(names).orderBy("name_a", "name_b")
 
 
 @register(
@@ -160,26 +172,29 @@ WITH m AS (
            AS rev_cents
   FROM orders GROUP BY 1
 )
-SELECT month, rev_cents,
-       ROUND((rev_cents - lag(rev_cents, 1) OVER w)
-             / CAST(lag(rev_cents, 1) OVER w AS DOUBLE) * 100, 4) + 0.0
-         AS mom_pct,
-       ROUND((rev_cents - lag(rev_cents, 12) OVER w)
-             / CAST(lag(rev_cents, 12) OVER w AS DOUBLE) * 100, 4) + 0.0
-         AS yoy_pct
+SELECT m.month, m.rev_cents,
+       ROUND((m.rev_cents - p1.rev_cents)
+             / CAST(p1.rev_cents AS DOUBLE) * 100, 4) + 0.0 AS mom_pct,
+       ROUND((m.rev_cents - p12.rev_cents)
+             / CAST(p12.rev_cents AS DOUBLE) * 100, 4) + 0.0 AS yoy_pct
 FROM m
-WINDOW w AS (ORDER BY month)
-ORDER BY month
+LEFT JOIN m p1 ON p1.month = strftime(
+  CAST(m.month || '-01' AS DATE) - INTERVAL 1 MONTH, '%Y-%m')
+LEFT JOIN m p12 ON p12.month = strftime(
+  CAST(m.month || '-01' AS DATE) - INTERVAL 12 MONTH, '%Y-%m')
+ORDER BY m.month
 """,
     doc="Period-over-period revenue report: monthly revenue (exact "
     "integer cents) with month-over-month and year-over-year "
-    "percentage deltas via lag(1)/lag(12). The ONLY full-table work "
-    "is the monthly groupBy (map-side partials); the global-ordered "
-    "lag window runs over the ~80-row month series — aggregate-"
-    "bounded input, the pattern the unpartitioned-window plan gate "
-    "explicitly permits. First months carry NULL deltas on both "
-    "engines. Identical bigint cents divide to bit-identical "
-    "doubles, so ROUND(4) is cosmetic.",
+    "percentage deltas via CALENDAR-key self-joins of the month "
+    "aggregate (r11 review: row-offset lag(1)/lag(12) silently "
+    "misaligns every delta after a gap month — a filtered subset or "
+    "sparse dataset would label 1996-02 as 'year over' 1997-03). "
+    "The ONLY full-table work is the monthly groupBy (map-side "
+    "partials); the self-joins run over the ~80-row month aggregate, "
+    "broadcast. Months with no prior-month/prior-year row carry NULL "
+    "deltas on both engines. Identical bigint cents divide to "
+    "bit-identical doubles, so ROUND(4) is cosmetic.",
 )
 def report_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -195,17 +210,33 @@ def report_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy("month")
-    prev1 = F.lag("rev_cents", 1).over(w)
-    prev12 = F.lag("rev_cents", 12).over(w)
+    # Three consumers of the ~80-row aggregate (cur + two self-join
+    # sides): materialize once.
+    m = m.localCheckpoint(eager=True)
+    mstart = F.to_date(F.concat(F.col("month"), F.lit("-01")))
+    p1 = m.select(
+        F.col("month").alias("m1"), F.col("rev_cents").alias("rev1")
+    )
+    p12 = m.select(
+        F.col("month").alias("m12"), F.col("rev_cents").alias("rev12")
+    )
+    joined = m.join(
+        F.broadcast(p1),
+        F.date_format(F.add_months(mstart, -1), "yyyy-MM") == F.col("m1"),
+        "left",
+    ).join(
+        F.broadcast(p12),
+        F.date_format(F.add_months(mstart, -12), "yyyy-MM") == F.col("m12"),
+        "left",
+    )
     return (
-        m.select(
+        joined.select(
             "month",
             "rev_cents",
             (
                 F.round(
-                    (F.col("rev_cents") - prev1)
-                    / prev1.cast("double")
+                    (F.col("rev_cents") - F.col("rev1"))
+                    / F.col("rev1").cast("double")
                     * 100,
                     4,
                 )
@@ -213,8 +244,8 @@ def report_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mom_pct"),
             (
                 F.round(
-                    (F.col("rev_cents") - prev12)
-                    / prev12.cast("double")
+                    (F.col("rev_cents") - F.col("rev12"))
+                    / F.col("rev12").cast("double")
                     * 100,
                     4,
                 )
@@ -239,12 +270,14 @@ grid AS (
   FROM users
 ),
 obs AS (
-  SELECT user_id, ts, value FROM events WHERE user_id BETWEEN 1 AND 5
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE user_id BETWEEN 1 AND 5
 ),
 u AS (
-  SELECT user_id, ts, CAST(NULL AS DOUBLE) AS value, 0 AS is_obs FROM grid
+  SELECT user_id, ts, CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS DOUBLE) AS value, 0 AS is_obs FROM grid
   UNION ALL
-  SELECT user_id, ts, value, 1 AS is_obs FROM obs
+  SELECT user_id, ts, event_id, value, 1 AS is_obs FROM obs
 ),
 f AS (
   SELECT user_id, ts, is_obs,
@@ -256,9 +289,9 @@ f AS (
                      IGNORE NULLS) OVER wn AS nt
   FROM u
   WINDOW
-    wp AS (PARTITION BY user_id ORDER BY ts, is_obs DESC
+    wp AS (PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-    wn AS (PARTITION BY user_id ORDER BY ts, is_obs DESC
+    wn AS (PARTITION BY user_id ORDER BY ts, is_obs DESC, event_id
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -300,19 +333,28 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         "ts",
+        F.lit(None).cast("long").alias("event_id"),
         F.lit(None).cast("double").alias("value"),
         F.lit(0).alias("is_obs"),
     )
-    obs = ev.select("user_id", "ts", "value", F.lit(1).alias("is_obs"))
+    obs = ev.select(
+        "user_id", "ts", "event_id", "value", F.lit(1).alias("is_obs")
+    )
     u = grid.unionByName(obs)
+    # event_id tiebreak makes the sort a TOTAL order (r11 review):
+    # duplicate observations at one (user_id, ts) would otherwise
+    # leave pv/nv partition-layout-dependent. Grid rows carry NULL
+    # event_id but never tie with each other, and the is_obs key
+    # already separates them from observations, so NULL ordering
+    # differences between engines cannot surface.
     wp = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_obs").desc())
+        .orderBy(F.col("ts"), F.col("is_obs").desc(), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wn = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_obs").desc())
+        .orderBy(F.col("ts"), F.col("is_obs").desc(), F.col("event_id"))
         .rowsBetween(0, Window.unboundedFollowing)
     )
     obs_us = F.when(
@@ -406,11 +448,12 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(bit_xor(('0x' || substr(md5(
-              CAST(o_orderkey AS VARCHAR) || '|' ||
-              CAST(o_custkey AS VARCHAR) || '|' ||
-              o_orderstatus || '|' ||
-              o_orderpriority || '|' ||
-              CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+              COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+              COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+              COALESCE(o_orderstatus, '<NULL>') || '|' ||
+              COALESCE(o_orderpriority, '<NULL>') || '|' ||
+              COALESCE(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                            AS VARCHAR), '<NULL>')
             ), 1, 15))::BIGINT) AS BIGINT) AS row_hash_xor,
        CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders
@@ -432,13 +475,21 @@ FROM orders
 )
 def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # Each field carries an explicit NULL sentinel: bare concat_ws
+    # SKIPS nulls (so a NULL field hashed like a missing field and
+    # diverged from the oracle's null-propagating ||), and a silently
+    # null-dropped row would weaken exactly the mutation detection
+    # this checksum exists for (r11 review).
+    def _f(c: F.Column) -> F.Column:
+        return F.coalesce(c.cast("string"), F.lit("<NULL>"))
+
     canon = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_orderpriority"),
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        _f(F.col("o_orderkey")),
+        _f(F.col("o_custkey")),
+        _f(F.col("o_orderstatus")),
+        _f(F.col("o_orderpriority")),
+        _f(F.round(F.col("o_totalprice") * 100).cast("long")),
     )
     term = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return orders.agg(
@@ -490,28 +541,7 @@ def fuzzy_name_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_name").alias("name"))
         .distinct()
     )
-    left = names.select(
-        F.col("name").alias("name_a"),
-        F.explode(
-            F.array(
-                F.length("name") - 1,
-                F.length("name"),
-                F.length("name") + 1,
-            )
-        ).alias("probe_len"),
-    )
-    right = names.select(
-        F.col("name").alias("name_b"), F.length("name").alias("len_b")
-    )
-    pairs = (
-        left.join(
-            right,
-            (left.probe_len == right.len_b)
-            & (left.name_a < right.name_b),
-        )
-        .filter(F.levenshtein("name_a", "name_b") <= 1)
-        .select("name_a", "name_b")
-    )
+    pairs = _fuzzy_candidate_pairs(names).select("name_a", "name_b")
     comp = connected_components(pairs, "name_a", "name_b")
     return (
         comp.groupBy(F.col("component").alias("canonical_name"))
@@ -646,8 +676,10 @@ FROM filled, tot ORDER BY bin
     "land in the boundary bins), Laplace-smooth the shares "
     "(+1/+10 — a structurally-empty bin contributes finitely and "
     "identically on both engines, no div-by-zero epsilon fudge), "
-    "psi_term = (q-p) ln(q/p) per bin. Plan: ONE scan -> 1-row "
-    "epoch-bounds broadcast -> 1-row reference-min/max broadcast -> "
+    "psi_term = (q-p) ln(q/p) per bin. Plan: one scan for the epoch "
+    "bounds, one scan materializing the tagged (value, is_ref) "
+    "projection (localCheckpoint — rv and the binning both read it) "
+    "-> 1-row reference-min/max broadcast -> "
     "bin partial-agg (10 groups) joined to a 10-row spine, 1-row "
     "totals broadcast — nothing row-proportional past the first "
     "aggregate. Timestamps compare as floor(epoch) BIGINTs (DuckDB "
@@ -659,9 +691,13 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("es"), "value"
     )
     bounds = ev.agg(F.min("es").alias("e0"), F.max("es").alias("e1"))
+    # Materialize (value, is_ref) once: rv and binned both read it,
+    # and without the checkpoint each consumer replays the full events
+    # scan (r11 review — the same reuse shape report_data_card
+    # already checkpoints).
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "value", (F.col("es") < F.expr("(e0 + e1) div 2")).alias("is_ref")
-    )
+    ).localCheckpoint(eager=True)
     rv = tagged.filter("is_ref").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
@@ -833,7 +869,7 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report_data_card",
     oracle="""
 WITH fp AS (
-  SELECT doc_id, source, lang, n_chars,
+  SELECT source, lang, n_chars,
          md5(trim(regexp_replace(regexp_replace(lower(text),
              '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fp,
          len(string_split(trim(regexp_replace(regexp_replace(lower(text),
@@ -868,7 +904,6 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
-        "doc_id",
         "source",
         "lang",
         "n_chars",

@@ -226,8 +226,8 @@ GLOBAL_WINDOW_AGG_OK = {
     "(<=31 rows); the per-user first-seen aggregate sits below a "
     "second, day-keyed aggregate",
     "events_error_rate_sli": "grouped by January day (<=31 rows)",
-    "report_mom_yoy": "grouped by calendar month of the 7-year "
-    "orders range (<=84 rows; bounded by the date domain, not rows)",
+    # report_mom_yoy needs no entry since r11: the lag window became
+    # calendar-key self-joins over the checkpointed month aggregate.
     # stat_theil_sen_slope needs no entry: its row_number window runs
     # over the <=84-row month aggregate at localCheckpoint time, so
     # the optimized plan the gate sees starts from the materialized
