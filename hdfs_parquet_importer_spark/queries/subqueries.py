@@ -198,13 +198,20 @@ FROM orders GROUP BY order_year ORDER BY order_year
 )
 def pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    pivoted = (
         orders.withColumn("order_year", F.year("o_orderdate").cast("long"))
         .groupBy("order_year")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
-        .orderBy("order_year")
     )
+    # pivot().count() leaves EMPTY cells NULL where the oracle's
+    # COUNT(*) FILTER yields 0 (and the NULL decays the pandas column
+    # to float64) — coalesce to 0 so a year missing one status stays
+    # parity-green (r11 review; gate data happens to fill every cell).
+    return pivoted.select(
+        "order_year",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ("F", "O", "P")],
+    ).orderBy("order_year")
 
 
 @register(
@@ -265,12 +272,22 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
+            # ONE percentile buffer for all four quantiles (the
+            # array form agg_approx_percentile already uses): four
+            # scalar calls would each hold the full per-group value
+            # list (r11 review). Integer labels avoid f"{int(p*100)}"
+            # float-truncation traps (0.29*100 -> 28).
+            F.expr(
+                "percentile(l_extendedprice,"
+                " array(0.25, 0.50, 0.75, 0.99))"
+            ).alias("_q")
+        )
+        .select(
+            "l_returnflag",
             *[
-                F.round(
-                    F.expr(f"percentile(l_extendedprice, {p})"), 4
-                ).alias(f"p{int(p * 100)}")
-                for p in (0.25, 0.50, 0.75, 0.99)
-            ]
+                F.round(F.col("_q")[i], 4).alias(f"p{p}")
+                for i, p in enumerate((25, 50, 75, 99))
+            ],
         )
         .orderBy("l_returnflag")
     )
@@ -408,8 +425,8 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        CAST(MAX(len(json_keys(props))) AS BIGINT) AS max_n_keys
 FROM events
 GROUP BY event_type ORDER BY event_type
@@ -424,7 +441,10 @@ def func_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(
             "event_type",
-            F.element_at(m, "k").cast("long").alias("k_val"),
+            # try_cast, not cast: under Spark 4's default ANSI mode a
+            # single non-integral props['k'] would abort the whole
+            # query instead of nulling the row (r11 review).
+            F.try_element_at(m, F.lit("k")).try_cast("long").alias("k_val"),
             F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         )
         .groupBy("event_type")
