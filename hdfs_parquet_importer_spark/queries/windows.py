@@ -171,13 +171,12 @@ ORDER BY l_suppkey, l_orderkey, l_linenumber
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    order_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", order_cents)
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", cents)
         .rowsBetween(-3, Window.currentRow)
     )
-    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     # Spark's `div` truncates toward zero; DuckDB's `//` floors. The
     # two agree ONLY because _w_sum is non-negative by construction
     # (prices are positive). Reusing this pattern on signed values
@@ -482,7 +481,10 @@ WITH s AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'signup'),
 p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
 j AS (SELECT s.event_id, p.ts AS p_ts, p.value,
-             row_number() OVER (PARTITION BY s.event_id ORDER BY p.ts) AS rn
+             -- value DESC tiebreak = the operator's greatest-payload
+             -- rule for purchases tied on ts (r11 review)
+             row_number() OVER (PARTITION BY s.event_id
+                                ORDER BY p.ts, p.value DESC) AS rn
       FROM s JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts)
 SELECT s.event_id, s.user_id,
        strftime(j.p_ts, '%Y-%m-%d %H:%M:%S') AS next_purchase_ts,
@@ -535,17 +537,22 @@ v AS (SELECT user_id, ts, MIN(event_id) AS event_id FROM events
       WHERE event_type = 'view' GROUP BY user_id, ts),
 j AS (
   SELECT p.event_id AS purchase_id, p.user_id,
+         -- selection + tolerance compare MICROSECOND distances (the
+         -- operator compares fractional seconds; whole-second
+         -- date_diff picked the wrong side on sub-second data and
+         -- flipped the 600 s edge — r11 review). gap_s still reports
+         -- truncated-epoch seconds, which date_diff('second') equals.
          arg_min(v.event_id,
-                 2 * abs(date_diff('second', v.ts, p.ts))
+                 2 * abs(epoch_us(v.ts) - epoch_us(p.ts))
                  + CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END)
            FILTER (WHERE v.user_id IS NOT NULL
-                   AND abs(date_diff('second', v.ts, p.ts)) <= 600)
+                   AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 600000000)
            AS view_id,
          arg_min(date_diff('second', v.ts, p.ts),
-                 2 * abs(date_diff('second', v.ts, p.ts))
+                 2 * abs(epoch_us(v.ts) - epoch_us(p.ts))
                  + CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END)
            FILTER (WHERE v.user_id IS NOT NULL
-                   AND abs(date_diff('second', v.ts, p.ts)) <= 600)
+                   AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 600000000)
            AS gap_s
   FROM p LEFT JOIN v ON p.user_id = v.user_id
   GROUP BY p.event_id, p.user_id
@@ -688,9 +695,12 @@ WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase
                   v.event_id AS vid, v.ts AS vts
            FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts)
 SELECT purchase_id, user_id,
-       COALESCE(CASE WHEN date_diff('second', vts, pts) <= 3600
+       -- tolerance compares MICROSECONDS (fractional seconds, like
+       -- the operator); the reported gap stays truncated-epoch
+       -- seconds == date_diff('second') (r11 review)
+       COALESCE(CASE WHEN epoch_us(pts) - epoch_us(vts) <= 3600000000
                      THEN vid END, -1) AS view_id,
-       CAST(COALESCE(CASE WHEN date_diff('second', vts, pts) <= 3600
+       CAST(COALESCE(CASE WHEN epoch_us(pts) - epoch_us(vts) <= 3600000000
                           THEN date_diff('second', vts, pts) END, -1)
             AS BIGINT) AS gap_s
 FROM m ORDER BY purchase_id
@@ -706,8 +716,6 @@ FROM m ORDER BY purchase_id
     "identical tolerance CASE.",
 )
 def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.asof import asof_join
-
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
