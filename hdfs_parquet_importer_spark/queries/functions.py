@@ -260,7 +260,7 @@ def func_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_toks = F.filter(F.col("toks"), lambda x: F.length(x) >= 6)
     return tok.select(
         "doc_id",
-        F.size(long_toks).alias("n_long"),
+        F.size(long_toks).cast("long").alias("n_long"),
         F.array_join(
             F.array_sort(F.transform(long_toks, lambda x: F.upper(x))), ","
         ).alias("long_upper_sorted"),
@@ -390,7 +390,7 @@ def func_map_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             "event_type",
             F.element_at(doubled, "k").alias("k2"),
-            # max over the tagged key names ("K_<digits>", lexicographic)
+            # max over the tagged key names ("k_<digits>", lexicographic)
             F.array_max(F.map_keys(tagged)).alias("tk"),
         )
         .groupBy("event_type")
@@ -487,7 +487,7 @@ def func_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_xml_parse",
     oracle="""
-SELECT s_nationkey AS nation,
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
        COUNT(*) AS n_suppliers,
        CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
          AS sum_cents
@@ -760,10 +760,12 @@ def agg_modern_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median("value"), 4).alias("median_value"),
             F.max_by(
                 "event_id",
-                F.struct(
-                    F.col("value"),
-                    F.col("event_id").cast("double").alias("eid"),
-                ),
+                # event_id stays BIGINT in the tiebreak struct: a
+                # double key loses exactness past 2^53, where two
+                # distinct ids tying on value would compare equal and
+                # reintroduce the nondeterminism this struct exists
+                # to remove (r11 review).
+                F.struct(F.col("value"), F.col("event_id").alias("eid")),
             ).alias("top_event_id"),
         )
         .orderBy("event_type")
