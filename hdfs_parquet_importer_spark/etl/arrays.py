@@ -28,7 +28,17 @@ def parse_string_array(col: Column) -> Column:
     """``"[a, b]"`` -> trimmed string array, with the edge rules above.
 
     Positional strip of first+last character, not bracket matching —
-    exactly what the reference does (package.scala:104).
+    exactly what the reference does (package.scala:104), with one
+    DOCUMENTED divergence: a length-1 input (e.g. ``"x"``) clamps to
+    an empty inner string and yields ``[""]`` where the reference's
+    ``s.substring(1, s.length - 1)`` throws
+    StringIndexOutOfBoundsException and kills the job — the clamp is
+    a deliberate robustness improvement (r11 review made it explicit).
+
+    Element trim matches Java ``String.trim`` — strips every char
+    <= U+0020 (tabs, CR, NUL), not just ASCII space, which is what
+    ``F.trim`` strips (r11 review: ``"[a,\tb]"`` must yield
+    ``["a", "b"]`` like the reference, not ``["a", "\tb"]``).
     """
     inner = F.substring(col, 2, F.greatest(F.length(col) - 2, F.lit(0)))
     # limit=0 — NOT the PySpark default of -1 — reproduces Scala/Java
@@ -39,7 +49,14 @@ def parse_string_array(col: Column) -> Column:
     # the reference (caught by hypothesis in tests/test_properties.py).
     return F.when(
         col.isNull() | (F.length(col) == 0), F.array().cast("array<string>")
-    ).otherwise(F.transform(F.split(inner, ",", 0), lambda x: F.trim(x)))
+    ).otherwise(
+        F.transform(
+            F.split(inner, ",", 0),
+            lambda x: F.regexp_replace(
+                x, r"\A[\x00-\x20]+|[\x00-\x20]+\z", ""
+            ),
+        )
+    )
 
 
 def parse_array_col(df: DataFrame, src_col: str, remove_src: bool = False) -> DataFrame:

@@ -24,8 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Reference regex, package.scala:82 (capture groups dropped: rlike only
-# tests the match).
-TIME_REGEX = r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}$"
+# tests the match). Anchored with \A/\z, not ^/$: the reference's
+# `case regex(...)` is Matcher.matches() (whole string), while rlike is
+# find-based where $ also matches BEFORE a trailing newline — so
+# '2020-01-01 10:10\n' must stay corrupt (r11 review; reachable via
+# multiLine CSV or direct DataFrame callers).
+TIME_REGEX = r"\A\d{4}-\d{2}-\d{2} \d{2}:\d{2}\z"
 
 # Hard-coded in the reference (package.scala:83, warning at :75).
 DEFAULT_ID_COL = "tweetid"
@@ -74,19 +78,28 @@ def cleanse_suspect_rows_not_in(
             F.col(time_col).isNull() | ~F.col(time_col).rlike(TIME_REGEX)
         )
         .select(id_col)
+        # DISTINCT before the guard (r11 review): the broadcast build
+        # side is the distinct id set, so 2M corrupt rows sharing 1k
+        # ids must pass the memory guard, not spuriously abort.
+        .distinct()
         .limit(max_bad_ids + 1)
-        .cache()  # read twice: the guard count + the anti-join build
+        # localCheckpoint, not cache (r11 review): materializes once
+        # for the guard count + anti-join build without pinning a
+        # cached frame in executor storage for the session's lifetime
+        # — the checkpoint RDD is GC-reclaimed once unreferenced.
+        .localCheckpoint(eager=True)
     )
     bad_count = bad.count()
     if bad_count > max_bad_ids:
         raise ValueError(
-            f"more than {max_bad_ids} corrupt rows; use cleanse_suspect_rows "
-            "(single-pass) instead of the collect-based parity variant"
+            f"more than {max_bad_ids} distinct corrupt ids; use "
+            "cleanse_suspect_rows (single-pass) instead of the "
+            "collect-based parity variant"
         )
     # NOT IN over a null-free id list == left_anti join; also drop null
     # ids (NOT IN never evaluates true when the probe side is null).
     return df.filter(F.col(id_col).isNotNull()).join(
-        F.broadcast(bad.filter(F.col(id_col).isNotNull()).distinct()),
+        F.broadcast(bad.filter(F.col(id_col).isNotNull())),
         on=id_col,
         how="left_anti",
     )

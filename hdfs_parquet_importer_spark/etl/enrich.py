@@ -24,8 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Reference pattern, package.scala:47.
-DATE_TIME_REGEX = r"^(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2})$"
+# Reference pattern, package.scala:47 — anchored \A/\z because the
+# reference extractors are whole-string matches (Matcher.matches) while
+# regexp_extract is find-based, where $ also matches before a trailing
+# newline: '2020-01-01 10:10\n' must yield '' (and the empty Hive
+# partition), not year=2020/month=01 (r11 review).
+DATE_TIME_REGEX = r"\A(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2})\z"
 
 
 def extract_date(col: Column) -> Column:

@@ -93,7 +93,20 @@ def build_pipeline(spark: SparkSession, opts: PipelineOptions) -> DataFrame:
         # The idiomatic order: shuffle once by partition cols, then
         # sort rows inside each partition — no order-destroying second
         # exchange, sorted parquet files per Hive dir.
-        df = df.sortWithinPartitions(*[F.col(c) for c in opts.sort_cols])
+        #
+        # The partition columns MUST lead the sort (r11 review,
+        # verified empirically): the partitioned writer requires its
+        # output ordered by the partition columns and, if the incoming
+        # order doesn't already satisfy that, V1Writes injects its own
+        # NON-STABLE Sort[partition_cols] above this one — silently
+        # destroying the sort_cols order this flag exists to deliver.
+        # Leading with the partition cols makes the required ordering
+        # already-satisfied, so no sort is injected and files come out
+        # ordered by sort_cols within each Hive directory.
+        df = df.sortWithinPartitions(
+            *[F.col(c) for c in opts.partition_cols],
+            *[F.col(c) for c in opts.sort_cols],
+        )
     return df
 
 

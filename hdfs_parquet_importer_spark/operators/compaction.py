@@ -169,7 +169,11 @@ def compact_parquet(
     else:
         df = df.repartition(plan.n_output_files)
     if sort_within:
-        df = df.sortWithinPartitions(*sort_within)
+        # Partition columns lead so the partitioned writer's required
+        # ordering is already satisfied — otherwise V1Writes injects a
+        # NON-STABLE Sort[part_cols] that destroys this order (r11
+        # review; harmless no-op for unpartitioned compaction).
+        df = df.sortWithinPartitions(*part_cols, *sort_within)
     writer = df.write.mode("overwrite")
     if part_cols:
         writer = writer.partitionBy(*part_cols)

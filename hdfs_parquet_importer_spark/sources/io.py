@@ -83,7 +83,13 @@ def write_partitioned_parquet(
     """
     out = df.repartition(*partition_cols)
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # Partition columns must LEAD the in-partition sort (r11
+        # review): the partitioned writer requires ordering by the
+        # partition columns and injects its own NON-STABLE sort when
+        # unsatisfied — which silently destroyed the sort_cols order.
+        # Leading with them satisfies the requirement, so the writer
+        # adds nothing and files stay sorted by sort_cols.
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 

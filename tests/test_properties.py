@@ -110,7 +110,11 @@ _datetime_like = st.one_of(
 @given(st.lists(_datetime_like, min_size=1, max_size=50))
 @settings(max_examples=20, deadline=None)
 def test_date_enrich_matches_reference_model(spark, vals):
-    rx = re.compile(DATE_TIME_REGEX)
+    # Java's \z (absolute end of input) is Python's \Z — translate so
+    # the Python reference model replays the module's Matcher.matches
+    # anchoring exactly (r11: the regex grew \A/\z so a trailing
+    # newline no longer sneaks past rlike/regexp_extract's find()).
+    rx = re.compile(DATE_TIME_REGEX.replace("\\z", "\\Z"))
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, s string")
     got = {
         r.i: (r.d, r.y, r.m)

@@ -257,3 +257,31 @@ def test_cached_tmp_dataset_content_addressing(tmp_path):
     shutil.rmtree(d3)
     d4 = cached_tmp_dataset("t_cache_test", [str(src)], build)
     assert d4 == d3 and os.path.exists(os.path.join(d4, "data"))
+
+
+def test_write_partitioned_parquet_files_are_sorted(spark, tmp_path):
+    """The partitioned writer requires ordering by the partition
+    columns and injects a NON-STABLE Sort when unsatisfied — which
+    silently destroyed the sort_cols order until r11 (verified
+    empirically: every output file came back unsorted). The fix leads
+    the in-partition sort with the partition columns; this pins the
+    actual on-disk file order."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.sources.io import (
+        write_partitioned_parquet,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).alias("year"), F.xxhash64("id").alias("s")
+    )
+    dest = str(tmp_path / "sorted_out")
+    write_partitioned_parquet(df, dest, ["year"], sort_cols=["s"])
+    files = glob.glob(dest + "/year=*/*.parquet")
+    assert files
+    for f in files:
+        vals = pq.read_table(f).column("s").to_pylist()
+        assert vals == sorted(vals), f"{f} is not sorted by s"
