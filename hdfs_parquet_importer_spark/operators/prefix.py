@@ -32,6 +32,10 @@ _BUCKET = "__psbucket"
 _LOCAL = "__pslocal"
 _BASE = "__psbase"
 _ONE = "__psone"
+# Long.MIN sentinel for NULL order keys: sorts before every real
+# bucket/cell id, exactly where the naive window's NULLS FIRST puts a
+# NULL (shared by prefix_sums and banded_range_agg — r11 review).
+_NULL_SENTINEL = -(2**63)
 
 
 def prefix_sums(
@@ -89,12 +93,40 @@ def prefix_sums(
             f"value_cols/out_cols must be equal-length and non-empty: "
             f"{list(value_cols)!r} vs {list(out_cols)!r}"
         )
+    # out_cols may shadow THEIR OWN value column (in-place prefix) but
+    # not a DIFFERENT one: out_cols[0] == value_cols[1] would make the
+    # i=1 offset read the i=0 result instead of the original values —
+    # silently wrong. Duplicate out_cols likewise overwrite (r11
+    # review).
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"duplicate out_cols: {list(out_cols)!r}")
+    for i, oc in enumerate(out_cols):
+        for j, v in enumerate(value_cols):
+            if i != j and oc == v:
+                raise ValueError(
+                    f"out_cols[{i}] {oc!r} collides with value_cols[{j}]"
+                    " — it would overwrite that value column before its"
+                    " own prefix is computed"
+                )
+    # _ONE is exempt: dist_rank injects it by design just before
+    # calling through here.
+    reserved = [
+        c
+        for c in df.columns
+        if c.startswith(("__ps", "__br")) and c != _ONE
+    ]
+    if reserved:
+        raise ValueError(
+            f"input already carries reserved internal columns "
+            f"{reserved!r} (__ps*/__br* are prefix-machinery names; "
+            "rename them first — they would be clobbered and dropped)"
+        )
     gcols = list(group_cols)
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     # Long.MIN sentinel: sorts before every real bucket id, exactly
     # where the naive window's NULLS FIRST puts a NULL order key.
     b = df.withColumn(
-        _BUCKET, F.coalesce(bucket.cast("long"), F.lit(-(2**63)))
+        _BUCKET, F.coalesce(bucket.cast("long"), F.lit(_NULL_SENTINEL))
     )
     local_w = (
         Window.partitionBy(*gcols, _BUCKET)
@@ -210,6 +242,11 @@ def dist_rank(
     tiebreak column) for the rank to be deterministic; ``bucket``
     follows the same monotone-in-primary-column contract.
     """
+    if _ONE in df.columns:
+        raise ValueError(
+            f"input already carries the reserved column {_ONE!r}; "
+            "rename it first"
+        )
     ranked = prefix_sum(
         df.withColumn(_ONE, F.lit(1).cast("long")),
         order_cols,
@@ -232,6 +269,8 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     through one task. Bit-identical to the window function for any
     (rank, n), including n < k and tie-broken orders.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k} (ntile(0) is an error)")
     q = F.floor(n / k)
     rem = n % k
     big = rem * (q + 1)  # rows covered by the (q+1)-sized buckets
@@ -269,10 +308,15 @@ def banded_range_agg(
     order value are kept (sentinel cell, frame = the other NULL rows),
     matching the naive window's NULL-group semantics.
     """
-    if not float(width).is_integer():
+    if not float(width).is_integer() or width <= 0:
+        # width=0 would send EVERY row to the NULL sentinel cell (x/0
+        # is NULL in non-ANSI Spark) — the exact single-reducer
+        # collapse this operator exists to avoid — and a negative
+        # width inverts the frame and the mirroring direction; both
+        # previously failed silently (r11 review).
         raise ValueError(
-            f"width must be a whole number (rangeBetween takes long "
-            f"boundaries); scale the order column instead: {width!r}"
+            f"width must be a positive whole number (rangeBetween takes "
+            f"long boundaries); scale the order column instead: {width!r}"
         )
     # NULL order values: the naive unpartitioned RANGE window keeps
     # them (their frame is the group of NULL-ordered rows), so they
@@ -282,7 +326,7 @@ def banded_range_agg(
     # what a range window over an all-NULL-ordered partition yields).
     home = F.coalesce(
         F.floor(F.col(order_col) / F.lit(float(width))).cast("long"),
-        F.lit(-(2**63)),
+        F.lit(_NULL_SENTINEL),
     )
     dup = df.withColumn("__brhome", home).withColumn(
         "__brcell",
@@ -318,6 +362,11 @@ def pack_sequences(
     its first token lands in (documents may straddle chunk borders —
     exactly how pretraining packing treats the token stream).
     """
+    if int(budget) < 1:
+        # budget=0 would make every bin_id NULL (non-ANSI div-by-zero)
+        # and a downstream groupBy would collapse the corpus into one
+        # bogus bin with no error (r11 review).
+        raise ValueError(f"budget must be >= 1 token, got {budget}")
     with_off = prefix_sum(df, order_col, tokens_col, bucket, out_col="offset")
     return with_off.withColumn(
         "bin_id", F.expr(f"offset div {int(budget)}")

@@ -332,3 +332,46 @@ def test_banded_range_agg_keeps_null_ordered_rows(spark):
     assert sorted(map(key, got.collect())) == sorted(
         map(key, naive.collect())
     )
+
+
+def test_guards_reject_silent_failure_params(spark):
+    """r11 review: parameters that previously produced silently-wrong
+    results under non-ANSI null arithmetic now raise."""
+    import pytest
+
+    from hdfs_parquet_importer_spark.operators.prefix import (
+        banded_range_agg,
+        dist_rank,
+        ntile_from_rank,
+        pack_sequences,
+        prefix_sums,
+    )
+
+    df = spark.createDataFrame([(1, 2, 3)], ["o", "a", "b"])
+    bucket = F.floor(F.col("o") / 10)
+
+    # out_cols colliding with a DIFFERENT value column / duplicates
+    with pytest.raises(ValueError, match="collides"):
+        prefix_sums(df, "o", ["a", "b"], bucket, ["b", "x"])
+    with pytest.raises(ValueError, match="duplicate"):
+        prefix_sums(df, "o", ["a", "b"], bucket, ["x", "x"])
+
+    # reserved internal names on the input
+    with pytest.raises(ValueError, match="reserved"):
+        prefix_sums(
+            df.withColumn("__psbucket", F.lit(0)), "o", ["a"], bucket, ["x"]
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        dist_rank(df.withColumn("__psone", F.lit(0)), ["o"], bucket)
+
+    # width=0 / negative width (every row to the sentinel cell)
+    with pytest.raises(ValueError, match="positive whole"):
+        banded_range_agg(df, "o", 0.0, lambda w: [])
+    with pytest.raises(ValueError, match="positive whole"):
+        banded_range_agg(df, "o", -10.0, lambda w: [])
+
+    # ntile(0) / budget=0 (NULL buckets / NULL bins)
+    with pytest.raises(ValueError, match="ntile"):
+        df.select(ntile_from_rank(F.lit(1), F.lit(1), 0))
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "o", "a", 0, bucket)
