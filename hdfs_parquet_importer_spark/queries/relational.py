@@ -1081,7 +1081,14 @@ def stat_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_d2",
         F.round(
-            F.lit(1.0) - 6.0 * F.col("sum_d2") / (n * (n * n - 1)), 6
+            # The denominator in DOUBLE: long n*(n*n-1) overflows at
+            # ~2.1M rows — ARITHMETIC_OVERFLOW under ANSI, silent
+            # garbage without (r11 review); rho is a double anyway.
+            F.lit(1.0)
+            - 6.0
+            * F.col("sum_d2").cast("double")
+            / (n.cast("double") * (n.cast("double") * n - 1)),
+            6,
         ).alias("rho"),
     )
 
@@ -1547,7 +1554,14 @@ def profile_fk_inclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for child_t, child_c, parent_t, parent_c in pairs:
         child = (
-            load_table(spark, sf_dir, child_t).select(child_c).distinct()
+            load_table(spark, sf_dir, child_t)
+            .select(child_c)
+            # NULL is not an FK violation (and COUNT(DISTINCT) in the
+            # oracle excludes it) — keep NULL out of the distinct set
+            # or a single NULL child value caps inclusion below 1.0
+            # and misreports a true FK (r11 review).
+            .filter(F.col(child_c).isNotNull())
+            .distinct()
         )
         parent = (
             load_table(spark, sf_dir, parent_t).select(parent_c).distinct()
@@ -1616,7 +1630,9 @@ def join_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_type").alias("n_types")
     )
     cov = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # No broadcast hint: part grows with sf (file header policy) —
+        # AQE picks broadcast while it fits (r11 review).
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.countDistinct("p_type").alias("n_covered"))
     )
@@ -1672,9 +1688,15 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     ot = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # No broadcast hint on the sf-growing part dim (header policy;
+        # AQE decides), and the incidence table is materialized ONCE:
+        # five plan branches consume it (n_orders, sup twice, both
+        # self-join sides) and exchange reuse is not guaranteed across
+        # differently-shaped consumers (r11 review).
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("t"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_orders = ot.select("ok").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n")
@@ -1835,11 +1857,10 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from hdfs_parquet_importer_spark.sources.io import (
+        cached_tmp_dataset,
         read_partitioned_parquet,
         write_partitioned_parquet,
     )
-
-    from hdfs_parquet_importer_spark.sources.io import cached_tmp_dataset
 
     def _build(staging: str) -> None:
         orders = load_table(spark, sf_dir, "orders")
