@@ -170,17 +170,24 @@ FROM (
     AND l_suppkey = s_suppkey
     AND s_nationkey = n2.n_nationkey
     AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
 ) all_nations
 GROUP BY o_year
 ORDER BY o_year
 """,
     doc="TPC-H Q8: NATION_3's share of ECONOMY-part revenue sold into "
-    "ASIA, by order year (conditional-aggregate ratio).",
+    "ASIA, by order year (conditional-aggregate ratio). r11 restores "
+    "the spec's o_orderdate BETWEEN 1995-01-01 AND 1996-12-31 "
+    "restriction, previously dropped without documentation — it "
+    "pushes into the orders scan and cuts the joined lineitem volume "
+    "~3.5x at every sf.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
@@ -404,16 +411,22 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15: top supplier(s) by quarterly revenue. The scalar max
 # decorrelates to a broadcast 1-row cross join (the repo's standard
 # pattern) — NOT an unbounded partitionBy() window, which would pull
-# every supplier aggregate through one task at scale. Revenue is
-# rounded BEFORE the max-equality so the comparison is stable across
-# engines' accumulation orders.
+# every supplier aggregate through one task at scale. Revenue
+# accumulates in EXACT integer cent-percent units (the q9 hardening):
+# r11 review found a supplier whose float revenue sum lands exactly on
+# a round-half-cent tie, where ROUND-before-max depends on
+# accumulation order — with exact bigint sums divided once at the end,
+# both engines round the identical double and the max-equality (row
+# MEMBERSHIP, not just a cell) can never diverge.
 # --------------------------------------------------------------------------
 @register(
     "q15_top_supplier",
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+               / 10000.0, 2) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -433,10 +446,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    cent_pct = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
+        (1 - F.col("l_discount")) * 100
+    ).cast("long")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        F.round(F.sum(cent_pct) / 10000.0, 2).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     supp = load_table(spark, sf_dir, "supplier")
@@ -461,7 +475,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem JOIN part ON p_partkey = l_partkey
-WHERE p_brand <> 'Brand#45'
+WHERE p_brand <> 'Brand#5'
   AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
@@ -470,8 +484,12 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     "count per surviving (brand, type, size) segment.",
 )
 def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Brand#5 EXISTS in the testdata domain (Brand#1..25) so the
+    # NOT-brand predicate genuinely excludes rows — the spec's
+    # Brand#45 was out of domain and the filter was vacuous, proving
+    # nothing about the != pushdown path (r11 review).
     part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#45")
+        (F.col("p_brand") != "Brand#5")
         & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
     )
     li = load_table(spark, sf_dir, "lineitem")
@@ -528,14 +546,30 @@ LIMIT 40
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
-    )
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    # Pre-aggregate ONLY lineitem rows of qualifying parts (r11
+    # review: ~3% survive at gate scale, so aggregating all of
+    # lineitem first wasted a 32x-larger shuffle; legal because the
+    # part filter is per-partkey, so min over the restricted rows
+    # equals the spec's min). Catalyst cannot push the later part
+    # join below the groupBy on its own — the left_semi does it.
+    ps = (
+        li.join(
+            part.select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            )
+        )
     )
     # Region-restricted (part, supplier, cost) triples — shared by the
     # outer query AND the decorrelated min (same region predicate).
@@ -844,8 +878,18 @@ WHERE p_partkey = l_partkey
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("__avg_pkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    # Per-part averages over ONLY the brand's lineitem rows (r11
+    # review: ~4% survive, so averaging all of lineitem wasted a
+    # 27x-larger shuffle; avg is per-partkey, so the restriction is
+    # value-neutral — Catalyst cannot infer it through the aggregate).
+    avg_qty = (
+        li.join(
+            part.select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("__avg_pkey"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cut"))
     )
     return (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
