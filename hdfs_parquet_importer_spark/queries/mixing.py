@@ -47,7 +47,10 @@ def hash_coin(key: Column) -> Column:
 
 
 def frac_threshold(f: float) -> str:
-    """Hex threshold t with P(hash_coin < t) == round(f * 16^4) / 16^4.
+    """Hex threshold t with P(hash_coin < t) == floor(f * 16^4) / 16^4
+    (int() truncates — callers get the next-lower 2^-16 step, never a
+    larger-than-f probability; r11 review fixed this doc, which
+    previously claimed round()).
 
     The comparison is LEXICOGRAPHIC on 4-char lowercase hex, so the
     threshold must stay 4 chars: f == 1.0 would format to the 5-char
@@ -299,15 +302,14 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arriving as one partition would pin it to one core.
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("source", D.tokens(F.col("text")).alias("_t"))
-    # array_distinct BEFORE the explode: in-doc repeat grams (headers,
-    # boilerplate) dedupe JVM-side per row instead of riding the
-    # distinct shuffle as separate 40-byte gram strings.
+    # shingles_of_tokens is already array_distinct-ed per row
+    # (operators/dedup.py), so in-doc repeat grams dedupe JVM-side
+    # before the explode with no extra pass (r11 review removed a
+    # redundant second array_distinct here).
     sg = (
         toks.select(
             "source",
-            F.explode(
-                F.array_distinct(D.shingles_of_tokens(F.col("_t"), 8))
-            ).alias("gram"),
+            F.explode(D.shingles_of_tokens(F.col("_t"), 8)).alias("gram"),
         )
         .distinct()
     )
@@ -375,7 +377,7 @@ deduped AS (
 train AS (SELECT * FROM deduped WHERE h < 'e666'),
 sampled AS (
   SELECT * FROM train
-  WHERE h < CASE WHEN lang = 'en' THEN '8000' ELSE 'ffff' END),
+  WHERE h < CASE WHEN lang = 'en' THEN '8000' ELSE 'g' END),
 quota AS (
   SELECT * FROM (
     SELECT *, SUM(n_chars) OVER (
@@ -397,9 +399,12 @@ FROM quota GROUP BY lang ORDER BY lang
     "replays the identical five-stage CTE chain and checks exact "
     "per-language outputs. Plan: the quality filter and all three "
     "hash predicates evaluate scan-side; the only shuffles are the "
-    "dedup window on fp and the quota window on source — both "
-    "natural keys, both AQE-skew-splittable. No stage materializes: "
-    "Catalyst pipelines the filters into one pass.",
+    "dedup window on fp (fingerprints are near-unique, so its "
+    "partitions stay tiny) and the quota stage, which rides the "
+    "GROUPED two-phase prefix machinery so a hot source never "
+    "serializes through one window task (r11; AQE skew-splitting "
+    "applies to joins, not window partitions). No stage "
+    "materializes: Catalyst pipelines the filters into one pass.",
 )
 def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -421,19 +426,39 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     train = deduped.filter(F.col("h") < frac_threshold(0.9))
-    keep_rate = F.when(F.col("lang") == "en", F.lit("8000")).otherwise(F.lit("ffff"))
+    # 'g' = frac_threshold(1.0)'s keep-everything sentinel: a literal
+    # 'ffff' silently drops docs whose coin is exactly 'ffff' — the
+    # hazard frac_threshold documents (r11 review).
+    keep_rate = F.when(F.col("lang") == "en", F.lit("8000")).otherwise(
+        F.lit(frac_threshold(1.0))
+    )
     sampled = train.filter(F.col("h") < keep_rate)
-    # Full-md5 order (not the 4-hex coin prefix): keeps the running
-    # sum's row order identical across engines even on prefix
-    # collisions — same parity fix as mix_domain_quota.
-    quota_w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Quota via the GROUPED two-phase prefix machinery, not a
+    # per-source window (r11 review: a plain
+    # Window.partitionBy('source') running sum serializes a hot
+    # source through ONE task — the exact shape mix_domain_quota was
+    # rewritten off in r7; AQE skew-splitting applies to joins, not
+    # window partitions). Full-md5 order (not the 4-hex coin prefix)
+    # keeps the running sum's row order identical across engines even
+    # on prefix collisions. prefix_sums is exclusive; the window's
+    # inclusive cum == off + n_chars.
+    from hdfs_parquet_importer_spark.operators.prefix import (
+        adaptive_bucket_count,
+        md5_byte_bucket,
+        prefix_sums,
     )
-    kept = sampled.withColumn("cum", F.sum("n_chars").over(quota_w)).filter(
-        F.col("cum") <= 2000
+
+    keyed = sampled.withColumn("k", F.md5(F.col("doc_id").cast("string")))
+    n_buckets = adaptive_bucket_count(docs.count())
+    cum = prefix_sums(
+        keyed,
+        ["k", "doc_id"],
+        ["n_chars"],
+        bucket=md5_byte_bucket(F.col("k"), n_buckets),
+        out_cols=["off"],
+        group_cols=["source"],
     )
+    kept = cum.filter(F.col("off") + F.col("n_chars") <= 2000)
     return (
         kept.groupBy("lang")
         .agg(
@@ -924,7 +949,12 @@ def tokenize_bpe_multiround(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.struct(
                 F.lit(k).alias("merge_round"),
-                F.element_at(m, k).alias("rule"),
+                # try_element_at: a low-diversity corpus can
+                # exhaust merge pairs before _MR_ROUNDS, leaving the
+                # merges array short — element_at would abort the
+                # whole query under ANSI where the oracle's LEFT JOIN
+                # yields NULL rule (r11 review).
+                F.try_element_at(m, F.lit(k)).alias("rule"),
                 (
                     F.col("wn")
                     * bpe.token_count(F.col("w"), F.slice(m, 1, k))
@@ -1094,8 +1124,6 @@ ORDER BY source, doc_id
     "sample_stratified (per-stratum RATE, unbounded count).",
 )
 def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
@@ -1197,9 +1225,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(D.shingles_of_tokens(F.col("t"), 5))
-        ).alias("g"),
+        # shingles_of_tokens already dedupes per row (r11 review
+        # removed a redundant second array_distinct).
+        F.explode(D.shingles_of_tokens(F.col("t"), 5)).alias("g"),
     )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     scored = grams.filter(F.col("doc_id") < 50).join(first_seen, "g")
