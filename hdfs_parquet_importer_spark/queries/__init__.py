@@ -83,108 +83,109 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 11 rotation (executes the committed r11 QUEUE: P1
-    # changed-oracle pair, then eval_dedup_recall — the registry's
-    # only never-windowed query — then all 34 remaining r5 greens,
-    # draining r5; fill from oldest r6, family-spread).
+    # -- Round 12 rotation (executes the committed r12 QUEUE with
+    # the P5 module-rep correction: the queue as committed at r11
+    # close carried no tpch / subqueries / pandas_surface rep —
+    # q1_pricing_summary lives in queries/relational.py, not tpch —
+    # and the family-coverage gate
+    # (tests/test_smoke.py::test_driver_window_covers_every_family)
+    # plus the standing "P5 module reps outrank leftover-slot
+    # claims" rule force three fills to swap: q7_volume_shipping
+    # (tpch, r7 — the family's oldest green), subq_exists_priority
+    # (subqueries, r7), pandas_grouped_regression (pandas_surface,
+    # r8) replace ann_cosine_topk / multimodal_png_roundtrip /
+    # text_quality (llm, a family already holding 9 window rows).
+    # The fourth swap: eval_classifier_quality (new this round,
+    # VERDICT r11 item 5) takes mix_upsample_rare's slot per the r8
+    # leftover-slot amendment — mixing keeps 4 other reps; the four
+    # displaced r7 greens roll to the r13 queue below.)
     #
-    # (P1) Changed in r10 AFTER the r10 window froze: the r10 review
-    # passes moved dsir's feature projection onto the shared
-    # quality_clf.hashed_doc_features and added the empty-token
-    # filter to both oracles' tok CTEs — value-identical on gate
-    # data, but a changed query may never ship on a stale green:
-    "quality_dsir_weights",
-    "quality_ccnet_buckets",
-    # (P3) Registered in r10 after that round's window froze — the
-    # only query that has never held a driver row:
-    "eval_dedup_recall",
-    # (new, r11) ANN-recall eval (VERDICT r10 item 3) takes the
-    # leftover slot per the r8 amendment — P1/P2 and the committed
-    # queue are all seated below:
-    "eval_ann_recall",
-    # (P4) All 34 remaining r5 greens (queue item a) — drains r5;
-    # after this round the oldest driver row anywhere is r6.
-    "agg_hll_mergeable",
-    "ann_pq_adc",
-    "asof_join_tolerance",
-    "bpe_top_merges",
-    "doc_tfidf_cosine_topk",
-    "events_markov_transitions",
-    "events_ohlc_resample",
-    "events_session_path_topk",
-    "mix_epoch_order",
-    "mix_kl_divergence",
-    "mix_temperature_sampling",
-    "multimodal_wav_energy",
-    "pipeline_corpus_prep",
-    "profile_table_stats",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q22_sales_opportunity",
-    "quality_gopher_rules",
-    "scd2_event_type_history",
-    "sink_roundtrip_jsonl",
-    "sink_roundtrip_orc",
-    "sink_roundtrip_partitioned",
-    "sink_roundtrip_plain",
-    "sketch_countmin_heavy",
-    "snapshot_as_of_day15",
-    "stat_entropy_by_source",
-    "stat_rolling_zscore",
-    "stat_spearman_rank",
-    "subq_lateral_top2",
-    "ts_linear_interpolate",
-    "vocab_coverage",
-    "window_ewma",
-    "window_range_frame",
-    "zorder_curve",
-    # (P5 + queue item b) Fill from oldest rows, family-spread.
-    # pandas_surface has no r5/r6 rows, so its oldest green (r7)
-    # seats as the P5 module rep the family-coverage gate requires;
-    # the remaining 11 slots take r6 greens one-per-module
-    # (func_timezone_convert doubles as the functions module rep):
-    "udtf_text_chunks",            # pandas_surface, r7 (oldest)
-    "stat_mad_outliers",           # relational, r6
-    "q6_forecast_revenue",         # tpch, r6
-    "scd2_temporal_join",          # etl_parity, r6
-    "func_timezone_convert",       # functions, r6 (module rep)
-    "window_percent_rank_cume",    # windows, r6
-    "graph_pagerank",              # events, r6
-    "multimodal_image_dhash_dedup",  # llm, r6
-    "sample_k_per_group",          # mixing, r6
-    "subq_not_in_null_trap",       # subqueries, r6
-    "agg_activity_bitmap",         # stats, r6
-    "dq_expectations",             # reporting, r6
+    # (P3) Registered in r11 after that round's window froze — the
+    # registry's ONLY query that has never held a driver row:
+    "multimodal_jpeg_roundtrip",
+    # (new, r12) Classifier-quality eval against planted truth
+    # (VERDICT r11 item 5) — P1/P2 empty, committed queue seated:
+    "eval_classifier_quality",
+    # (P4) All 35 remaining r6 greens (queue item a) — drains r6;
+    # after this round the oldest driver row anywhere is r7.
+    "agg_partial_reaggregate",
+    "agg_string_concat",
+    "dedup_containment",
+    "dq_benford_digits",
+    "dq_table_checksum",
+    "embedding_covariance",
+    "events_audience_overlap",
+    "events_cumulative_reach",
+    "events_dau_wau_mtd",
+    "events_error_rate_sli",
+    "events_funnel_3step",
+    "events_peak_concurrency",
+    "events_seasonality_index",
+    "events_time_to_conversion",
+    "join_relational_division",
+    "join_shuffled_hash_hint",
+    "market_basket_lift",
+    "mix_source_dup_rate",
+    "profile_fk_inclusion",
+    "quality_unigram_logprob",
+    "report_pareto_concentration",
+    "setop_except_all",
+    "setop_union_evolved",
+    "snapshot_diff",
+    "source_python_datasource",
+    "stat_autocorrelation",
+    "stat_ks_two_sample",
+    "stat_ols_catalyst",
+    "stat_welch_ttest",
+    "text_bm25_search",
+    "text_keyword_extraction",
+    "text_ngram_novelty",
+    "window_max_drawdown",
+    "window_running_distinct",
+    "window_time_range_frame",
+    # (P4/P5, queue item b as corrected above) 13 oldest-green
+    # fills, family-spread, with the three family reps the gate
+    # requires:
+    "agg_distinct",                # relational, r7
+    "corpus_source_overlap",       # mixing, r7
+    "dedup_minhash_lsh",           # llm, r7
+    "etl_cleanse",                 # etl_parity, r7
+    "eval_langid_confusion",       # llm, r7
+    "events_rfm_segmentation",     # events, r7
+    "func_try_arithmetic",         # functions, r7
+    "graph_triangle_count",        # graphs, r7
+    "q1_pricing_summary",          # relational, r7
+    "stat_zipf_fit",               # stats, r7
+    "q7_volume_shipping",          # tpch, r7 (P5 module rep)
+    "subq_exists_priority",        # subqueries, r7 (P5 module rep)
+    "pandas_grouped_regression",   # pandas_surface, r8 (P5 rep)
 )
-# r12 QUEUE (committed at r11 close so the next rotation is
-# mechanical; the r11 window above refreshes its 50 at this round's
-# driver run, so cohort ages below are post-r11):
-# (a0) multimodal_jpeg_roundtrip (P3: registered r11 after this
-#     window froze — the registry's only never-windowed query once
-#     eval_dedup_recall/eval_ann_recall seat their r11 rows above);
-# (a) all 35 remaining r6 greens (P4, drains r6 — the oldest cohort
-#     after r11 drains r5):
-#     agg_partial_reaggregate, agg_string_concat, dedup_containment,
-#     dq_benford_digits, dq_table_checksum, embedding_covariance,
-#     events_audience_overlap, events_cumulative_reach,
-#     events_dau_wau_mtd, events_error_rate_sli, events_funnel_3step,
-#     events_peak_concurrency, events_seasonality_index,
-#     events_time_to_conversion, join_relational_division,
-#     join_shuffled_hash_hint, market_basket_lift, mix_source_dup_rate,
-#     profile_fk_inclusion, quality_unigram_logprob,
-#     report_pareto_concentration, setop_except_all,
-#     setop_union_evolved, snapshot_diff, source_python_datasource,
-#     stat_autocorrelation, stat_ks_two_sample, stat_ols_catalyst,
-#     stat_welch_ttest, text_bm25_search, text_keyword_extraction,
-#     text_ngram_novelty, window_max_drawdown, window_running_distinct,
-#     window_time_range_frame;
-# (b) 14 oldest-r7 greens, family-spread, to fill the window:
-#     agg_distinct, ann_cosine_topk, corpus_source_overlap,
-#     dedup_minhash_lsh, etl_cleanse, eval_langid_confusion,
-#     events_rfm_segmentation, func_try_arithmetic,
-#     graph_triangle_count, mix_upsample_rare, multimodal_png_roundtrip,
-#     q1_pricing_summary, stat_zipf_fit, text_quality
-#     (the other 32 r7 greens roll to the r13 queue).
+# r13 QUEUE (committed at r12 close so the next rotation is
+# mechanical; cohort ages below are post-r12):
+# (a) all 34 remaining r7 greens (P4, drains r7 — the oldest cohort
+#     after r12 drains r6):
+#     agg_modern_surface, ann_cosine_topk, ann_ivf, ann_lsh_bucketed,
+#     dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
+#     etl_array_parse, func_collation_lcase, func_conditional,
+#     func_date_arith, func_explode_outer, func_nullsafe_eq,
+#     func_variant_parse, join_left_outer, mix_upsample_rare,
+#     multimodal_png_roundtrip, report_cohort_ltv, setop_union,
+#     source_xml_parse, sql_pipe_syntax, stat_bootstrap_ci,
+#     stat_cusum_drift, stat_gini_coefficient, stat_mann_whitney,
+#     text_boilerplate_blocks, text_df_top_terms, text_fingerprint,
+#     text_mean_token_df, text_perplexity_bigram, text_quality,
+#     window_first_last, window_ntile_global, window_rank_dense;
+# (b) 16 oldest-r8/r9 fills, family-spread, P5 reps first (tpch /
+#     subqueries / events have no rep in item a; pandas_surface's
+#     oldest green is r9 after pandas_grouped_regression seats r12):
+#     q10_returned_items (tpch rep), agg_percentiles (subqueries
+#     rep), events_funnel (events rep), arrow_grouped_stats
+#     (pandas_surface rep, r9), dedup_exact, etl_date_enrich,
+#     join_broadcast_dim, window_moving_avg, agg_cube, text_langid,
+#     embedding_kmeans, multimodal_decode_stats,
+#     stat_chi2_independence, tokenize_bpe_encode, sample_systematic,
+#     fuzzy_name_pairs
+#     (the other 31 r8 greens roll to the r14 queue).
 
 
 def registry() -> dict[str, Query]:

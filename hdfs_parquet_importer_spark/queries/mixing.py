@@ -2045,3 +2045,162 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_EVAL_CLF_PLANT_SQL = (
+    "'click here free offer ' || "
+    "repeat('promo' || CAST(doc_id % 5 AS VARCHAR) || ' ', 20) || 'buy now'"
+)
+
+
+@register(
+    "eval_classifier_quality",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         {_EVAL_CLF_PLANT_SQL} AS text,
+         'planted' AS source
+  FROM documents WHERE doc_id % 10 = 0),
+tok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM corpus)
+  WHERE term <> ''),
+fb AS (
+  SELECT doc_id, substr(md5(term), 1, 2) AS b, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2),
+lab AS (SELECT doc_id, (source = 'src0') AS pos FROM corpus),
+agg AS (
+  SELECT f.b,
+         SUM(CASE WHEN l.pos THEN f.n ELSE 0 END) AS pn,
+         SUM(CASE WHEN l.pos THEN 0 ELSE f.n END) AS nn
+  FROM fb f JOIN lab l USING (doc_id) GROUP BY 1),
+tots AS (SELECT SUM(pn) AS pt, SUM(nn) AS nt, COUNT(*) AS v FROM agg),
+w AS (
+  SELECT a.b,
+         ln((a.pn + 1.0) / (t.pt + t.v))
+         - ln((a.nn + 1.0) / (t.nt + t.v)) AS w
+  FROM agg a CROSS JOIN tots t),
+sc AS (
+  SELECT f.doc_id, SUM(f.n * w.w) / SUM(f.n) AS margin
+  FROM fb f JOIN w USING (b) GROUP BY 1),
+cand AS (
+  SELECT (c.source = 'planted') AS planted,
+         (ROUND(sc.margin, 6) <= 0) AS rejected,
+         ROUND(sc.margin, 6) AS m6
+  FROM sc JOIN corpus c USING (doc_id)
+  WHERE c.source <> 'src0'),
+cnt AS (
+  SELECT CAST(SUM(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_planted,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN rejected THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rejected,
+         CAST(SUM(CASE WHEN planted AND rejected THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+         ROUND(AVG(CASE WHEN planted THEN m6 END), 6)
+           AS avg_margin_planted,
+         ROUND(AVG(CASE WHEN NOT planted THEN m6 END), 6)
+           AS avg_margin_clean
+  FROM cand)
+SELECT n_planted, n_candidates, n_rejected, n_hit,
+       ROUND(n_hit * 1.0 / n_planted, 6) AS reject_recall,
+       CASE WHEN n_rejected > 0
+            THEN ROUND(n_hit * 1.0 / n_rejected, 6) END
+         AS reject_precision,
+       avg_margin_planted, avg_margin_clean
+FROM cnt
+""",
+    doc="Classifier-quality EVAL against planted ground truth "
+    "(VERDICT r11 item 5 — the eval_langid_confusion / "
+    "eval_dedup_recall / eval_ann_recall pattern applied to the "
+    "quality_classifier_filter gate): deterministically plant one "
+    "boilerplate-spam document per 10 corpus docs (fixed junk "
+    "vocabulary varied by doc_id % 5, doc_id offset +1000000 so ids "
+    "never collide), retrain the SAME closed-form NB log-count-ratio "
+    "model on the augmented corpus (src0 = curated positives; "
+    "planted docs are ordinary unlabeled negatives, exactly how junk "
+    "enters a real CCNet-style crawl), then measure the margin>0 "
+    "keep gate as a low-quality DETECTOR on the non-src0 candidate "
+    "set: reject_recall (planted docs the gate rejects), "
+    "reject_precision (rejected docs that are planted — below 1.0 "
+    "because genuine low-scoring corpus docs are also rejected, "
+    "which a working filter should do), and the margin distribution "
+    "summarized as avg planted vs avg clean margin (the separation "
+    "the model achieves). Measured at the gate SF (sf0.01): recall "
+    "1.0 (50/50 planted docs rejected), precision 0.641 (78 total "
+    "rejections), avg margin -3.28 planted vs +0.03 clean — the "
+    "hashed 256-bucket model separates boilerplate spam by >3 nats "
+    "despite bucket collisions with real vocabulary. Margins "
+    "ROUND(6)ed per doc before gating "
+    "and averaging (registry float-boundary convention); the "
+    "precision ratio is CASE-guarded on n_rejected > 0 (ANSI-safe). "
+    "SCALE: planting is a filter + projection (no shuffle), training "
+    "is the same ONE fixed-width 256-bucket pass, scoring the same "
+    "single broadcast weight join; the eval adds one |sources|-"
+    "bounded final agg. Zero Python. ORACLE: the full chain replayed "
+    "rule-identically in SQL over the identical planted corpus.",
+)
+def eval_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.quality_clf import (
+        hashed_doc_features,
+        nb_linear_classifier,
+        score_documents,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(
+            F.lit("click here free offer "),
+            F.repeat(
+                F.concat(
+                    F.lit("promo"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit(" "),
+                ),
+                20,
+            ),
+            F.lit("buy now"),
+        ).alias("text"),
+        F.lit("planted").alias("source"),
+    )
+    corpus = docs.select("doc_id", "text", "source").unionByName(planted)
+    feats = hashed_doc_features(corpus).localCheckpoint(eager=True)
+    labels = corpus.select("doc_id", (F.col("source") == "src0").alias("pos"))
+    sc = score_documents(feats, nb_linear_classifier(feats, labels)).join(
+        corpus.select("doc_id", "source"), "doc_id"
+    )
+    cand = sc.filter(F.col("source") != "src0").select(
+        (F.col("source") == "planted").alias("planted"),
+        (F.round("margin", 6) <= 0).alias("rejected"),
+        F.round("margin", 6).alias("m6"),
+    )
+    cnt = cand.agg(
+        F.sum(F.col("planted").cast("int")).cast("long").alias("n_planted"),
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.col("rejected").cast("int")).cast("long").alias("n_rejected"),
+        F.sum((F.col("planted") & F.col("rejected")).cast("int"))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(F.avg(F.when(F.col("planted"), F.col("m6"))), 6).alias(
+            "avg_margin_planted"
+        ),
+        F.round(F.avg(F.when(~F.col("planted"), F.col("m6"))), 6).alias(
+            "avg_margin_clean"
+        ),
+    )
+    return cnt.select(
+        "n_planted",
+        "n_candidates",
+        "n_rejected",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_planted"), 6).alias("reject_recall"),
+        F.when(
+            F.col("n_rejected") > 0,
+            F.round(F.col("n_hit") / F.col("n_rejected"), 6),
+        ).alias("reject_precision"),
+        "avg_margin_planted",
+        "avg_margin_clean",
+    )

@@ -524,7 +524,7 @@ def stat_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_zipf_fit",
-    oracle="""
+    oracle=r"""
 WITH tok AS (
   -- canonical normalize_text twin (r11 review: the old '' replacement
   -- JOINED tokens across punctuation where Spark's D.tokens splits)
