@@ -525,29 +525,32 @@ class _BitReader:
         return v
 
     def align_and_expect_rst(self, n: int) -> None:
-        """Consume a restart marker (byte-aligned) and reset state."""
+        """Consume a restart marker (byte-aligned) and reset state.
+
+        ``self.marker`` is always None on entry: :meth:`_fill` raises
+        the moment it hits a marker during bit fill, aborting decode
+        before any align call — this restart path alone consumes
+        markers (r11 ADVICE removed the unreachable marker-set
+        branch)."""
         self._acc = self._nbits = 0
-        if self.marker is None:
-            # Skip stuffed FF00 pairs first: flush padding before the
-            # marker can itself be a 0xFF byte, which the entropy
-            # coder stuffs — those are unread padding, not the marker.
-            while (
-                self.pos + 1 < len(self.data)
-                and self.data[self.pos] == 0xFF
-                and self.data[self.pos + 1] == 0x00
-            ):
-                self.pos += 2
-            # Marker not yet hit during bit fill: it must be next.
-            if (
-                self.pos + 1 < len(self.data)
-                and self.data[self.pos] == 0xFF
-            ):
-                self.marker = self.data[self.pos + 1]
-                self.pos += 2
-            else:
-                raise ValueError("expected JPEG restart marker")
+        # Skip stuffed FF00 pairs first: flush padding before the
+        # marker can itself be a 0xFF byte, which the entropy
+        # coder stuffs — those are unread padding, not the marker.
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0x00
+        ):
+            self.pos += 2
+        # Marker not yet hit during bit fill: it must be next.
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+        ):
+            self.marker = self.data[self.pos + 1]
+            self.pos += 2
         else:
-            self.pos += 1  # consume the marker id byte
+            raise ValueError("expected JPEG restart marker")
         if self.marker != 0xD0 + (n % 8):
             raise ValueError(
                 f"expected RST{n % 8}, got marker {self.marker:#x}"
@@ -587,7 +590,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     width = height = None
     restart_interval = 0
     comp_qt = dc_id = ac_id = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         # Any number of 0xFF fill bytes may precede a marker id
@@ -595,9 +598,19 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         # get misread as a segment length (r11 review).
         while data[pos + 1] == 0xFF:
             pos += 1
-            if pos + 4 > len(data):
+            if pos + 2 > len(data):
                 raise ValueError("truncated JPEG segment")
         marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before any scan — standalone, no length
+            raise ValueError("JPEG has no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # Standalone markers — TEM (0x01), stray RSTn (0xD0-D7),
+            # repeated SOI (0xD8) — carry NO length field (ITU T.81
+            # B.1.1.3); parsing one as length-prefixed would misread
+            # the next two payload bytes as a segment length (r11
+            # ADVICE).
+            pos += 2
+            continue
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError("progressive JPEG not supported")
         if marker in (0xC9, 0xCB, 0xCC, 0xCD):
@@ -606,6 +619,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             raise NotImplementedError(
                 "lossless/differential JPEG not supported"
             )
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
         (length,) = struct.unpack(">H", data[pos + 2: pos + 4])
         if pos + 2 + length > len(data):
             raise ValueError("truncated JPEG segment")
@@ -654,8 +669,6 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
             pos = pos + 2 + length
             break
-        elif marker == 0xD9:
-            raise ValueError("JPEG has no scan data")
         pos += 2 + length
     if width is None or dc_id is None:
         raise ValueError("JPEG missing SOF/SOS")

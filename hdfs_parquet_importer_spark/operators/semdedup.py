@@ -152,6 +152,7 @@ def semdedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    precomputed_edges: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup over ``emb`` -> (vec_id, canonical_id, is_removed).
 
@@ -174,9 +175,18 @@ def semdedup(
         grouped_connected_components,
     )
 
-    edges = semdedup_edges(
-        emb, bits=bits, threshold=threshold, id_col=id_col, vec_col=vec_col
-    )
+    # ``precomputed_edges`` lets a caller that already materialized
+    # the (checkpointed) edge frame — e.g. the knob study, which
+    # counts it for the recall table — feed it straight into the CC
+    # stage instead of re-running the quadratic pair scan (r11
+    # ADVICE). Must be the output of :func:`semdedup_edges` at the
+    # same knob settings.
+    edges = precomputed_edges
+    if edges is None:
+        edges = semdedup_edges(
+            emb, bits=bits, threshold=threshold,
+            id_col=id_col, vec_col=vec_col,
+        )
     cc = grouped_connected_components(edges, "bucket")
     return cc.select(
         F.col("node").alias("vec_id"),

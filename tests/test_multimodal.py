@@ -382,3 +382,22 @@ def test_jpeg_fill_bytes_and_lossless_marker():
     patched[i + 1] = 0xC3
     with pytest.raises(NotImplementedError, match="lossless"):
         M.decode_jpeg_gray(bytes(patched))
+
+
+def test_jpeg_standalone_markers_skip_without_length():
+    """Spec-legal standalone markers — TEM (0xFF01), stray RSTn,
+    repeated SOI — carry no length field (ITU T.81 B.1.1.3); the
+    pre-SOS parser must skip them instead of misreading the next two
+    bytes as a segment length (r11 ADVICE)."""
+    px = _gradient(16, 16)
+    d = M.encode_jpeg_gray(px, 16, 16)
+    base = M.decode_jpeg_gray(d)
+    for standalone in (b"\xff\x01", b"\xff\xd3", b"\xff\xd8"):
+        spliced = d[:2] + standalone + d[2:]
+        assert M.decode_jpeg_gray(spliced) == base, standalone.hex()
+    # All three at once, plus fill bytes, still decode identically.
+    spliced = d[:2] + b"\xff\xff\xff\x01\xff\xd0\xff\xd8" + d[2:]
+    assert M.decode_jpeg_gray(spliced) == base
+    # EOI with no scan data still raises the named error.
+    with pytest.raises(ValueError, match="no scan data"):
+        M.decode_jpeg_gray(b"\xff\xd8\xff\xd9")

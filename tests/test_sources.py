@@ -259,13 +259,21 @@ def test_cached_tmp_dataset_content_addressing(tmp_path):
     assert d4 == d3 and os.path.exists(os.path.join(d4, "data"))
 
 
-def test_write_partitioned_parquet_files_are_sorted(spark, tmp_path):
+@pytest.mark.parametrize("part_type", ["bigint", "string"])
+def test_write_partitioned_parquet_files_are_sorted(
+    spark, tmp_path, part_type
+):
     """The partitioned writer requires ordering by the partition
     columns and injects a NON-STABLE Sort when unsatisfied — which
     silently destroyed the sort_cols order until r11 (verified
     empirically: every output file came back unsorted). The fix leads
     the in-partition sort with the partition columns; this pins the
-    actual on-disk file order."""
+    actual on-disk file order. Parametrized over a STRING partition
+    column too (r11 ADVICE): for strings V1Writes' required ordering
+    is on empty2null(col), not the raw column — the ETL pipeline
+    partitions on string year/month, and only this variant pins that
+    alias-aware ordering-satisfaction path against a Spark upgrade
+    regression."""
     import glob
 
     import pyarrow.parquet as pq
@@ -276,7 +284,8 @@ def test_write_partitioned_parquet_files_are_sorted(spark, tmp_path):
     )
 
     df = spark.range(1000).select(
-        (F.col("id") % 3).alias("year"), F.xxhash64("id").alias("s")
+        (F.col("id") % 3).cast(part_type).alias("year"),
+        F.xxhash64("id").alias("s"),
     )
     dest = str(tmp_path / "sorted_out")
     write_partitioned_parquet(df, dest, ["year"], sort_cols=["s"])

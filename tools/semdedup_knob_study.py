@@ -114,8 +114,15 @@ def main() -> int:
                 )
                 .collect()[0]["p"]
             )
-            n_edges = semdedup_edges(emb, bits=bits).count()
-            semdedup(emb, bits=bits).count()  # warmup (codegen/JIT)
+            # One edge materialization serves BOTH the recall count
+            # and the CC-stage warmup (r11 ADVICE: the old separate
+            # semdedup_edges().count() + semdedup().count() pair ran
+            # the tool's most expensive stage twice per point); the
+            # timed samples below still run the FULL pipeline — that
+            # is the cost the scaling table prices.
+            edges_df = semdedup_edges(emb, bits=bits)
+            n_edges = edges_df.count()
+            semdedup(emb, bits=bits, precomputed_edges=edges_df).count()
             samples = []
             for _ in range(3):
                 t0 = time.perf_counter()
