@@ -116,6 +116,14 @@ HEADLINE = [
     # encode+decode+error inside one mapInPandas stage — the
     # Python-UDF-heavy representative) — benched from birth.
     "multimodal_jpeg_roundtrip",
+    # r12: the classifier-quality eval against planted spam (NB
+    # retrain on the augmented corpus + precision/recall rollup) —
+    # benched from birth.
+    "eval_classifier_quality",
+    # r12: the 4:4:4 color JPEG round-trip (3 interleaved components,
+    # chroma tables, YCbCr conversion — ~3x the gray codec's per-row
+    # Python work) — benched from birth.
+    "multimodal_jpeg_color_roundtrip",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -227,17 +227,22 @@ def decode_png_gray(data: bytes) -> tuple[int, int, bytes]:
 
 
 # --------------------------------------------------------------------------
-# Real JPEG codec (baseline DCT, grayscale), stdlib + numpy.
+# Real JPEG codec (baseline DCT, grayscale + 4:4:4 color), stdlib +
+# numpy.
 #
-# Full JFIF pipeline: level shift -> 8x8 FDCT -> quality-scaled Annex K
-# luminance quantization -> zigzag -> DC-diff/AC-RLE Huffman coding with
-# the Annex K standard tables and 0xFF byte stuffing. The decoder is
-# GENERIC on the format (parses whatever DQT/DHT/SOF0/DRI the file
-# carries, unstuffs, handles restart markers), so it reads real-world
-# baseline grayscale JPEGs, not just this encoder's output; progressive
-# (SOF2) and multi-component (color) files raise NotImplementedError by
-# name. JPEG is lossy, so unlike the PNG path the pixel oracle is an
-# error-bound gate, not byte equality.
+# Full JFIF pipeline: (for color) BT.601 RGB->YCbCr, then level shift
+# -> 8x8 FDCT -> quality-scaled Annex K quantization (luminance table
+# for gray/Y, chrominance table for Cb/Cr) -> zigzag -> DC-diff/AC-RLE
+# Huffman coding with the Annex K standard tables and 0xFF byte
+# stuffing; color scans interleave one block per component per MCU
+# with per-component DC predictors. The decoder is GENERIC on the
+# format (parses whatever DQT/DHT/SOF0/DRI the file carries, unstuffs,
+# handles restart markers, 1 or 3 components at 4:4:4), so it reads
+# real-world baseline grayscale AND 4:4:4 color JPEGs, not just this
+# encoder's output; progressive (SOF2), arithmetic, lossless,
+# subsampled (4:2:0/4:2:2), and partial-scan files raise
+# NotImplementedError by name. JPEG is lossy, so unlike the PNG path
+# the pixel oracle is an error-bound gate, not byte equality.
 # --------------------------------------------------------------------------
 _JPEG_STD_LUMA_QT = [
     16, 11, 10, 16, 24, 40, 51, 61,
@@ -293,6 +298,47 @@ _AC_VALS = [
 ]
 assert sum(_AC_BITS) == len(_AC_VALS) == 162
 
+# Annex K.1 standard chrominance quantization table and K.3.3 standard
+# chrominance Huffman tables — the color (4:4:4) encoder's Cb/Cr
+# tables, same public source as the luminance set above.
+_JPEG_STD_CHROMA_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+assert sum(_AC_CHROMA_BITS) == len(_AC_CHROMA_VALS) == 162
+
 
 def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) for a canonical Huffman (BITS, HUFFVAL)."""
@@ -319,13 +365,27 @@ def _std_codes() -> tuple[dict, dict]:
     )
 
 
-def _scaled_qt(quality: int) -> list[int]:
-    """libjpeg quality scaling of the Annex K luminance table."""
+@_lru_cache(maxsize=None)
+def _std_chroma_codes() -> tuple[dict, dict]:
+    """The (DC, AC) standard CHROMINANCE canonical codes, built once
+    per process (same rationale as :func:`_std_codes`)."""
+    return (
+        _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )
+
+
+def _scaled_qt(
+    quality: int, base: list[int] | None = None
+) -> list[int]:
+    """libjpeg quality scaling of an Annex K quantization table
+    (default: luminance; pass ``_JPEG_STD_CHROMA_QT`` for Cb/Cr)."""
     if not 1 <= quality <= 100:
         raise ValueError(f"quality must be 1..100, got {quality}")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     return [
-        min(255, max(1, (q * scale + 50) // 100)) for q in _JPEG_STD_LUMA_QT
+        min(255, max(1, (q * scale + 50) // 100))
+        for q in (base if base is not None else _JPEG_STD_LUMA_QT)
     ]
 
 
@@ -387,6 +447,59 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return size, (v if v > 0 else v + (1 << size) - 1)
 
 
+def _pad_plane(plane, width: int, height: int):
+    """Edge-replicate a (height, width) float plane out to 8-multiple
+    dimensions — the shared MCU padding for every encode path."""
+    import numpy as np
+
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:height, :width] = plane
+    padded[height:, :width] = padded[height - 1: height, :width]
+    padded[:, width:] = padded[:, width - 1: width]
+    return padded
+
+
+def _encode_block(bw, block, qmat, dc_codes, ac_codes, prev_dc, c):
+    """FDCT + quantize + Huffman-code one level-shifted 8x8 block into
+    ``bw``; returns the block's quantized DC (the next predictor)."""
+    import numpy as np
+
+    coef = c @ block @ c.T
+    q = np.round(coef / qmat).astype(np.int64)
+    zz = q.reshape(64)[_ZIGZAG]
+    # DC
+    size, mag = _mag_bits(int(zz[0]) - prev_dc)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(mag, size)
+    # AC: (run, size) pairs with ZRL and EOB
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        size, mag = _mag_bits(v)
+        acode, alen = ac_codes[(run << 4) | size]
+        bw.write(acode, alen)
+        bw.write(mag, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        bw.write(ec, el)
+    return int(zz[0])
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, 2 + len(payload)) + payload
+
+
 def encode_jpeg_gray(
     pixels: bytes,
     width: int,
@@ -409,11 +522,8 @@ def encode_jpeg_gray(
     qt = _scaled_qt(quality)  # natural (row-major) order
     qmat = np.array(qt, dtype=np.float64).reshape(8, 8)
     img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:height, :width] = img
-    padded[height:, :width] = img[-1:, :]  # edge-replicate pad
-    padded[:, width:] = padded[:, width - 1: width]
+    padded = _pad_plane(img, width, height)
+    ph, pw = padded.shape
     c = _dct_mat()
 
     dc_codes, ac_codes = _std_codes()
@@ -427,54 +537,126 @@ def encode_jpeg_gray(
                 rst_n += 1
                 prev_dc = 0
             mcu += 1
-            block = padded[by: by + 8, bx: bx + 8] - 128.0
-            coef = c @ block @ c.T
-            q = np.round(coef / qmat).astype(np.int64)
-            zz = q.reshape(64)[_ZIGZAG]
-            # DC
-            size, mag = _mag_bits(int(zz[0]) - prev_dc)
-            prev_dc = int(zz[0])
-            code, length = dc_codes[size]
-            bw.write(code, length)
-            if size:
-                bw.write(mag, size)
-            # AC: (run, size) pairs with ZRL and EOB
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                size, mag = _mag_bits(v)
-                acode, alen = ac_codes[(run << 4) | size]
-                bw.write(acode, alen)
-                bw.write(mag, size)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                bw.write(ec, el)
+            prev_dc = _encode_block(
+                bw,
+                padded[by: by + 8, bx: bx + 8] - 128.0,
+                qmat, dc_codes, ac_codes, prev_dc, c,
+            )
     bw.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, 2 + len(payload)) + payload
-
     # DQT entries are serialized in ZIGZAG order per the spec.
-    dqt = seg(0xDB, bytes([0]) + bytes(qt[i] for i in _ZIGZAG))
-    sof = seg(
+    dqt = _jpeg_seg(0xDB, bytes([0]) + bytes(qt[i] for i in _ZIGZAG))
+    sof = _jpeg_seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
     )
-    dht = seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)) + seg(
-        0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
-    )
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dri = (
-        seg(0xDD, struct.pack(">H", restart_interval))
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+        + bytes(bw.out) + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_rgb(
+    pixels: bytes,
+    width: int,
+    height: int,
+    quality: int = 90,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode row-major interleaved 8-bit RGB as a baseline 4:4:4
+    color JFIF JPEG (r11 VERDICT item 8: retires the multi-component
+    codec boundary for the most common real-world shape).
+
+    Pipeline: BT.601 full-range RGB -> YCbCr, then per MCU one 8x8
+    block per component interleaved in SOF order — Y against the
+    Annex K luminance tables (DQT slot 0 / DHT class 0), Cb and Cr
+    against the Annex K chrominance tables (slot 1 / class 1), each
+    component with its own DC predictor; ``restart_interval`` resets
+    all three predictors (ITU T.81 F.2.1.3.1). 4:4:4 keeps every
+    plane full-resolution, so the decoder needs no upsampling path."""
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise ValueError(
+            f"expected {width * height * 3} RGB bytes, got {len(pixels)}"
+        )
+    if width == 0 or height == 0:
+        raise ValueError("JPEG cannot encode an empty image")
+    rgb = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qt_l = _scaled_qt(quality)
+    qt_c = _scaled_qt(quality, base=_JPEG_STD_CHROMA_QT)
+    qm_l = np.array(qt_l, dtype=np.float64).reshape(8, 8)
+    qm_c = np.array(qt_c, dtype=np.float64).reshape(8, 8)
+    qmats = (qm_l, qm_c, qm_c)
+    dc_l, ac_l = _std_codes()
+    dc_c, ac_c = _std_chroma_codes()
+    tabs = ((dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c))
+    planes = [_pad_plane(p, width, height) for p in (y, cb, cr)]
+    ph, pw = planes[0].shape
+    c = _dct_mat()
+
+    bw = _BitWriter()
+    prev, mcu, rst_n = [0, 0, 0], 0, 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst_n % 8])
+                rst_n += 1
+                prev = [0, 0, 0]
+            mcu += 1
+            for ci in range(3):
+                dc_codes, ac_codes = tabs[ci]
+                prev[ci] = _encode_block(
+                    bw,
+                    planes[ci][by: by + 8, bx: bx + 8] - 128.0,
+                    qmats[ci], dc_codes, ac_codes, prev[ci], c,
+                )
+    bw.flush()
+
+    dqt = _jpeg_seg(
+        0xDB, bytes([0]) + bytes(qt_l[i] for i in _ZIGZAG)
+    ) + _jpeg_seg(0xDB, bytes([1]) + bytes(qt_c[i] for i in _ZIGZAG))
+    sof = _jpeg_seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        _jpeg_seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _jpeg_seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _jpeg_seg(
+            0xC4,
+            bytes([0x01]) + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS),
+        )
+        + _jpeg_seg(
+            0xC4,
+            bytes([0x11]) + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
+        )
+    )
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
         if restart_interval
         else b""
     )
@@ -573,13 +755,19 @@ def _extend(v: int, size: int) -> int:
     return v - (1 << size) + 1 if size and v < (1 << (size - 1)) else v
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG -> (width, height, pixels).
+def _decode_jpeg_planes(data: bytes):
+    """Shared baseline-JPEG decode core -> (width, height, planes).
 
-    Generic baseline decoder: parses DQT/DHT/SOF0/SOS/DRI from the
-    file, unstuffs 0xFF00, honors restart markers. Progressive (SOF2),
-    arithmetic coding, and multi-component (color) streams raise
-    ``NotImplementedError`` naming the missing piece."""
+    Parses DQT/DHT/SOF0/SOS/DRI generically, unstuffs 0xFF00, honors
+    restart markers, and entropy-decodes an interleaved baseline scan
+    of 1 (grayscale) or 3 (4:4:4 color) components, each with its own
+    quant table, Huffman pair, and DC predictor. Returns the IDCT
+    output planes as float arrays cropped to (height, width) — the
+    public wrappers (:func:`decode_jpeg_gray`,
+    :func:`decode_jpeg_rgb`) own clipping and color conversion.
+    Progressive (SOF2), arithmetic coding, lossless, subsampled, and
+    other unsupported shapes raise ``NotImplementedError`` naming the
+    missing piece."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -589,7 +777,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     restart_interval = 0
-    comp_qt = dc_id = ac_id = None
+    comps: list[tuple[int, int]] = []  # (comp_id, qt_id) in SOF order
+    scan_ids: list[tuple[int, int]] = []  # (dc_id, ac_id) aligned to comps
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -654,71 +843,150 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
             precision, height, width, nf = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
-            if nf != 1:
+            if nf not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (color) JPEG not supported"
+                    f"{nf}-component JPEG not supported (1 gray / 3 color)"
                 )
-            sampling, comp_qt = payload[7], payload[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG not supported")
+            comps = []
+            for ci in range(nf):
+                cid, sampling, tq = payload[6 + 3 * ci: 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG not supported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
-            if payload[0] != 1:
-                raise NotImplementedError("multi-component scan")
-            dc_id, ac_id = payload[2] >> 4, payload[2] & 0xF
+            ns = payload[0]
+            if not comps or ns != len(comps):
+                raise NotImplementedError(
+                    "partial/multi-scan JPEG not supported (one "
+                    "interleaved scan covering every SOF component)"
+                )
+            by_cid = {}
+            for si in range(ns):
+                cid, ids = payload[1 + 2 * si], payload[2 + 2 * si]
+                by_cid[cid] = (ids >> 4, ids & 0xF)
+            try:
+                scan_ids = [by_cid[cid] for cid, _ in comps]
+            except KeyError as exc:
+                raise ValueError(
+                    f"SOS references unknown component {exc}"
+                ) from None
             pos = pos + 2 + length
             break
         pos += 2 + length
-    if width is None or dc_id is None:
+    if width is None or not scan_ids:
         raise ValueError("JPEG missing SOF/SOS")
-    if comp_qt not in qts:
-        raise ValueError("JPEG scan references missing DQT table")
-    if (0, dc_id) not in huff or (1, ac_id) not in huff:
-        raise ValueError("JPEG scan references missing DHT table")
+    for _, tq in comps:
+        if tq not in qts:
+            raise ValueError("JPEG scan references missing DQT table")
+    for dc_id, ac_id in scan_ids:
+        if (0, dc_id) not in huff or (1, ac_id) not in huff:
+            raise ValueError("JPEG scan references missing DHT table")
 
-    qmat = np.array(qts[comp_qt], dtype=np.float64)[
-        np.argsort(_ZIGZAG)
-    ].reshape(8, 8)
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
+    inv_zigzag = np.argsort(_ZIGZAG)
+    qmats = [
+        np.array(qts[tq], dtype=np.float64)[inv_zigzag].reshape(8, 8)
+        for _, tq in comps
+    ]
+    tabs = [(huff[(0, d)], huff[(1, a)]) for d, a in scan_ids]
     c = _dct_mat()
     bw, bh = -(-width // 8), -(-height // 8)
-    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    ncomp = len(comps)
+    planes = [
+        np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in range(ncomp)
+    ]
     br = _BitReader(data, pos)
-    prev_dc, mcu, rst_n = 0, 0, 0
+    prev_dc, mcu, rst_n = [0] * ncomp, 0, 0
     for by in range(bh):
         for bx in range(bw):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_and_expect_rst(rst_n)
                 rst_n += 1
-                prev_dc = 0
-            zz = np.zeros(64, dtype=np.float64)
-            size = _huff_decode(br, dc_tab)
-            diff = _extend(br.read_bits(size), size) if size else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _huff_decode(br, ac_tab)
-                run, size = sym >> 4, sym & 0xF
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient index overflow")
-                zz[k] = _extend(br.read_bits(size), size)
-                k += 1
-            block = np.zeros(64, dtype=np.float64)
-            block[_ZIGZAG] = zz
-            coef = block.reshape(8, 8) * qmat
-            pix = c.T @ coef @ c + 128.0
-            out[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = pix
+                prev_dc = [0] * ncomp  # ALL predictors reset (F.2.1.3.1)
+            # Interleaved MCU: one 8x8 block per component, SOF order.
+            for ci in range(ncomp):
+                dc_tab, ac_tab = tabs[ci]
+                zz = np.zeros(64, dtype=np.float64)
+                size = _huff_decode(br, dc_tab)
+                diff = _extend(br.read_bits(size), size) if size else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, ac_tab)
+                    run, size = sym >> 4, sym & 0xF
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError(
+                            "JPEG AC coefficient index overflow"
+                        )
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = zz
+                coef = block.reshape(8, 8) * qmats[ci]
+                pix = c.T @ coef @ c + 128.0
+                planes[ci][by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = pix
             mcu += 1
-    cropped = np.clip(np.round(out[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, [p[:height, :width] for p in planes]
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG -> (width, height, pixels).
+
+    Generic baseline decoder (shared core
+    :func:`_decode_jpeg_planes`): parses DQT/DHT/SOF0/SOS/DRI from
+    the file, unstuffs 0xFF00, honors restart markers. Progressive
+    (SOF2), arithmetic coding, and subsampled streams raise
+    ``NotImplementedError`` naming the missing piece; for 3-component
+    4:4:4 color files use :func:`decode_jpeg_rgb`."""
+    import numpy as np
+
+    width, height, planes = _decode_jpeg_planes(data)
+    if len(planes) != 1:
+        raise NotImplementedError(
+            "multi-component (color) JPEG: use decode_jpeg_rgb"
+        )
+    cropped = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return width, height, cropped.tobytes()
+
+
+def decode_jpeg_rgb(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline 4:4:4 color JPEG -> (width, height, rgb).
+
+    ``rgb`` is row-major interleaved R,G,B bytes. The three decoded
+    planes are JFIF YCbCr (BT.601 full-range); conversion back is the
+    standard R = Y + 1.402 Cr', G = Y - 0.344136 Cb' - 0.714136 Cr',
+    B = Y + 1.772 Cb' with Cb' = Cb - 128, Cr' = Cr - 128. Grayscale
+    (1-component) files decode too — the single plane is replicated
+    to R=G=B, matching how every viewer renders them."""
+    import numpy as np
+
+    width, height, planes = _decode_jpeg_planes(data)
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, np.repeat(g[..., None], 3, axis=2).tobytes()
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return width, height, out.tobytes()
 
 
 # --------------------------------------------------------------------------
@@ -997,6 +1265,45 @@ def jpeg_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
     return df.mapInPandas(check, JPEG_ROUNDTRIP_SCHEMA)
 
 
+def jpeg_color_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
+    """Color twin of :func:`jpeg_roundtrip_error`: each row carries
+    interleaved RGB in an ``rgb`` column (binary or int array,
+    3*width*height values); encode as baseline 4:4:4 JFIF, decode,
+    emit the max absolute error over all three channels. Same
+    one-mapInPandas-stage contract — payload bytes never shuffle;
+    ``n_pixels`` counts PIXELS (w*h), matching the shared schema."""
+
+    def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["rgb"]
+            ):
+                raw = _raw_gray(px)  # byte coercion is channel-agnostic
+                w, h = int(w), int(h)
+                _, _, dec = decode_jpeg_rgb(
+                    encode_jpeg_rgb(raw, w, h, quality=quality)
+                )
+                err = int(
+                    np.abs(
+                        np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                        - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    ).max()
+                )
+                rows.append((mid, w, h, w * h, err))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "max_abs_err",
+                ],
+            )
+
+    return df.mapInPandas(check, JPEG_ROUNDTRIP_SCHEMA)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage with REAL codecs, dispatching on payload magic:
     PNG -> pixel statistics (CRC-verified, inflated, un-filtered),
@@ -1022,9 +1329,21 @@ def decode_media(df: DataFrame) -> DataFrame:
                          min(px) if px else 0, max(px) if px else 0)
                     )
                 elif b[:2] == b"\xff\xd8":
-                    w, h, px = decode_jpeg_gray(b)
+                    # Grayscale decodes to one plane; 3-component
+                    # (4:4:4 color) files route to the RGB decoder and
+                    # report stats over the interleaved RGB bytes
+                    # under their own format tag, so gray-JPEG
+                    # consumers' numbers are unchanged.
+                    try:
+                        w, h, px = decode_jpeg_gray(b)
+                        fmt = "jpeg"
+                    except NotImplementedError as exc:
+                        if "decode_jpeg_rgb" not in str(exc):
+                            raise
+                        w, h, px = decode_jpeg_rgb(b)
+                        fmt = "jpeg_rgb"
                     rows.append(
-                        (mid, "jpeg", w, h, len(px), sum(px),
+                        (mid, fmt, w, h, len(px), sum(px),
                          min(px) if px else 0, max(px) if px else 0)
                     )
                 elif b[:4] == b"RIFF":

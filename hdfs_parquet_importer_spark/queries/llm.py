@@ -1145,6 +1145,89 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_roundtrip",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 9 AS BIGINT) AS width,
+       CAST(8 + doc_id % 7 AS BIGINT) AS height,
+       CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+       TRUE AS within_tol
+FROM documents ORDER BY media_id
+""",
+    doc="REAL 4:4:4 COLOR JPEG codec through the multimodal pipeline "
+    "(r11 VERDICT item 8 — retires the multi-component codec "
+    "boundary): deterministic per-doc smooth RGB gradients "
+    "(R = 20 + id%40 + 2x + 3y, G = 10 + (id%40)//2 + 3x + 2y, "
+    "B = 40 + id%20 + x + 4y; all <= 129, no wrap edges) -> "
+    "encode_jpeg_rgb (BT.601 RGB->YCbCr, Annex K luminance AND "
+    "chrominance tables, interleaved 3-blocks-per-MCU scan with "
+    "per-component DC predictors) -> decode_jpeg_rgb (generic "
+    "multi-component parse, per-component Huffman/dequant/IDCT, "
+    "YCbCr->RGB) -> per-image max abs channel error, all inside ONE "
+    "mapInPandas stage (payloads never shuffle). within_tol pins "
+    "max_abs_err <= 4, a fixed deterministic fact: the exhaustive "
+    "sweep of all lcm(9,7,40) = 2520 (width, height, values) classes "
+    "the formula can produce measured worst-case 3 at quality 90 "
+    "(tools/jpeg_color_sweep.py, r12). The oracle re-derives dims "
+    "and pixel counts and pins the bound TRUE; a regression in "
+    "either color table, the chroma Huffman pair, the interleave "
+    "order, or the YCbCr round-trip blows the bound and flips the "
+    "hash. Cites reference gap: the reference has no media codecs — "
+    "driver-mandated extension surface (operators/multimodal.py).",
+)
+def multimodal_jpeg_color_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import multimodal as M
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    gen = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
+        (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
+    ).withColumn(
+        "rgb",
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                (F.col("width") * F.col("height") * 3 - 1).cast("int"),
+            ),
+            lambda i: (
+                F.when(
+                    i % 3 == 0,
+                    F.lit(20)
+                    + F.col("media_id") % 40
+                    + (F.floor(i / 3) % F.col("width")) * 2
+                    + F.floor(F.floor(i / 3) / F.col("width")) * 3,
+                )
+                .when(
+                    i % 3 == 1,
+                    F.lit(10)
+                    + F.floor((F.col("media_id") % 40) / 2)
+                    + (F.floor(i / 3) % F.col("width")) * 3
+                    + F.floor(F.floor(i / 3) / F.col("width")) * 2,
+                )
+                .otherwise(
+                    F.lit(40)
+                    + F.col("media_id") % 20
+                    + F.floor(i / 3) % F.col("width")
+                    + F.floor(F.floor(i / 3) / F.col("width")) * 4
+                )
+            ).cast("int"),
+        ),
+    )
+    checked = M.jpeg_color_roundtrip_error(gen, quality=90)
+    return checked.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_pixels",
+        (F.col("max_abs_err") <= 4).alias("within_tol"),
+    ).orderBy("media_id")
+
+
+@register(
     "embedding_centroids",
     oracle="""
 SELECT label, d.dim AS dim, ROUND(AVG(embedding[d.dim]), 6) AS centroid

@@ -401,3 +401,83 @@ def test_jpeg_standalone_markers_skip_without_length():
     # EOI with no scan data still raises the named error.
     with pytest.raises(ValueError, match="no scan data"):
         M.decode_jpeg_gray(b"\xff\xd8\xff\xd9")
+
+
+def _rgb_gradient(w, h, seed=0):
+    out = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            out += bytes((
+                min(255, 30 + seed % 30 + 4 * xx),
+                min(255, 20 + 5 * yy),
+                max(0, min(255, 200 - 3 * xx - 2 * yy)),
+            ))
+    return bytes(out)
+
+
+def test_jpeg_color_roundtrip_error_bound():
+    """4:4:4 color roundtrip (r11 VERDICT item 8): RGB -> YCbCr ->
+    DCT/quant/Huffman -> decode -> RGB stays within a small error
+    bound on smooth gradients (chroma quant is coarser than luma, so
+    the bound is wider than gray's <=4)."""
+    import numpy as np
+
+    for w, h in [(8, 8), (9, 8), (17, 13), (1, 1), (24, 16)]:
+        rgb = _rgb_gradient(w, h, seed=w * h)
+        data = M.encode_jpeg_rgb(rgb, w, h, quality=92)
+        dw, dh, dec = M.decode_jpeg_rgb(data)
+        assert (dw, dh) == (w, h)
+        assert len(dec) == w * h * 3
+        err = np.abs(
+            np.frombuffer(dec, dtype=np.uint8).astype(int)
+            - np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        ).max()
+        assert err <= 8, f"{w}x{h}: max_abs_err {err}"
+
+
+def test_jpeg_color_restart_markers_decode_identically():
+    rgb = _rgb_gradient(24, 16, seed=5)
+    plain = M.decode_jpeg_rgb(M.encode_jpeg_rgb(rgb, 24, 16, quality=90))
+    for ri in (1, 2, 5):
+        with_rst = M.decode_jpeg_rgb(
+            M.encode_jpeg_rgb(rgb, 24, 16, quality=90, restart_interval=ri)
+        )
+        assert with_rst == plain
+
+
+def test_jpeg_color_gray_interop():
+    """decode_jpeg_rgb reads grayscale files (plane replicated to
+    R=G=B, the way every viewer renders them); decode_jpeg_gray on a
+    color file raises naming the right entry point."""
+    px = _gradient(16, 16)
+    gray_file = M.encode_jpeg_gray(px, 16, 16)
+    w, h, rgb = M.decode_jpeg_rgb(gray_file)
+    assert (w, h) == (16, 16) and len(rgb) == 16 * 16 * 3
+    _, _, g = M.decode_jpeg_gray(gray_file)
+    assert rgb[0::3] == g and rgb[1::3] == g and rgb[2::3] == g
+    color_file = M.encode_jpeg_rgb(_rgb_gradient(8, 8), 8, 8)
+    with pytest.raises(NotImplementedError, match="decode_jpeg_rgb"):
+        M.decode_jpeg_gray(color_file)
+
+
+def test_jpeg_color_rejects_subsampled_by_name():
+    data = bytearray(M.encode_jpeg_rgb(_rgb_gradient(8, 8), 8, 8))
+    i = bytes(data).find(b"\xff\xc0")
+    # SOF0 component 1 sampling byte: marker(2) + len(2) + P(1) +
+    # Y(2) + X(2) + Nf(1) + C1 id(1) -> sampling at offset i+11.
+    data[i + 11] = 0x22  # claim 4:2:0 luma sampling
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        M.decode_jpeg_rgb(bytes(data))
+
+
+def test_decode_media_dispatches_color_jpeg(spark):
+    rgb = _rgb_gradient(16, 12)
+    jpg = M.encode_jpeg_rgb(rgb, 16, 12, quality=95)
+    df = spark.createDataFrame(
+        [(11, jpg)], "media_id long, payload binary"
+    )
+    row = M.decode_media(df).collect()[0]
+    assert row["format"] == "jpeg_rgb"
+    assert (row["width"], row["height"]) == (16, 12)
+    assert row["n_values"] == 16 * 12 * 3
+    assert abs(row["value_sum"] - sum(rgb)) <= 8 * len(rgb)
