@@ -182,6 +182,13 @@ BRUTE_FORCE_OK = {
                              # join is a b-key equi-join
     "quality_classifier_filter",  # same classifier training prefix
                              # as quality_classifier_score
+    "eval_classifier_quality",  # same classifier training prefix
+                             # (1-row smoothing-totals + class-prior
+                             # broadcast cross joins) over the
+                             # planted-augmented corpus; planting is
+                             # a filter+projection union, the scoring
+                             # join a b-key equi-join, the eval a
+                             # single bounded aggregate
     "eval_dedup_recall",     # three 1-row aggregate broadcast cross
                              # joins (n_truth x n_found x n_hit x
                              # min-margin); the truth join is an md5
