@@ -1548,13 +1548,16 @@ def audio_energy(df: DataFrame) -> DataFrame:
 
 
 def image_dhash(df: DataFrame) -> DataFrame:
-    """Perceptual difference-hash over 9x8 grayscale PNG payloads:
+    """Perceptual difference-hash over 9x8 image payloads:
     bit (r, c) = pixel[r][c] < pixel[r][c+1], packed row-major into
     two 32-bit halves (rows 0-3 -> dhash_hi, rows 4-7 -> dhash_lo) so
     no value touches the sign bit of a 64-bit long.
 
-    Input rows are (media_id, payload) where payload is a 9x8 PNG —
-    normally the output of ``resize_image(df, 9, 8)``; other sizes
+    Input rows are (media_id, payload) where payload is a 9x8
+    grayscale PNG (normally the output of ``resize_image(df, 9, 8)``)
+    or a 9x8 JPEG — grayscale OR 4:4:4 color, whose LUMA plane is
+    hashed directly (dHash is defined over luminance; the Y plane of
+    the JPEG's own YCbCr is exactly that, no RGB detour). Other sizes
     raise. Near-duplicate images agree on most bits, identical
     gradients hash identically, so groupBy(dhash) is the image twin
     of text fingerprint dedup and hamming-band joins are the scale
@@ -1569,12 +1572,23 @@ def image_dhash(df: DataFrame) -> DataFrame:
     )
 
     def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             ids, his, los = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = decode_png_gray(bytes(payload))
+                b = bytes(payload)
+                if b[:2] == b"\xff\xd8":
+                    # JPEG: hash the luma plane (plane 0 is gray or Y).
+                    w, h, planes = _decode_jpeg_planes(b)
+                    px = (
+                        np.clip(np.round(planes[0]), 0, 255)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                else:
+                    w, h, px = decode_png_gray(b)
                 if (w, h) != (9, 8):
                     raise ValueError(
                         f"image_dhash: id {mid} is {w}x{h}, expected 9x8"

@@ -150,7 +150,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_source_overlap",       # mixing, r7
     "dedup_minhash_lsh",           # llm, r7
     "etl_cleanse",                 # etl_parity, r7
-    "eval_langid_confusion",       # llm, r7
+    # (P1) image_dhash gained a JPEG/color-luma input branch in r12
+    # (operators/multimodal.py) — PNG behavior is byte-identical, but
+    # a changed query never ships on a stale green; takes
+    # eval_langid_confusion's fill slot (llm keeps 8+ window reps;
+    # the displaced r7 green rolls to the r13 queue):
+    "multimodal_image_dhash_dedup",
     "events_rfm_segmentation",     # events, r7
     "func_try_arithmetic",         # functions, r7
     "graph_triangle_count",        # graphs, r7
@@ -165,20 +170,22 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # (a0) multimodal_jpeg_color_roundtrip (P3: registered r12 after this
 #     window froze — the registry's only never-windowed query once
 #     the r12 window seats its rows);
-# (a) all 34 remaining r7 greens (P4, drains r7 — the oldest cohort
-#     after r12 drains r6):
+# (a) all 35 remaining r7 greens (P4, drains r7 — the oldest cohort
+#     after r12 drains r6; eval_langid_confusion displaced from the
+#     r12 window by the image_dhash P1 seat rolls in here):
 #     agg_modern_surface, ann_cosine_topk, ann_ivf, ann_lsh_bucketed,
 #     dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
-#     etl_array_parse, func_collation_lcase, func_conditional,
-#     func_date_arith, func_explode_outer, func_nullsafe_eq,
-#     func_variant_parse, join_left_outer, mix_upsample_rare,
-#     multimodal_png_roundtrip, report_cohort_ltv, setop_union,
-#     source_xml_parse, sql_pipe_syntax, stat_bootstrap_ci,
-#     stat_cusum_drift, stat_gini_coefficient, stat_mann_whitney,
-#     text_boilerplate_blocks, text_df_top_terms, text_fingerprint,
-#     text_mean_token_df, text_perplexity_bigram, text_quality,
-#     window_first_last, window_ntile_global, window_rank_dense;
-# (b) 15 oldest-r8/r9 fills, family-spread, P5 reps first (tpch /
+#     etl_array_parse, eval_langid_confusion, func_collation_lcase,
+#     func_conditional, func_date_arith, func_explode_outer,
+#     func_nullsafe_eq, func_variant_parse, join_left_outer,
+#     mix_upsample_rare, multimodal_png_roundtrip, report_cohort_ltv,
+#     setop_union, source_xml_parse, sql_pipe_syntax,
+#     stat_bootstrap_ci, stat_cusum_drift, stat_gini_coefficient,
+#     stat_mann_whitney, text_boilerplate_blocks, text_df_top_terms,
+#     text_fingerprint, text_mean_token_df, text_perplexity_bigram,
+#     text_quality, window_first_last, window_ntile_global,
+#     window_rank_dense;
+# (b) 14 oldest-r8/r9 fills, family-spread, P5 reps first (tpch /
 #     subqueries / events have no rep in item a; pandas_surface's
 #     oldest green is r9 after pandas_grouped_regression seats r12):
 #     q10_returned_items (tpch rep), agg_percentiles (subqueries
@@ -186,8 +193,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     (pandas_surface rep, r9), dedup_exact, etl_date_enrich,
 #     join_broadcast_dim, window_moving_avg, agg_cube, text_langid,
 #     embedding_kmeans, multimodal_decode_stats,
-#     stat_chi2_independence, tokenize_bpe_encode, sample_systematic
-#     (the other 32 r8 greens roll to the r14 queue).
+#     stat_chi2_independence, tokenize_bpe_encode
+#     (the other 33 r8 greens roll to the r14 queue).
 
 
 def registry() -> dict[str, Query]:

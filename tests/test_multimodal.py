@@ -481,3 +481,26 @@ def test_decode_media_dispatches_color_jpeg(spark):
     assert (row["width"], row["height"]) == (16, 12)
     assert row["n_values"] == 16 * 12 * 3
     assert abs(row["value_sum"] - sum(rgb)) <= 8 * len(rgb)
+
+
+def test_image_dhash_jpeg_luma_path(spark):
+    """image_dhash hashes JPEG payloads too (r12): a strong 9x8
+    gradient produces the same dHash via the PNG path, the grayscale
+    JPEG path, and the COLOR JPEG path (luma plane) — lossy error
+    (<=4) cannot flip comparisons when adjacent pixels differ by 10."""
+    px = bytes(min(255, 10 * c + 5 * r) for r in range(8) for c in range(9))
+    png = M.encode_png_gray(px, 9, 8)
+    jpg_gray = M.encode_jpeg_gray(px, 9, 8, quality=95)
+    rgb = b"".join(bytes((v, v, v)) for v in px)
+    jpg_color = M.encode_jpeg_rgb(rgb, 9, 8, quality=95)
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg_gray), (3, jpg_color)],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in M.image_dhash(df).collect()}
+    assert (
+        rows[1].dhash_hi == rows[2].dhash_hi == rows[3].dhash_hi
+    ), rows
+    assert (
+        rows[1].dhash_lo == rows[2].dhash_lo == rows[3].dhash_lo
+    ), rows
