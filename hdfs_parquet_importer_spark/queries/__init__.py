@@ -148,7 +148,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # requires:
     "agg_distinct",                # relational, r7
     "corpus_source_overlap",       # mixing, r7
-    "dedup_minhash_lsh",           # llm, r7
+    # (P1) decode_media gained the jpeg_rgb dispatch branch in r12 —
+    # PNG/WAV/gray-JPEG stats are byte-identical, but a changed
+    # query never ships on a stale green; takes dedup_minhash_lsh's
+    # fill slot (llm keeps 8+ window reps; the displaced r7 green
+    # rolls to the r13 queue):
+    "multimodal_png_roundtrip",
     "etl_cleanse",                 # etl_parity, r7
     # (P1) image_dhash gained a JPEG/color-luma input branch in r12
     # (operators/multimodal.py) — PNG behavior is byte-identical, but
@@ -171,14 +176,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     window froze — the registry's only never-windowed query once
 #     the r12 window seats its rows);
 # (a) all 35 remaining r7 greens (P4, drains r7 — the oldest cohort
-#     after r12 drains r6; eval_langid_confusion displaced from the
-#     r12 window by the image_dhash P1 seat rolls in here):
+#     after r12 drains r6; eval_langid_confusion and
+#     dedup_minhash_lsh, displaced from the r12 window by the two
+#     multimodal P1 seats, roll in here):
 #     agg_modern_surface, ann_cosine_topk, ann_ivf, ann_lsh_bucketed,
-#     dedup_embedding_cosine, dedup_ngram_jaccard, dedup_simhash,
-#     etl_array_parse, eval_langid_confusion, func_collation_lcase,
-#     func_conditional, func_date_arith, func_explode_outer,
-#     func_nullsafe_eq, func_variant_parse, join_left_outer,
-#     mix_upsample_rare, multimodal_png_roundtrip, report_cohort_ltv,
+#     dedup_embedding_cosine, dedup_minhash_lsh, dedup_ngram_jaccard,
+#     dedup_simhash, etl_array_parse, eval_langid_confusion,
+#     func_collation_lcase, func_conditional, func_date_arith,
+#     func_explode_outer, func_nullsafe_eq, func_variant_parse,
+#     join_left_outer, mix_upsample_rare, report_cohort_ltv,
 #     setop_union, source_xml_parse, sql_pipe_syntax,
 #     stat_bootstrap_ci, stat_cusum_drift, stat_gini_coefficient,
 #     stat_mann_whitney, text_boilerplate_blocks, text_df_top_terms,
@@ -194,7 +200,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     join_broadcast_dim, window_moving_avg, agg_cube, text_langid,
 #     embedding_kmeans, multimodal_decode_stats,
 #     stat_chi2_independence, tokenize_bpe_encode
-#     (the other 33 r8 greens roll to the r14 queue).
+#     (the other 32 r8 greens roll to the r14 queue).
 
 
 def registry() -> dict[str, Query]:

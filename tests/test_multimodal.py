@@ -460,14 +460,59 @@ def test_jpeg_color_gray_interop():
         M.decode_jpeg_gray(color_file)
 
 
-def test_jpeg_color_rejects_subsampled_by_name():
+def test_jpeg_color_rejects_exotic_sampling_by_name():
+    """h, v in {1, 2} are SUPPORTED since r12 (4:4:4 / 4:2:2 / 4:2:0);
+    factors above 2 raise by name."""
     data = bytearray(M.encode_jpeg_rgb(_rgb_gradient(8, 8), 8, 8))
     i = bytes(data).find(b"\xff\xc0")
     # SOF0 component 1 sampling byte: marker(2) + len(2) + P(1) +
     # Y(2) + X(2) + Nf(1) + C1 id(1) -> sampling at offset i+11.
-    data[i + 11] = 0x22  # claim 4:2:0 luma sampling
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    data[i + 11] = 0x33  # claim 3x3 luma sampling
+    with pytest.raises(NotImplementedError, match="sampling factor"):
         M.decode_jpeg_rgb(bytes(data))
+
+
+def test_jpeg_420_roundtrip_error_bound():
+    """4:2:0 roundtrip (chroma 2x2 box-averaged then replicated back):
+    wider bound than 4:4:4 — subsampling averages chroma across
+    pixels — but still tight on smooth gradients."""
+    import numpy as np
+
+    for w, h in [(16, 16), (24, 16), (17, 13), (9, 8), (1, 1), (33, 31)]:
+        rgb = _rgb_gradient(w, h, seed=w + h)
+        data = M.encode_jpeg_rgb(rgb, w, h, quality=92, subsampling="420")
+        dw, dh, dec = M.decode_jpeg_rgb(data)
+        assert (dw, dh) == (w, h)
+        err = np.abs(
+            np.frombuffer(dec, dtype=np.uint8).astype(int)
+            - np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        ).max()
+        assert err <= 12, f"{w}x{h}: max_abs_err {err}"
+    # 4:2:0 files are materially smaller than 4:4:4 at equal quality.
+    rgb = _rgb_gradient(32, 32)
+    assert len(
+        M.encode_jpeg_rgb(rgb, 32, 32, quality=92, subsampling="420")
+    ) < len(M.encode_jpeg_rgb(rgb, 32, 32, quality=92))
+
+
+def test_jpeg_420_restart_markers_decode_identically():
+    rgb = _rgb_gradient(32, 32, seed=9)
+    plain = M.decode_jpeg_rgb(
+        M.encode_jpeg_rgb(rgb, 32, 32, quality=90, subsampling="420")
+    )
+    for ri in (1, 3):
+        with_rst = M.decode_jpeg_rgb(
+            M.encode_jpeg_rgb(
+                rgb, 32, 32, quality=90,
+                subsampling="420", restart_interval=ri,
+            )
+        )
+        assert with_rst == plain
+
+
+def test_jpeg_encode_rejects_bad_subsampling():
+    with pytest.raises(ValueError, match="subsampling"):
+        M.encode_jpeg_rgb(_rgb_gradient(8, 8), 8, 8, subsampling="422")
 
 
 def test_decode_media_dispatches_color_jpeg(spark):
