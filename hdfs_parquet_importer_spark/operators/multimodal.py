@@ -1350,8 +1350,12 @@ def jpeg_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
 def jpeg_color_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
     """Color twin of :func:`jpeg_roundtrip_error`: each row carries
     interleaved RGB in an ``rgb`` column (binary or int array,
-    3*width*height values); encode as baseline 4:4:4 JFIF, decode,
-    emit the max absolute error over all three channels. Same
+    3*width*height values); encode as baseline color JFIF, decode,
+    emit the max absolute error over all three channels. If the input
+    carries a ``subsampling`` column ('444' or '420') each row is
+    encoded with its own mode — 4:4:4 and 4:2:0 exercise DIFFERENT
+    MCU interleave and chroma paths, so a mixed-mode frame covers
+    both in one pass; without the column every row is 4:4:4. Same
     one-mapInPandas-stage contract — payload bytes never shuffle;
     ``n_pixels`` counts PIXELS (w*h), matching the shared schema."""
 
@@ -1361,13 +1365,21 @@ def jpeg_color_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for mid, w, h, px in zip(
-                pdf["media_id"], pdf["width"], pdf["height"], pdf["rgb"]
+            subs = (
+                pdf["subsampling"]
+                if "subsampling" in pdf.columns
+                else ["444"] * len(pdf)
+            )
+            for mid, w, h, px, sub in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["rgb"],
+                subs,
             ):
                 raw = _raw_gray(px)  # byte coercion is channel-agnostic
                 w, h = int(w), int(h)
                 _, _, dec = decode_jpeg_rgb(
-                    encode_jpeg_rgb(raw, w, h, quality=quality)
+                    encode_jpeg_rgb(
+                        raw, w, h, quality=quality, subsampling=str(sub)
+                    )
                 )
                 err = int(
                     np.abs(

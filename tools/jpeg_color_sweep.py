@@ -8,8 +8,10 @@ The query generates per-doc RGB gradients with
 so the (width, height, pixel-values) class of any doc_id is
 determined by id mod lcm(9, 7, 40) = 2520. Sweeping all 2520 classes
 measures the exact worst-case roundtrip error at the query's quality
-setting — the fixed deterministic fact the oracle pins (same
-protocol as the r11 grayscale sweep)."""
+setting, for BOTH sampling modes the query alternates between —
+the fixed deterministic facts the oracle pins (same protocol as the
+r11 grayscale sweep): at quality 90, worst 3 for 4:4:4 and 5 for
+4:2:0 (r12)."""
 import sys
 
 import numpy as np
@@ -34,21 +36,25 @@ def rgb_for(doc_id: int) -> tuple[int, int, bytes]:
 
 def main() -> int:
     quality = int(sys.argv[1]) if len(sys.argv) > 1 else 90
-    worst, worst_id = -1, -1
-    for did in range(2520):
-        w, h, rgb = rgb_for(did)
-        _, _, dec = M.decode_jpeg_rgb(
-            M.encode_jpeg_rgb(rgb, w, h, quality=quality)
+    for sub in ("444", "420"):
+        worst, worst_id = -1, -1
+        for did in range(2520):
+            w, h, rgb = rgb_for(did)
+            _, _, dec = M.decode_jpeg_rgb(
+                M.encode_jpeg_rgb(rgb, w, h, quality=quality, subsampling=sub)
+            )
+            err = int(
+                np.abs(
+                    np.frombuffer(dec, np.uint8).astype(np.int64)
+                    - np.frombuffer(rgb, np.uint8).astype(np.int64)
+                ).max()
+            )
+            if err > worst:
+                worst, worst_id = err, did
+        print(
+            f"quality={quality} subsampling={sub}: "
+            f"worst max_abs_err={worst} at class {worst_id}"
         )
-        err = int(
-            np.abs(
-                np.frombuffer(dec, np.uint8).astype(np.int64)
-                - np.frombuffer(rgb, np.uint8).astype(np.int64)
-            ).max()
-        )
-        if err > worst:
-            worst, worst_id = err, did
-    print(f"quality={quality}: worst max_abs_err={worst} at class {worst_id}")
     return 0
 
 
