@@ -35,6 +35,16 @@ def interval_point_join(
     Both inputs keep all their columns; the helper bucket column is
     dropped from the output. Intervals must satisfy ``lo <= hi``.
     """
+    if how != "inner":
+        # The exact range check runs as a post-join FILTER, which
+        # silently deletes an outer join's unmatched (all-null) rows —
+        # the survivors would be exactly the inner result mislabeled
+        # as outer. Raise rather than shift semantics (the repo-wide
+        # knob convention); an outer variant needs the range predicate
+        # inside the join condition.
+        raise NotImplementedError(
+            f"interval_point_join supports how='inner' only, got {how!r}"
+        )
     w = float(bucket_width)
     p = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / F.lit(w)).cast("long")

@@ -230,3 +230,22 @@ def test_salted_agg_rejects_non_mergeable(spark, sf_dir):
         salted_agg(
             li, "l_returnflag", {"d": F.count_distinct(F.col("l_partkey"))}
         )
+
+
+def test_interval_point_join_rejects_outer(spark):
+    """how != 'inner' would mislabel the inner result as outer (the
+    exact range re-check is a post-join filter that deletes unmatched
+    all-null rows) — raise by name instead (r12 review)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdfs_parquet_importer_spark.operators.rangejoin import (
+        interval_point_join,
+    )
+
+    pts = spark.range(3).select(F.col("id"), (F.col("id") * 10.0).alias("v"))
+    iv = spark.range(2).select(
+        (F.col("id") * 100.0).alias("lo"), (F.col("id") * 100.0 + 5).alias("hi")
+    )
+    with pytest.raises(NotImplementedError, match="inner"):
+        interval_point_join(pts, iv, "v", "lo", "hi", 50.0, how="left")
