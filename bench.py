@@ -127,6 +127,9 @@ HEADLINE = [
     # r12: SemDeDup true-near-dup recall eval (planted perturbation
     # pairs, dual-bits bucket collision) — benched from birth.
     "eval_semdedup_recall",
+    # r12: split-leakage audit (truth-pair CC + dual-keyed 90/5/5
+    # splits) — benched from birth.
+    "split_leakage_audit",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -2204,3 +2204,168 @@ def eval_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_margin_planted",
         "avg_margin_clean",
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+WITH RECURSIVE truth AS (
+  SELECT DISTINCT LEAST(d.doc_id, s.doc_id) AS id_a,
+                  GREATEST(d.doc_id, s.doc_id) AS id_b
+  FROM documents d JOIN documents s
+    ON md5(d.text) = md5(s.text || ' dup') AND d.doc_id <> s.doc_id),
+sym AS (SELECT id_a AS u, id_b AS v FROM truth
+        UNION SELECT id_b, id_a FROM truth),
+reach AS (
+  SELECT u AS node, u AS lab FROM sym
+  UNION
+  SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node),
+cc AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+canon AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN cc c ON c.node = d.doc_id),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+                THEN 'val'
+              ELSE 'test' END AS naive_split,
+         CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 4)
+                < 'e666' THEN 'train'
+              WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 4)
+                < 'f333' THEN 'val'
+              ELSE 'test' END AS cluster_split
+  FROM canon),
+pl AS (
+  SELECT a.naive_split AS na, b.naive_split AS nb,
+         a.cluster_split AS ca, b.cluster_split AS cb
+  FROM truth t
+  JOIN lab a ON a.doc_id = t.id_a
+  JOIN lab b ON b.doc_id = t.id_b),
+docs_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(SUM(CASE WHEN naive_split = 'train' THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 6) AS train_frac_naive,
+         ROUND(SUM(CASE WHEN cluster_split = 'train' THEN 1 ELSE 0 END)
+               * 1.0 / COUNT(*), 6) AS train_frac_cluster
+  FROM lab),
+pair_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_naive,
+         CAST(SUM(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT)
+           AS leaked_cluster
+  FROM pl)
+SELECT n_docs, train_frac_naive, train_frac_cluster,
+       n_pairs, leaked_naive, leaked_cluster
+FROM docs_agg, pair_agg
+""",
+    doc="Train/test LEAKAGE audit of split keying — the contamination "
+    "mode corpus_train_eval_split's per-doc hash coin cannot prevent: "
+    "a near-duplicate pair straddling train and test leaks eval "
+    "content into training (the dedup-before-split rule of C4/Pile-"
+    "style pipelines). Recovers the planted-dup truth pairs (the "
+    "eval_dedup_recall md5 join), closes them transitively with the "
+    "shipped connected_components operator (dup-of-dup chains form "
+    "real multi-node clusters), assigns every doc a canonical_id "
+    "(component min; docs outside any pair are their own), and "
+    "compares two 90/5/5 splits: NAIVE keyed on doc_id vs "
+    "CLUSTER-keyed on canonical_id. Reports straddling truth pairs "
+    "under each — leaked_cluster is structurally ZERO (both members "
+    "share a canonical, hence a coin, hence a split; the row proves "
+    "the implementation delivers the guarantee) while leaked_naive "
+    "sits near the 2*p*(1-p) expectation (~18% of pairs; measured "
+    "at the gate SF: 5 of 24 pairs leak naive, 0 leak cluster-keyed, "
+    "train fraction 0.892 vs 0.896), plus the "
+    "train fractions under both keyings (cluster keying must not "
+    "distort the 90/5/5 proportions). SCALE: the truth join shuffles "
+    "md5 keys; CC runs on the pair set (~5% of docs, chain-depth "
+    "rounds); split assignment is a pure projection; the two 1-row "
+    "aggregates broadcast-cross into the summary row. ORACLE: truth, "
+    "transitive closure (recursive CTE, min-label), both splits, and "
+    "both leak counts replayed rule-identically.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    dup_side = docs.select("doc_id", F.md5("text").alias("k"))
+    src_side = docs.select(
+        F.col("doc_id").alias("src_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+    )
+    pairs = (
+        dup_side.join(src_side, "k")
+        .filter(F.col("doc_id") != F.col("src_id"))
+        .select(
+            F.least("doc_id", "src_id").alias("id_a"),
+            F.greatest("doc_id", "src_id").alias("id_b"),
+        )
+        .distinct()
+        # Read by CC (which re-reads per round) and the two pair-side
+        # label joins below.
+        .localCheckpoint(eager=True)
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    canon = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+
+    def split3(coin):
+        return (
+            F.when(coin < frac_threshold(0.9), "train")
+            .when(coin < frac_threshold(0.95), "val")
+            .otherwise("test")
+        )
+
+    lab = canon.select(
+        "doc_id",
+        split3(hash_coin(F.col("doc_id"))).alias("naive_split"),
+        split3(hash_coin(F.col("canonical_id"))).alias("cluster_split"),
+        # Read three times (doc rollup + both pair sides).
+    ).localCheckpoint(eager=True)
+    docs_agg = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum((F.col("naive_split") == "train").cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("train_frac_naive"),
+        F.round(
+            F.sum((F.col("cluster_split") == "train").cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("train_frac_cluster"),
+    )
+    la = lab.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("naive_split").alias("na"),
+        F.col("cluster_split").alias("ca"),
+    )
+    lb = lab.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("naive_split").alias("nb"),
+        F.col("cluster_split").alias("cb"),
+    )
+    pair_agg = (
+        pairs.join(la, "id_a")
+        .join(lb, "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("na") != F.col("nb")).cast("int"))
+            .cast("long")
+            .alias("leaked_naive"),
+            F.sum((F.col("ca") != F.col("cb")).cast("int"))
+            .cast("long")
+            .alias("leaked_cluster"),
+        )
+    )
+    return docs_agg.crossJoin(F.broadcast(pair_agg))

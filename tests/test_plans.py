@@ -189,6 +189,10 @@ BRUTE_FORCE_OK = {
                              # a filter+projection union, the scoring
                              # join a b-key equi-join, the eval a
                              # single bounded aggregate
+    "split_leakage_audit",   # 1-row docs-rollup x 1-row pair-leak
+                             # aggregate broadcast cross join into the
+                             # summary row; the truth join is an md5
+                             # equi-join and CC runs pre-checkpointed
     "eval_dedup_recall",     # three 1-row aggregate broadcast cross
                              # joins (n_truth x n_found x n_hit x
                              # min-margin); the truth join is an md5
