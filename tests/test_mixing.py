@@ -166,3 +166,31 @@ def test_kneser_ney_hand_computed(spark, tmp_path):
         "a c": (1, round((1 - 0.75) / 3 + 0.75 * 2 / 3 * (1 / 3), 6)),
     }
     assert got == want
+
+
+def test_split_leakage_audit_invariants(spark, sf_dir):
+    """Structural invariants of the r12 leakage audit: cluster keying
+    leaks ZERO pairs by construction (shared canonical -> shared coin
+    -> shared split), planted pairs exist at every SF, and keying on
+    the canonical must not distort the 90/5/5 proportions."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    row = registry()["split_leakage_audit"].fn(spark, sf_dir).collect()[0]
+    assert row.n_pairs > 0
+    assert row.leaked_cluster == 0
+    assert 0 <= row.leaked_naive <= row.n_pairs
+    assert abs(row.train_frac_naive - 0.9) < 0.1
+    assert abs(row.train_frac_cluster - 0.9) < 0.1
+
+
+def test_eval_classifier_quality_separation(spark, sf_dir):
+    """The NB gate must separate planted boilerplate spam from clean
+    docs: planted avg margin strictly below clean avg margin, and the
+    planted set mostly rejected even at the smallest SF."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    row = registry()["eval_classifier_quality"].fn(spark, sf_dir).collect()[0]
+    assert row.n_planted > 0
+    assert row.avg_margin_planted < row.avg_margin_clean
+    assert row.reject_recall >= 0.9
+    assert row.n_hit <= row.n_rejected

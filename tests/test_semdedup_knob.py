@@ -109,3 +109,16 @@ def test_semdedup_pair_space_drops_as_knob_predicts(spark, sf_dir):
 
     p3, p6 = pairs(3), pairs(6)
     assert p6 * 4 <= p3, (p3, p6)
+
+
+def test_eval_semdedup_recall_nested_prefix(spark, sf_dir):
+    """srp buckets nest (6-bit bucket equality implies 3-bit), so the
+    planted-pair hit count can only shrink as bits grow; planted
+    cosines must sit far above the 0.35 edge threshold."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    row = registry()["eval_semdedup_recall"].fn(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.hit_6 <= row.hit_3 <= row.n_truth
+    assert row.min_pair_cosine > 0.99
+    assert 0.0 <= row.recall_6 <= row.recall_3 <= 1.0
