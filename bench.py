@@ -130,6 +130,9 @@ HEADLINE = [
     # r12: split-leakage audit (truth-pair CC + dual-keyed 90/5/5
     # splits) — benched from birth.
     "split_leakage_audit",
+    # r12: SimHash single-edit sensitivity eval (planted pairs,
+    # semi-joined fingerprints) — benched from birth.
+    "eval_simhash_recall",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -172,10 +172,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 # r13 QUEUE (committed at r12 close so the next rotation is
 # mechanical; cohort ages below are post-r12):
-# (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall, and
-#     split_leakage_audit (P3: all registered r12 after this window
-#     froze — the registry's only never-windowed queries once the
-#     r12 window seats its rows), registration order;
+# (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall,
+#     split_leakage_audit, and eval_simhash_recall (P3: all
+#     registered r12 after this window froze — the registry's only
+#     never-windowed queries once the r12 window seats its rows),
+#     registration order;
 # (a) all 35 remaining r7 greens (P4, drains r7 — the oldest cohort
 #     after r12 drains r6; eval_langid_confusion and
 #     dedup_minhash_lsh, displaced from the r12 window by the two
@@ -192,15 +193,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     text_fingerprint, text_mean_token_df, text_perplexity_bigram,
 #     text_quality, window_first_last, window_ntile_global,
 #     window_rank_dense;
-# (b) 12 oldest-r8/r9 fills, family-spread, P5 reps first (tpch /
+# (b) 11 oldest-r8/r9 fills, family-spread, P5 reps first (tpch /
 #     subqueries / events have no rep in item a; pandas_surface's
 #     oldest green is r9 after pandas_grouped_regression seats r12):
 #     q10_returned_items (tpch rep), agg_percentiles (subqueries
 #     rep), events_funnel (events rep), arrow_grouped_stats
 #     (pandas_surface rep, r9), dedup_exact, etl_date_enrich,
 #     join_broadcast_dim, window_moving_avg, agg_cube, text_langid,
-#     embedding_kmeans, multimodal_decode_stats
-#     (the other 34 r8 greens roll to the r14 queue).
+#     embedding_kmeans
+#     (the other 35 r8 greens roll to the r14 queue).
 
 
 def registry() -> dict[str, Query]:

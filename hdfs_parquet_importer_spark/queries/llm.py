@@ -3524,3 +3524,97 @@ def eval_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("same6").cast("int")) / F.count(F.lit(1)), 6
         ).alias("recall_6"),
     )
+
+
+@register(
+    "eval_simhash_recall",
+    oracle="""
+WITH truth AS (
+  SELECT DISTINCT LEAST(d.doc_id, s.doc_id) AS id_a,
+                  GREATEST(d.doc_id, s.doc_id) AS id_b
+  FROM documents d JOIN documents s
+    ON md5(d.text) = md5(s.text || ' dup') AND d.doc_id <> s.doc_id),
+pinned(n_hit, avg_hamming, max_hamming) AS (
+  VALUES (CAST(4 AS BIGINT), 5.625, CAST(11 AS BIGINT)))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       p.n_hit,
+       ROUND(p.n_hit * 1.0
+             / (SELECT COUNT(*) FROM truth), 6) AS recall,
+       p.avg_hamming, p.max_hamming
+FROM pinned p
+""",
+    doc="SimHash-recall EVAL against the planted-dup truth — the "
+    "measurement that completes the dedup-eval matrix (exact: "
+    "trivially 1.0; MinHash: eval_dedup_recall measured 1.0; "
+    "SemDeDup: eval_semdedup_recall 0.96/0.94) and documents "
+    "SimHash's HONEST boundary: a single appended token (' dup') "
+    "perturbs the +-1 vote of EVERY fingerprint bit, and on this "
+    "corpus's short documents (~40 tokens, narrow vote margins) it "
+    "flips 5.6 bits on average — so the shipped Hamming<=3 banding "
+    "detects only 4 of 24 planted pairs (recall 0.17, max distance "
+    "11, min 0 where the token was already present). The SAME truth "
+    "set is fully recovered by MinHash-LSH (eval_dedup_recall: "
+    "recall 1.0): vote margins scale with document length, so "
+    "SimHash is the right tool for LONG near-identical documents "
+    "(its classic web-page use), while shingle-based MinHash "
+    "dominates for short-document single-edit dups — route by "
+    "length, do not raise max_hamming (the 4-chunk pigeonhole caps "
+    "at 3; re-banding to catch distance 11 would admit ~anything). "
+    "SCALE: fingerprints are computed ONLY for truth-pair members "
+    "(a left-semi join, ~2x planted count), per-pair work is one "
+    "XOR/bit_count; three 1-row aggregates assemble the row. "
+    "ORACLE: n_truth re-derived independently via the md5 join; the "
+    "hamming-side values are PINNED FIXED FACTS at the gate SF "
+    "(deterministic xxhash64 fingerprints, same contract as "
+    "eval_ann_recall's pinned per-index hits) — a fingerprint or "
+    "banding regression moves them and flips the gate. Pins hold at "
+    "sf0.01 only; at other SFs the Spark side still reports true "
+    "values.",
+)
+def eval_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    dup_side = docs.select("doc_id", F.md5("text").alias("k"))
+    src_side = docs.select(
+        F.col("doc_id").alias("src_id"),
+        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+    )
+    truth = (
+        dup_side.join(src_side, "k")
+        .filter(F.col("doc_id") != F.col("src_id"))
+        .select(
+            F.least("doc_id", "src_id").alias("id_a"),
+            F.greatest("doc_id", "src_id").alias("id_b"),
+        )
+        .distinct()
+        # Read three times (member semi-join + both fingerprint
+        # joins); tiny (~5% of docs).
+        .localCheckpoint(eager=True)
+    )
+    members = (
+        truth.select(F.col("id_a").alias("doc_id"))
+        .union(truth.select(F.col("id_b")))
+        .distinct()
+    )
+    fp = D.simhash_fingerprints(
+        docs.join(members, "doc_id", "left_semi"), "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    fa = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fa"))
+    fb = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fb"))
+    h = (
+        truth.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming")
+        )
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.sum((F.col("hamming") <= 3).cast("int")).cast("long").alias("n_hit"),
+        F.round(
+            F.sum((F.col("hamming") <= 3).cast("int")) / F.count(F.lit(1)), 6
+        ).alias("recall"),
+        F.round(F.avg("hamming"), 6).alias("avg_hamming"),
+        F.max("hamming").cast("long").alias("max_hamming"),
+    )

@@ -201,3 +201,19 @@ def test_semdedup_matches_numpy_ground_truth(spark, sf_dir):
     }
     assert got == {n: (c, n != c) for n, c in expect.items()}
     assert edges, "corpus should contain within-bucket near-dups"
+
+
+def test_eval_simhash_recall_bounds(spark, sf_dir):
+    """Structural invariants of the r12 simhash eval: planted pairs
+    exist, hits bounded by truth, identical-token-set pairs (hamming
+    0) stay detected, and the short-doc boundary the query documents
+    (avg flip count well above the banding threshold) holds at every
+    SF of this corpus family."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    row = registry()["eval_simhash_recall"].fn(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert 0 <= row.n_hit <= row.n_truth
+    assert 0.0 <= row.recall <= 1.0
+    assert row.avg_hamming > 3  # the documented short-doc boundary
+    assert row.max_hamming <= 63
