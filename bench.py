@@ -133,6 +133,15 @@ HEADLINE = [
     # r12: SimHash single-edit sensitivity eval (planted pairs,
     # semi-joined fingerprints) — benched from birth.
     "eval_simhash_recall",
+    # r12 second pass: duplicated-span REMOVAL (the Lee et al.
+    # transformation behind dedup_substring_span's statistic — 8-gram
+    # coverage sets + per-doc index-filter reconstruction) — benched
+    # from birth.
+    "dedup_span_removal",
+    # r12 second pass: dimension-truncation retrieval eval (three
+    # salted brute-force top-k passes, 16/32-dim scan-side slices) —
+    # benched from birth.
+    "eval_dim_truncation_recall",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -173,10 +173,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # r13 QUEUE (committed at r12 close so the next rotation is
 # mechanical; cohort ages below are post-r12):
 # (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall,
-#     split_leakage_audit, and eval_simhash_recall (P3: all
-#     registered r12 after this window froze — the registry's only
-#     never-windowed queries once the r12 window seats its rows),
-#     registration order;
+#     split_leakage_audit, eval_simhash_recall, dedup_span_removal,
+#     and eval_dim_truncation_recall (P3: all registered r12 after
+#     this window froze — the registry's only never-windowed queries
+#     once the r12 window seats its rows; the last two are the r12
+#     second-pass births), registration order;
 # (a) all 35 remaining r7 greens (P4, drains r7 — the oldest cohort
 #     after r12 drains r6; eval_langid_confusion and
 #     dedup_minhash_lsh, displaced from the r12 window by the two
@@ -199,9 +200,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     q10_returned_items (tpch rep), agg_percentiles (subqueries
 #     rep), events_funnel (events rep), arrow_grouped_stats
 #     (pandas_surface rep, r9), dedup_exact, etl_date_enrich,
-#     join_broadcast_dim, window_moving_avg, agg_cube, text_langid,
-#     embedding_kmeans
-#     (the other 35 r8 greens roll to the r14 queue).
+#     join_broadcast_dim, window_moving_avg, agg_cube
+#     (text_langid and embedding_kmeans, displaced by the two
+#     second-pass a0 births, roll to the r14 queue with the other
+#     35 r8 greens).
 
 
 def registry() -> dict[str, Query]:

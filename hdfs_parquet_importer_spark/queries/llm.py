@@ -3527,6 +3527,251 @@ def eval_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    oracle=f"""
+WITH toks AS (SELECT doc_id,
+              list_filter({_TOKS_SQL}, x -> x <> '') AS t
+              FROM documents),
+base AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens
+         FROM toks WHERE len(t) > 0),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.gh AS gh
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i - 1,
+                        'gh': md5(array_to_string(t[i:i+7], ' '))}}
+                       for i in range(1, greatest(len(t) - 7, 0) + 1)]) AS u
+        FROM base)
+),
+gd AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT doc_id, list(DISTINCT p) AS ps
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+        FROM g JOIN gd USING (gh))
+  GROUP BY doc_id
+),
+cleaned AS (
+  SELECT b.doc_id, b.n_tokens,
+         [b.t[i] for i in range(1, len(b.t) + 1)
+          if NOT list_contains(coalesce(c.ps, CAST([] AS BIGINT[])), i - 1)]
+           AS kept
+  FROM base b LEFT JOIN cov c USING (doc_id))
+SELECT doc_id, n_tokens,
+       CAST(len(kept) AS BIGINT) AS kept_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS removed_tokens,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+FROM cleaned ORDER BY doc_id
+""",
+    doc="Duplicated-span REMOVAL — the transformation "
+    "dedup_substring_span only measures (Lee et al. 2022's ExactSubstr "
+    "dedup applies exactly this: delete the duplicated span, keep the "
+    "remainder): every token position covered by a cross-document "
+    "duplicated word 8-gram is dropped, the surviving tokens are "
+    "re-joined in order, and each document reports kept/removed counts "
+    "plus md5 of the cleaned token stream — so the gate proves the "
+    "RECONSTRUCTION is byte-exact, not just the counts. Same candidate "
+    "machinery as dedup_substring_span (one 8-gram explode, grams "
+    "travel as md5 keys, (gh -> distinct-doc count) partial agg); the "
+    "removal step joins the per-doc covered-position set back and "
+    "filters by index in a pure Catalyst lambda — per-task memory is "
+    "bounded by one document's token count, the join keys are doc_id, "
+    "and nothing is pairwise. ORACLE: the identical construction "
+    "replayed in SQL, including the empty-cover left join and the "
+    "order-preserving comprehension; md5('') documents that a fully-"
+    "duplicated doc cleans to the empty string rather than vanishing.",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.tokenize import doc_tokens
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Tokens are needed twice (8-gram explode + reconstruction) and
+    # Spark does not dedupe common subplans — materialize one
+    # tokenize pass (same contract as dedup_substring_span's g).
+    base = (
+        doc_tokens(docs)
+        .select(
+            "doc_id",
+            "tokens",
+            F.size("tokens").cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=True)
+    )
+    g = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform("
+                    "  filter(sequence(0, greatest(size(tokens) - 8, 0)),"
+                    "         i -> i <= size(tokens) - 8),"
+                    "  i -> named_struct("
+                    "    'pos', i,"
+                    "    'gh', md5(array_join(slice(tokens, i + 1, 8), ' '))))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gh")
+        .localCheckpoint(eager=True)
+    )
+    gd = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    covset = (
+        g.join(gd, "gh")
+        .select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + 7)).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("p")).alias("cov"))
+    )
+    kept = F.filter(
+        "tokens", lambda x, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return (
+        base.join(covset, "doc_id", "left")
+        .withColumn("cov", F.coalesce("cov", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            "n_tokens",
+            kept.alias("kept"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("kept").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.md5(F.array_join("kept", " ")).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "eval_dim_truncation_recall",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+dims AS (SELECT unnest([16, 32]) AS n_dims),
+full_s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+full_r AS (SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+           FROM full_s),
+exact AS (SELECT query_id, vec_id FROM full_r WHERE rank <= 10),
+tr_s AS (
+  SELECT d.n_dims, q.query_id, e.vec_id,
+         list_cosine_similarity((q.qv[1:d.n_dims])::DOUBLE[],
+                                (e.embedding[1:d.n_dims])::DOUBLE[]) AS cos
+  FROM dims d, q, embeddings e WHERE e.vec_id <> q.query_id),
+tr_r AS (SELECT *, row_number() OVER
+           (PARTITION BY n_dims, query_id ORDER BY cos DESC, vec_id) AS rank
+         FROM tr_s),
+tr AS (SELECT n_dims, query_id, vec_id FROM tr_r WHERE rank <= 10),
+hits AS (SELECT t.n_dims, t.query_id, COUNT(*) AS n_hit
+         FROM tr t JOIN exact e
+           ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+         GROUP BY t.n_dims, t.query_id)
+SELECT d.n_dims, q.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall
+FROM dims d CROSS JOIN q
+LEFT JOIN hits h ON h.n_dims = d.n_dims AND h.query_id = q.query_id
+ORDER BY d.n_dims, q.query_id
+""",
+    doc="Dimension-truncation retrieval EVAL (the Matryoshka / MRL "
+    "question, Kusupati et al. 2022: how much recall does serving a "
+    "PREFIX of each embedding cost?): recall@10 of exact cosine "
+    "retrieval over the first 16 and 32 of 64 dimensions against the "
+    "full-dimension exact top-10, per query. Unlike the pinned-fact "
+    "oracles of eval_ann_recall / eval_simhash_recall, BOTH sides "
+    "here are deterministic brute-force top-k that DuckDB re-derives "
+    "independently at ANY scale factor — a full value oracle with no "
+    "pins, the strongest tier in the eval matrix. The measurement "
+    "completes the ANN eval family along the third axis: "
+    "eval_ann_recall prices the INDEX approximation, "
+    "eval_semdedup_recall the BUCKETING, this the REPRESENTATION "
+    "(prefix truncation = 4x/2x smaller vectors and proportionally "
+    "cheaper dot products — the standard first-stage/rerank split). "
+    "SCALE: three brute passes, each the salted two-phase top-k over "
+    "a broadcast query set (truncation is a scan-side slice "
+    "projection, so the 16-dim pass moves 4x less data per row); hit "
+    "sets join on (query_id, vec_id); the per-(dims, query) counts "
+    "are window-free bounded aggregates. Ties broken by vec_id on "
+    "both engines; only set MEMBERSHIP crosses the engine boundary, "
+    "never a floating-point score.",
+)
+def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def _top10(scored: DataFrame) -> DataFrame:
+        # k=11 upstream so dropping self-matches leaves 10 true rows.
+        return (
+            scored.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("cos"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .filter(F.col("_r") <= 10)
+            .select("query_id", "vec_id")
+        )
+
+    # Read twice (one hit join per truncation width) — materialize
+    # the full-dimension truth set once (50 rows), same contract as
+    # eval_ann_recall's exact side.
+    exact = _top10(
+        S.brute_force_topk(emb, q, k=11, salt_buckets=32)
+    ).localCheckpoint(eager=True)
+    rows = None
+    for d in (16, 32):
+        emb_d = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        q_d = q.select(
+            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
+        )
+        tr = _top10(S.brute_force_topk(emb_d, q_d, k=11, salt_buckets=32))
+        h = (
+            q.select("query_id")
+            .join(
+                exact.join(tr, ["query_id", "vec_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("_h")),
+                "query_id",
+                "left",
+            )
+            .select(
+                F.lit(d).cast("int").alias("n_dims"),
+                "query_id",
+                F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hit"),
+            )
+        )
+        rows = h if rows is None else rows.unionByName(h)
+    return rows.select(
+        "n_dims",
+        "query_id",
+        "n_hit",
+        F.round(F.col("n_hit") / F.lit(10.0), 6).alias("recall"),
+    ).orderBy("n_dims", "query_id")
+
+
+@register(
     "eval_simhash_recall",
     oracle="""
 WITH truth AS (

@@ -217,3 +217,36 @@ def test_eval_simhash_recall_bounds(spark, sf_dir):
     assert 0.0 <= row.recall <= 1.0
     assert row.avg_hamming > 3  # the documented short-doc boundary
     assert row.max_hamming <= 63
+
+
+def test_span_removal_reconstruction_invariants(spark, sf_dir):
+    """Structural invariants of dedup_span_removal: counts add up,
+    removals agree with dedup_substring_span's coverage statistic on
+    the docs both report, and a planted-dup source (whose whole text
+    recurs inside its ' dup' copy) cleans to the EMPTY stream with
+    the md5('') sentinel rather than vanishing."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    reg = registry()
+    rows = reg["dedup_span_removal"].fn(spark, sf_dir).collect()
+    assert rows, "non-empty corpus must produce rows"
+    by_id = {}
+    for r in rows:
+        assert 0 <= r.kept_tokens <= r.n_tokens
+        assert r.removed_tokens == r.n_tokens - r.kept_tokens
+        assert len(r.kept_md5) == 32
+        by_id[r.doc_id] = r
+
+    # Same coverage machinery as dedup_substring_span: its dup_tokens
+    # must equal our removed_tokens on every doc it reports.
+    for s in reg["dedup_substring_span"].fn(spark, sf_dir).collect():
+        assert by_id[s.doc_id].removed_tokens == s.dup_tokens
+
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    fully = [r for r in rows if r.kept_tokens == 0]
+    assert fully, "planted full-duplicates must clean to empty"
+    assert all(r.kept_md5 == empty_md5 for r in fully)
+    # And every doc keeping tokens must NOT carry the empty sentinel.
+    assert all(
+        r.kept_md5 != empty_md5 for r in rows if r.kept_tokens > 0
+    )

@@ -206,6 +206,14 @@ BRUTE_FORCE_OK = {
                              # 1-row anchor broadcast cross join; the
                              # hit joins are (query_id, vec_id)
                              # equi-joins
+    "eval_dim_truncation_recall",  # three brute_force_topk passes
+                             # (broadcast(q) x vectors, no equi key —
+                             # full-dim truth + the 16/32-dim
+                             # truncated retrievals; truncation
+                             # itself is a scan-side slice); the hit
+                             # joins are (query_id, vec_id)
+                             # equi-joins and the per-query counts
+                             # attach via a query_id equi-join
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already

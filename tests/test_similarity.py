@@ -321,3 +321,25 @@ def test_query_lsh_index_null_first_row_keeps_dim_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="different encoders"):
         query_lsh_index(spark, idx_path, q, k=5)
+
+
+def test_dim_truncation_recall_bounds(spark, sf_dir):
+    """Structural invariants of eval_dim_truncation_recall: the full
+    (dims x queries) grid is emitted, hit counts are bounded by k,
+    recall is exactly n_hit/10, and truncation on this non-MRL
+    corpus is lossy but not degenerate (some overlap survives at
+    each width, none is perfect). Per-query monotonicity in width is
+    deliberately NOT asserted — measured false at sf0.001 (query 0:
+    1 hit at 16 dims, 0 at 32)."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    rows = registry()["eval_dim_truncation_recall"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # {16, 32} x 5 queries
+    totals = {16: 0, 32: 0}
+    for r in rows:
+        assert r.n_dims in totals
+        assert 0 <= r.n_hit <= 10
+        assert abs(r.recall - r.n_hit / 10.0) < 1e-12
+        totals[r.n_dims] += r.n_hit
+    for d, t in totals.items():
+        assert 0 < t < 50, f"truncation to {d} dims should be lossy but not total"
