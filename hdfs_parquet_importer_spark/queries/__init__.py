@@ -172,6 +172,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 # r13 QUEUE (committed at r12 close so the next rotation is
 # mechanical; cohort ages below are post-r12):
+# (P1) dedup_substring_span — its internal gram key changed from md5
+#     strings to xxhash64 longs in the r12 second pass (10-25x at the
+#     sf1 decade); a changed query never ships on a stale green, so
+#     it takes the LAST item-(b) fill slot (agg_cube rolls to r14);
 # (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall,
 #     split_leakage_audit, eval_simhash_recall, dedup_span_removal,
 #     and eval_dim_truncation_recall (P3: all registered r12 after
@@ -200,10 +204,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     q10_returned_items (tpch rep), agg_percentiles (subqueries
 #     rep), events_funnel (events rep), arrow_grouped_stats
 #     (pandas_surface rep, r9), dedup_exact, etl_date_enrich,
-#     join_broadcast_dim, window_moving_avg, agg_cube
-#     (text_langid and embedding_kmeans, displaced by the two
-#     second-pass a0 births, roll to the r14 queue with the other
-#     35 r8 greens).
+#     join_broadcast_dim, window_moving_avg
+#     (text_langid, embedding_kmeans, and agg_cube — displaced by
+#     the two second-pass a0 births and the dedup_substring_span P1
+#     seat — roll to the r14 queue with the other 35 r8 greens).
 
 
 def registry() -> dict[str, Query]:

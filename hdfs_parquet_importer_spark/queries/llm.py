@@ -3086,13 +3086,19 @@ ORDER BY dup_frac DESC, b.doc_id LIMIT 20
     "Differs from dedup_ngram_jaccard (whole-doc set similarity): "
     "this measures WHERE and HOW MUCH text is copied, the statistic "
     "the span-removal pass of a dedup pipeline is driven by. Scale "
-    "shape: shingles ship as fixed-width md5 keys (never raw text) "
-    "into one (gh -> distinct-doc count) partial-agg; duplicated "
+    "shape: shingles ship as fixed-width xxhash64 LONG keys (never "
+    "raw text, and not md5 STRINGS — the r12 second pass measured "
+    "the 32-char string key 10-25x slower at the sf1 decade: string "
+    "keys dominate the checkpoint, hash-agg, and join) into one "
+    "(gh -> distinct-doc count) partial-agg; duplicated "
     "positions are the union of overlapping [pos, pos+7] intervals, "
     "computed as explode + DISTINCT — per-doc bounded (<= n_tokens "
-    "rows), never pairwise-quadratic; a 128-bit-collision false "
-    "positive needs ~2^64 shingles. Oracle replays the identical "
-    "construction; counts are integers, the one double is a single "
+    "rows), never pairwise-quadratic; a 64-bit-collision false "
+    "positive marks one extra gram duplicated at ~n^2/2^65 (~1e-7 "
+    "at sf1), and the md5-keyed oracle's independent collision "
+    "class would flip the gate on a real divergence. Oracle replays "
+    "the identical construction (md5 keys — same equality classes); "
+    "counts are integers, the one double is a single "
     "division, ROUND(6), ties broken by doc_id.",
 )
 def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3121,7 +3127,7 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "         i -> i <= size(tokens) - 8),"
                     "  i -> named_struct("
                     "    'pos', i,"
-                    "    'gh', md5(array_join(slice(tokens, i + 1, 8), ' '))))"
+                    "    'gh', xxhash64(array_join(slice(tokens, i + 1, 8), ' '))))"
                 )
             ).alias("s"),
         )
@@ -3570,12 +3576,20 @@ FROM cleaned ORDER BY doc_id
     "plus md5 of the cleaned token stream — so the gate proves the "
     "RECONSTRUCTION is byte-exact, not just the counts. Same candidate "
     "machinery as dedup_substring_span (one 8-gram explode, grams "
-    "travel as md5 keys, (gh -> distinct-doc count) partial agg); the "
-    "removal step joins the per-doc covered-position set back and "
-    "filters by index in a pure Catalyst lambda — per-task memory is "
-    "bounded by one document's token count, the join keys are doc_id, "
-    "and nothing is pairwise. ORACLE: the identical construction "
-    "replayed in SQL, including the empty-cover left join and the "
+    "travel as fixed-width hash keys, (gh -> distinct-doc count) "
+    "partial agg); the removal step joins the per-doc covered-position "
+    "set back and filters by index in a pure Catalyst lambda — "
+    "per-task memory is bounded by one document's token count, the "
+    "join keys are doc_id, and nothing is pairwise. The internal gram "
+    "key is xxhash64 (8-byte long), not an md5 STRING: the sf1 decade "
+    "measured 10-25x faster with long keys — 32-char string keys "
+    "dominate the checkpoint, hash-agg, and join at scale (measured "
+    "r12 second pass; same fix applied to dedup_substring_span). A "
+    "64-bit collision marks one extra gram duplicated at ~n^2/2^65 "
+    "(~1e-7 at sf1) — the oracle's md5 key has its own independent "
+    "collision class, and the gate would catch a divergence. ORACLE: "
+    "the identical construction replayed in SQL (md5 keys — same "
+    "equality classes), including the empty-cover left join and the "
     "order-preserving comprehension; md5('') documents that a fully-"
     "duplicated doc cleans to the empty string rather than vanishing.",
 )
@@ -3607,7 +3621,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "         i -> i <= size(tokens) - 8),"
                     "  i -> named_struct("
                     "    'pos', i,"
-                    "    'gh', md5(array_join(slice(tokens, i + 1, 8), ' '))))"
+                    "    'gh', xxhash64(array_join(slice(tokens, i + 1, 8), ' '))))"
                 )
             ).alias("s"),
         )

@@ -41,7 +41,17 @@ def main() -> int:
             # sandbox has 128 GiB — give the study a real heap.
             # bench.py intentionally keeps the default so its numbers
             # stay comparable round over round.
-            "spark.driver.memory": "64g",
+            # 32g, NOT 64g (r12 second pass): with a 64g max heap the
+            # checkpoint-heavy queries (dedup_span_removal /
+            # dedup_substring_span at sf1: ~2.4M-row gram tables)
+            # measured 45-220 s per run vs 7-15 s at 32g — same code,
+            # same data, fresh sessions, 123 GiB free, no swap. The
+            # degradation reproduces across sessions and is absent at
+            # 32g; mechanism unconfirmed (consistent with G1 heap-
+            # expansion page-faulting under a high allocation rate).
+            # 32g still clears the sf0.5 localCheckpoint OOM that the
+            # r6 bump from the 1g default fixed.
+            "spark.driver.memory": "32g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
