@@ -172,10 +172,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 )
 # r13 QUEUE (committed at r12 close so the next rotation is
 # mechanical; cohort ages below are post-r12):
-# (P1) dedup_substring_span — its internal gram key changed from md5
-#     strings to xxhash64 longs in the r12 second pass (10-25x at the
-#     sf1 decade); a changed query never ships on a stale green, so
-#     it takes the LAST item-(b) fill slot (agg_cube rolls to r14);
+# (P1) dedup_substring_span and corpus_contamination — their internal
+#     gram keys changed from md5/raw strings to xxhash64 longs in the
+#     r12 second pass (10-25x at the sf1 decade; SCALING.md string-key
+#     addendum); a changed query never ships on a stale green, so they
+#     take the last two item-(b) fill slots (agg_cube and
+#     window_moving_avg roll to r14). The other two string-key-fixed
+#     queries (corpus_source_overlap, text_ngram_novelty) sit in the
+#     CURRENT r12 window above and are gated this round;
 # (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall,
 #     split_leakage_audit, eval_simhash_recall, dedup_span_removal,
 #     and eval_dim_truncation_recall (P3: all registered r12 after
@@ -204,10 +208,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     q10_returned_items (tpch rep), agg_percentiles (subqueries
 #     rep), events_funnel (events rep), arrow_grouped_stats
 #     (pandas_surface rep, r9), dedup_exact, etl_date_enrich,
-#     join_broadcast_dim, window_moving_avg
-#     (text_langid, embedding_kmeans, and agg_cube — displaced by
-#     the two second-pass a0 births and the dedup_substring_span P1
-#     seat — roll to the r14 queue with the other 35 r8 greens).
+#     join_broadcast_dim
+#     (text_langid, embedding_kmeans, agg_cube, and
+#     window_moving_avg — displaced by the two second-pass a0 births
+#     and the two P1 seats — roll to the r14 queue with the other
+#     35 r8 greens).
 
 
 def registry() -> dict[str, Query]:

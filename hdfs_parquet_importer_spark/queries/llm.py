@@ -1599,15 +1599,21 @@ WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id
 def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", D.tokens(F.col("text")).alias("_t"))
+    # Grams travel as xxhash64 LONGS, not ~50-char strings: the gram
+    # never reaches the output, and the r12 string-key measurement
+    # (SCALING.md addendum) showed string join keys dominating the
+    # distinct + equi-join at the sf1 decade. Collision cost
+    # ~n^2/2^65; the oracle joins raw gram strings, so a collision
+    # that changed a count would flip the gate.
     grams = tok.select(
         "doc_id", F.explode(D.shingles_of_tokens(F.col("_t"), 8)).alias("gram")
-    )
+    ).select("doc_id", F.xxhash64("gram").alias("gh"))
     eval_grams = (
-        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+        grams.filter(F.col("doc_id") % 50 == 0).select("gh").distinct()
     )
     hits = (
         grams.filter(F.col("doc_id") % 50 != 0)
-        .join(eval_grams, "gram")
+        .join(eval_grams, "gh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("_n"))
     )

@@ -306,17 +306,24 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/dedup.py), so in-doc repeat grams dedupe JVM-side
     # before the explode with no extra pass (r11 review removed a
     # redundant second array_distinct here).
+    # Grams travel as xxhash64 LONGS through the distinct and the
+    # self-join — the gram text never reaches the output, and the r12
+    # string-key measurement (SCALING.md addendum) showed ~50-char
+    # join keys dominating exactly these two exchanges at the sf1
+    # decade. Collision cost ~n^2/2^65; the oracle joins raw gram
+    # strings, so a collision that moved a count would flip the gate.
     sg = (
         toks.select(
             "source",
             F.explode(D.shingles_of_tokens(F.col("_t"), 8)).alias("gram"),
         )
+        .select("source", F.xxhash64("gram").alias("gh"))
         .distinct()
     )
-    a = sg.select(F.col("source").alias("source_a"), "gram")
-    b = sg.select(F.col("source").alias("source_b"), "gram")
+    a = sg.select(F.col("source").alias("source_a"), "gh")
+    b = sg.select(F.col("source").alias("source_b"), "gh")
     return (
-        a.join(b, "gram")
+        a.join(b, "gh")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -1228,9 +1235,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shingles_of_tokens already dedupes per row (r11 review
         # removed a redundant second array_distinct).
         F.explode(D.shingles_of_tokens(F.col("t"), 5)).alias("g"),
-    )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    scored = grams.filter(F.col("doc_id") < 50).join(first_seen, "g")
+        # Grams travel as xxhash64 LONGS through the first-seen
+        # aggregate and the join (gram text never reaches the output;
+        # r12 string-key rule, SCALING.md addendum). Collision cost
+        # ~n^2/2^65 — a collision marking a gram non-novel would flip
+        # the raw-string-keyed oracle's gate.
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    first_seen = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    scored = grams.filter(F.col("doc_id") < 50).join(first_seen, "gh")
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     )
