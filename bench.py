@@ -142,6 +142,10 @@ HEADLINE = [
     # salted brute-force top-k passes, 16/32-dim scan-side slices) —
     # benched from birth.
     "eval_dim_truncation_recall",
+    # r12 second pass: decontamination recall eval against planted
+    # truth (md5 truth join + the shipped gram-equi-join detector) —
+    # benched from birth.
+    "eval_contamination_recall",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

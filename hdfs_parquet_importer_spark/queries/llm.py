@@ -1631,6 +1631,97 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_contamination_recall",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql(8)}) AS gram FROM toks),
+ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0),
+flagged AS (SELECT s.doc_id, COUNT(*) AS n
+            FROM sh s JOIN ev USING (gram)
+            WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+truth AS (
+  SELECT DISTINCT d.doc_id
+  FROM documents d JOIN documents s
+    ON md5(d.text) = md5(s.text || ' dup')
+  WHERE d.doc_id % 50 <> 0 AND s.doc_id % 50 = 0),
+hit AS (SELECT t.doc_id, f.n FROM truth t JOIN flagged f USING (doc_id))
+SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM flagged) AS n_flagged,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND((SELECT COUNT(*) FROM hit) * 1.0
+             / (SELECT COUNT(*) FROM truth), 6) AS recall,
+       CAST((SELECT MIN(n) FROM hit) AS BIGINT) AS min_truth_shared
+""",
+    doc="Decontamination EVAL against planted ground truth — the "
+    "eval_dedup_recall pattern applied to corpus_contamination: a "
+    "training-side doc that is an eval-slice doc's ' dup' copy "
+    "contains EVERY 8-gram of that eval doc by construction, so the "
+    "md5 join (d, s: md5(d.text) = md5(s.text || ' dup'), s in the "
+    "eval slice, d outside it) recovers a truth set the detector "
+    "MUST flag — recall below 1.0 means the n-gram decontamination "
+    "pipeline (explode, hash keys, eval-side distinct, gram "
+    "equi-join) dropped a known-contaminated document. n_flagged "
+    "carries the full detection set for context (legitimately wider "
+    "than truth: reverse-direction dups, dup-of-dup chains, and "
+    "chance 8-gram overlaps are real contamination too); "
+    "min_truth_shared is the weakest planted doc's shared-gram "
+    "count — the detection margin (>= 3, since the shortest doc has "
+    "10 tokens = 3 8-grams). FULL value oracle, no pinned facts: "
+    "DuckDB re-derives truth, flags, and margin independently at any "
+    "SF. SCALE: the truth join shuffles 32-char md5 keys; the "
+    "detector is the shipped corpus_contamination path (xxhash64 "
+    "gram keys, string-key rule); the summary assembles via 1-row "
+    "broadcast cross joins. MEASURED: recall 1.0 at sf0.001-sf0.01 — "
+    "and that is the point: unlike SimHash's 0.17 on this corpus "
+    "(eval_simhash_recall), exact n-gram decontamination cannot miss "
+    "a superset copy.",
+)
+def eval_contamination_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Truth: training docs (id % 50 != 0) that are ' dup' copies of an
+    # EVAL-slice doc (id % 50 == 0) — 32-char keys shuffle, never text.
+    dup_side = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.md5("text").alias("k")
+    )
+    src_side = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k")
+    )
+    truth = (
+        dup_side.join(src_side, "k")
+        .select("doc_id")
+        .distinct()
+        # Read twice (count + hit join); tiny (~0.1% of docs).
+        .localCheckpoint(eager=True)
+    )
+    # The found set is the SHIPPED detector, not a reimplementation —
+    # same contract as eval_dedup_recall running minhash_dedup_pairs.
+    flagged = (
+        corpus_contamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id", "n_shared_8grams")
+        .localCheckpoint(eager=True)
+    )
+    hit = truth.join(flagged, "doc_id")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    f = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    h = hit.agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min("n_shared_8grams").alias("min_truth_shared"),
+    )
+    return (
+        t.crossJoin(F.broadcast(f))  # 1-row aggregate pairs
+        .crossJoin(F.broadcast(h))
+        .select(
+            "n_truth",
+            "n_flagged",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+            "min_truth_shared",
+        )
+    )
+
+
+@register(
     "text_rolling_hash",
     oracle=f"""
 SELECT doc_id,

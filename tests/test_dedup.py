@@ -250,3 +250,20 @@ def test_span_removal_reconstruction_invariants(spark, sf_dir):
     assert all(
         r.kept_md5 != empty_md5 for r in rows if r.kept_tokens > 0
     )
+
+
+def test_contamination_recall_is_total(spark, sf_dir):
+    """Structural invariants of eval_contamination_recall: planted
+    truth exists, the exact n-gram detector finds EVERY planted doc
+    (a ' dup' copy is a gram superset of its source — recall below
+    1.0 is a pipeline bug, not a tuning trade), the margin respects
+    the 3-gram floor (shortest doc = 10 tokens), and the full
+    detection set is at least as large as the truth."""
+    from hdfs_parquet_importer_spark.queries import registry
+
+    row = registry()["eval_contamination_recall"].fn(spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.n_hit == row.n_truth
+    assert row.recall == 1.0
+    assert row.min_truth_shared >= 3
+    assert row.n_flagged >= row.n_hit

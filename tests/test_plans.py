@@ -206,6 +206,12 @@ BRUTE_FORCE_OK = {
                              # 1-row anchor broadcast cross join; the
                              # hit joins are (query_id, vec_id)
                              # equi-joins
+    "eval_contamination_recall",  # three 1-row aggregate broadcast
+                             # cross joins (n_truth x n_flagged x
+                             # n_hit/margin) — same shape as
+                             # eval_dedup_recall; the truth join is
+                             # an md5 equi-join and the detector is
+                             # corpus_contamination's gram equi-join
     "eval_dim_truncation_recall",  # three brute_force_topk passes
                              # (broadcast(q) x vectors, no equi key —
                              # full-dim truth + the 16/32-dim
