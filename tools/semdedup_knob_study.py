@@ -86,7 +86,12 @@ def main() -> int:
         shuffle_partitions=32,
         conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": "64g",
+            # 32g, not 64g — the r12 second-pass protocol finding
+            # (tools/scaling.py, SCALING.md string-key addendum): a
+            # 64g max heap degraded checkpoint-heavy stages 5-25x on
+            # this host; 32g still clears the quadratic edge stage's
+            # localCheckpoint at sf1.
+            "spark.driver.memory": "32g",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
