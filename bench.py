@@ -146,6 +146,11 @@ HEADLINE = [
     # truth (md5 truth join + the shipped gram-equi-join detector) —
     # benched from birth.
     "eval_contamination_recall",
+    # r12 second pass: progressive (SOF2) JPEG roundtrip — four codec
+    # passes per row (progressive + baseline encode/decode) in one
+    # mapInPandas stage; the heaviest per-row-Python cell by design —
+    # benched from birth.
+    "multimodal_jpeg_progressive_roundtrip",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

@@ -821,9 +821,11 @@ def _decode_jpeg_planes(data: bytes):
     IDCT output planes as float arrays cropped to (height, width) —
     the public wrappers (:func:`decode_jpeg_gray`,
     :func:`decode_jpeg_rgb`) own clipping and color conversion.
-    Progressive (SOF2), arithmetic coding, lossless, sampling factors
-    above 2, and other unsupported shapes raise
-    ``NotImplementedError`` naming the missing piece."""
+    Progressive (SOF2) streams dispatch to
+    :func:`_decode_jpeg_progressive` (full spectral-selection +
+    successive-approximation support, r12 second pass); arithmetic
+    coding, lossless, sampling factors above 2, and other unsupported
+    shapes raise ``NotImplementedError`` naming the missing piece."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -856,8 +858,15 @@ def _decode_jpeg_planes(data: bytes):
             # ADVICE).
             pos += 2
             continue
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("progressive JPEG not supported")
+        if marker == 0xC2:
+            # Progressive DCT (SOF2) — full support via the multi-scan
+            # core below (spectral selection + successive
+            # approximation, r12 second pass).
+            return _decode_jpeg_progressive(data)
+        if marker in (0xC6, 0xCA, 0xCE):
+            raise NotImplementedError(
+                "differential/arithmetic progressive JPEG not supported"
+            )
         if marker in (0xC9, 0xCB, 0xCC, 0xCD):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
         if marker in (0xC3, 0xC5, 0xC7, 0xCF):
@@ -1019,6 +1028,580 @@ def _decode_jpeg_planes(data: bytes):
             plane = np.repeat(plane, vmax // vi, axis=0)
         out.append(plane[:height, :width])
     return width, height, out
+
+
+@_lru_cache(maxsize=None)
+def _prog_ac_table() -> tuple[tuple[int, ...], tuple[int, ...], dict]:
+    """(BITS, HUFFVAL, symbol->code) for the fixed flat-8 progressive
+    AC table this encoder writes into its DHT segment.
+
+    Progressive AC scans need EOBn symbols (n >= 1) that the Annex K
+    baseline AC table cannot hold — its code space has exactly one
+    16-bit slot free (the reserved all-ones code), which is why real
+    encoders build per-scan optimized tables. A fixed CANONICAL table
+    with every needed symbol at length 8 sidesteps the optimizer:
+    (run, size) for run 0..15 x size 1..14, EOB0..EOB5, and ZRL = 231
+    symbols, Kraft 231/256 < 1, max code 230 != the reserved all-ones.
+    Compression is a few percent worse than optimized tables —
+    irrelevant for a correctness codec; any spec decoder reads it as
+    an ordinary DHT."""
+    syms = sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 15)}
+        | {n << 4 for n in range(6)}
+        | {0xF0}
+    )
+    bits = [0] * 16
+    bits[7] = len(syms)  # every symbol at code length 8
+    return tuple(bits), tuple(syms), _canonical_codes(bits, syms)
+
+
+def encode_jpeg_gray_progressive(
+    pixels: bytes, width: int, height: int, quality: int = 90
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a PROGRESSIVE (SOF2) JFIF JPEG.
+
+    Five-scan script exercising the full progressive feature set (ITU
+    T.81 G.1.2): DC first scan at successive-approximation precision
+    Al=1, DC refinement (Ah=1: one raw bit per block), two AC
+    spectral-selection bands (1-5, 6-63) at Al=1 with EOB-run coding,
+    and one AC refinement scan (Ah=1) emitting newly-significant
+    coefficients plus correction bits for already-significant ones.
+    Because every first scan drops exactly one bit (Al=1) and exactly
+    one refinement scan restores it, the decoded coefficients are
+    BIT-IDENTICAL to the sequential baseline encoding at the same
+    quality — which is what the roundtrip query asserts
+    (progressive-decoded pixels == baseline-decoded pixels).
+
+    The quantization pipeline (Annex K luminance table, libjpeg
+    quality scaling, orthonormal FDCT) is shared with
+    :func:`encode_jpeg_gray`; the AC scans use the fixed flat-8 table
+    of :func:`_prog_ac_table` (see there for why baseline tables
+    cannot code EOBn)."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"expected {width * height} pixels, got {len(pixels)}"
+        )
+    if width == 0 or height == 0:
+        raise ValueError("JPEG cannot encode an empty image")
+    qt = _scaled_qt(quality)
+    qmat = np.array(qt, dtype=np.float64).reshape(8, 8)
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    padded = _pad_plane(img, width, height)
+    ph, pw = padded.shape
+    c = _dct_mat()
+    bh, bw_ = ph // 8, pw // 8
+    coefs = np.zeros((bh, bw_, 64), dtype=np.int64)
+    for byi in range(bh):
+        for bxi in range(bw_):
+            blk = padded[byi * 8: byi * 8 + 8, bxi * 8: bxi * 8 + 8] - 128.0
+            q = np.round((c @ blk @ c.T) / qmat).astype(np.int64)
+            coefs[byi, bxi] = q.reshape(64)[_ZIGZAG]
+
+    dc_codes, _ = _std_codes()
+    pbits, pvals, ac_codes = _prog_ac_table()
+    blocks = [coefs[byi, bxi] for byi in range(bh) for bxi in range(bw_)]
+
+    def dc_first(al: int) -> bytes:
+        bw2 = _BitWriter()
+        prev = 0
+        for zz in blocks:
+            v = int(zz[0]) >> al  # arithmetic shift = T.81 point transform
+            size, mag = _mag_bits(v - prev)
+            prev = v
+            code, ln = dc_codes[size]
+            bw2.write(code, ln)
+            if size:
+                bw2.write(mag, size)
+        bw2.flush()
+        return bytes(bw2.out)
+
+    def dc_refine(al: int) -> bytes:
+        bw2 = _BitWriter()
+        for zz in blocks:
+            bw2.write((int(zz[0]) >> al) & 1, 1)
+        bw2.flush()
+        return bytes(bw2.out)
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        bw2 = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            n = eobrun.bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw2.write(code, ln)
+            if n:
+                bw2.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+        for zz in blocks:
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                # AC point transform truncates toward zero (G.1.2.1),
+                # unlike the DC arithmetic shift.
+                t = (v >> al) if v >= 0 else -((-v) >> al)
+                if t == 0:
+                    r += 1
+                    continue
+                emit_eobrun()
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw2.write(code, ln)
+                    r -= 16
+                size, mag = _mag_bits(t)
+                if size > 14:
+                    raise ValueError(
+                        f"AC coefficient size {size} exceeds the flat "
+                        "progressive table (max 14)"
+                    )
+                code, ln = ac_codes[(r << 4) | size]
+                bw2.write(code, ln)
+                bw2.write(mag, size)
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 63:  # EOB5 ceiling: 32 + 31 extension
+                    emit_eobrun()
+        emit_eobrun()
+        bw2.flush()
+        return bytes(bw2.out)
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        bw2 = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits owed by the open EOB run
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun, pend
+            if not eobrun:
+                return
+            n = eobrun.bit_length() - 1
+            code, ln = ac_codes[n << 4]
+            bw2.write(code, ln)
+            if n:
+                bw2.write(eobrun - (1 << n), n)
+            # The run's covered blocks' correction bits follow the
+            # EOBn symbol, in block order (G.1.2.3 / decoder's
+            # eob-run branch).
+            for b in pend:
+                bw2.write(b, 1)
+            eobrun = 0
+            pend = []
+
+        for zz in blocks:
+            absv = [
+                (abs(int(zz[k])) >> al) for k in range(ss, se + 1)
+            ]
+            # Last newly-significant position: ZRLs are only emitted
+            # while one remains ahead — trailing zeros and correction
+            # bits past it fold into the EOB run instead (T.81
+            # G.1.2.3; the decoder's EOB branch mirrors this).
+            eobpos = ss - 1
+            for idx in range(len(absv)):
+                if absv[idx] == 1:
+                    eobpos = ss + idx
+            r = 0
+            br_bits: list[int] = []  # bits owed since the last symbol
+            for idx, k in enumerate(range(ss, se + 1)):
+                t = absv[idx]
+                if t == 0:
+                    r += 1
+                    continue
+                # Drain pending ZRLs at EVERY nonzero coefficient
+                # (not just newly-significant ones): the decoder
+                # reads correction bits positionally while walking a
+                # symbol's zero span, so each flushed bit must belong
+                # to a position inside that span — deferring the
+                # drain past an already-significant coefficient would
+                # emit its bit after a span that never walks it.
+                while r > 15 and k <= eobpos:
+                    emit_eobrun()
+                    code, ln = ac_codes[0xF0]
+                    bw2.write(code, ln)
+                    r -= 16
+                    for b in br_bits:
+                        bw2.write(b, 1)
+                    br_bits = []
+                if t > 1:
+                    # Already significant at this precision: one
+                    # correction bit, emitted after the next symbol.
+                    br_bits.append(t & 1)
+                    continue
+                # t == 1: newly significant coefficient.
+                emit_eobrun()
+                code, ln = ac_codes[(r << 4) | 1]
+                bw2.write(code, ln)
+                bw2.write(1 if int(zz[k]) > 0 else 0, 1)
+                for b in br_bits:
+                    bw2.write(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                pend.extend(br_bits)
+                if eobrun == 63:
+                    emit_eobrun()
+        emit_eobrun()
+        bw2.flush()
+        return bytes(bw2.out)
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        return _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    scans = (
+        sos(0, 0, 0, 1) + dc_first(1)
+        + sos(0, 0, 1, 0) + dc_refine(0)
+        + sos(1, 5, 0, 1) + ac_first(1, 5, 1)
+        + sos(6, 63, 0, 1) + ac_first(6, 63, 1)
+        + sos(1, 63, 1, 0) + ac_refine(1, 63, 0)
+    )
+    dqt = _jpeg_seg(0xDB, bytes([0]) + bytes(qt[i] for i in _ZIGZAG))
+    sof = _jpeg_seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = _jpeg_seg(
+        0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    ) + _jpeg_seg(0xC4, bytes([0x10]) + bytes(pbits) + bytes(pvals))
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + scans + b"\xff\xd9"
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First byte-aligned non-stuffed, non-restart marker at/after
+    ``pos`` (the scan's entropy data ends here)."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,):
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2  # stray trailing restart — skip defensively
+                continue
+            return p
+    # fill bytes (FF FF) resolve at the marker loop; advance past
+    # everything else (entropy padding).
+        p += 1
+    raise ValueError("JPEG scan not terminated by a marker")
+
+
+def _decode_jpeg_progressive(data: bytes):
+    """Progressive (SOF2) JPEG decode core -> (width, height, planes).
+
+    Full ITU T.81 G.2 feature set: spectral selection AND successive
+    approximation for both DC and AC, EOB runs (EOBn), ZRL, refinement
+    correction bits, interleaved (all-component) or single-component
+    DC scans, single-component AC scans (as the spec requires),
+    Huffman/quant table redefinition between scans, and restart
+    intervals (predictors and the EOB run reset). Coefficients
+    accumulate across scans per block in zigzag space; after the last
+    scan every block dequantizes and inverse-transforms exactly like
+    the baseline path, so a fully-refined progressive stream decodes
+    BIT-IDENTICALLY to its sequential counterpart — the property the
+    roundtrip query asserts. Raises by name on the shapes outside the
+    contract (subset multi-component scans, sampling > 2, 16-bit DQT),
+    matching the baseline core's honest-boundary convention."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    width = height = None
+    restart_interval = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    coefs: list = []  # per component: (blocks_y, blocks_x, 64) int64
+    geom: list[tuple[int, int]] = []  # per component: non-interleaved grid
+    mcus_x = mcus_y = 0
+    preds_tbl: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id) last
+    saw_scan = False
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG segment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment")
+        (length,) = struct.unpack(">H", data[pos + 2: pos + 4])
+        if pos + 2 + length > len(data):
+            raise ValueError("truncated JPEG segment")
+        payload = data[pos + 4: pos + 2 + length]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                qts[tq] = list(payload[p + 1: p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1: p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17: p + 17 + n])
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+                p += 17 + n
+        elif marker == 0xC2:
+            precision, height, width, nf = struct.unpack(
+                ">BHHB", payload[:6]
+            )
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if nf not in (1, 3):
+                raise NotImplementedError(
+                    f"{nf}-component JPEG not supported (1 gray / 3 color)"
+                )
+            comps = []
+            for ci in range(nf):
+                cid, sampling, tq = payload[6 + 3 * ci: 9 + 3 * ci]
+                hi, vi = sampling >> 4, sampling & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(
+                        f"sampling factor {hi}x{vi} not supported "
+                        "(h, v must be 1 or 2)"
+                    )
+                comps.append((cid, hi, vi, tq))
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            coefs, geom = [], []
+            for _, hi, vi, _ in comps:
+                coefs.append(
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+                )
+                cw = -(-width * hi // hmax)
+                ch = -(-height * vi // vmax)
+                geom.append((-(-ch // 8), -(-cw // 8)))
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            ns = payload[0]
+            cid_to_ix = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            members: list[tuple[int, int, int]] = []  # (comp_ix, dcid, acid)
+            for si in range(ns):
+                cid, ids = payload[1 + 2 * si], payload[2 + 2 * si]
+                if cid not in cid_to_ix:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                members.append((cid_to_ix[cid], ids >> 4, ids & 0xF))
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            br = _BitReader(data, pos + 2 + length)
+            _decode_prog_scan(
+                br, comps, coefs, geom, members, ss, se, ah, al,
+                huff, mcus_x, mcus_y, restart_interval,
+            )
+            saw_scan = True
+            pos = _next_marker_pos(data, br.pos)
+            continue
+        pos += 2 + length
+    if width is None or not saw_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    for _, _, _, tq in comps:
+        if tq not in qts:
+            raise ValueError("JPEG scan references missing DQT table")
+
+    inv_zigzag = np.argsort(_ZIGZAG)
+    c = _dct_mat()
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    planes = []
+    for (cid, hi, vi, tq), cf in zip(comps, coefs):
+        qmat = np.array(qts[tq], dtype=np.float64)[inv_zigzag].reshape(8, 8)
+        by, bx = cf.shape[:2]
+        plane = np.empty((by * 8, bx * 8), dtype=np.float64)
+        for yy in range(by):
+            for xx in range(bx):
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = cf[yy, xx]
+                coef = block.reshape(8, 8) * qmat
+                plane[yy * 8: yy * 8 + 8, xx * 8: xx * 8 + 8] = (
+                    c.T @ coef @ c + 128.0
+                )
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        planes.append(plane[:height, :width])
+    return width, height, planes
+
+
+def _decode_prog_scan(
+    br, comps, coefs, geom, members, ss, se, ah, al,
+    huff, mcus_x, mcus_y, restart_interval,
+):
+    """Entropy-decode ONE progressive scan into the coefficient
+    arrays (T.81 G.2; refinement algorithms per G.1.2.3)."""
+    state = {"eobrun": 0}
+    preds = [0] * len(members)
+
+    def need(tc: int, th: int):
+        tab = huff.get((tc, th))
+        if tab is None:
+            raise ValueError("JPEG scan references missing DHT table")
+        return tab
+
+    def dc_unit(zz, mi: int, dc_tab) -> None:
+        if ah == 0:  # first DC scan at this precision
+            size = _huff_decode(br, dc_tab)
+            diff = _extend(br.read_bits(size), size) if size else 0
+            preds[mi] += diff
+            zz[0] = preds[mi] << al
+        else:  # DC refinement: one raw bit
+            if br.read_bit():
+                zz[0] = int(zz[0]) | (1 << al)
+
+    def ac_first_unit(zz) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _huff_decode(br, ac_tab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += br.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient index overflow")
+            zz[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine_unit(zz) -> None:
+        p1, m1 = 1 << al, -1 << al
+
+        def correct(k: int) -> None:
+            v = int(zz[k])
+            if br.read_bit() and (v & p1) == 0:
+                zz[k] = v + (p1 if v >= 0 else m1)
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                sym = _huff_decode(br, ac_tab)
+                r, s = sym >> 4, sym & 0xF
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn — rest of this block joins the run
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += br.read_bits(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "JPEG AC refinement symbol must have size 1"
+                        )
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    if int(zz[k]) != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if int(zz[k]) != 0:
+                    correct(k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def restart(unit_n: int, rst: list) -> None:
+        if restart_interval and unit_n and unit_n % restart_interval == 0:
+            br.align_and_expect_rst(rst[0])
+            rst[0] += 1
+            for i in range(len(preds)):
+                preds[i] = 0
+            state["eobrun"] = 0
+
+    if len(members) > 1:
+        # Interleaved scan: DC only (T.81 G.2 forbids interleaved AC),
+        # and this decoder requires it to cover every SOF component
+        # (the standard progressive scripts do; a subset interleave
+        # would need per-scan MCU geometry).
+        if ss != 0 or se != 0:
+            raise ValueError("interleaved progressive AC scan is invalid")
+        if len(members) != len(comps):
+            raise NotImplementedError(
+                "subset multi-component progressive scan not supported"
+            )
+        dc_tabs = [
+            need(0, dcid) if ah == 0 else None
+            for _, dcid, _ in members
+        ]
+        rst, mcu = [0], 0
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                restart(mcu, rst)
+                mcu += 1
+                for mi, (cx, _dcid, _acid) in enumerate(members):
+                    _, hi, vi, _ = comps[cx]
+                    for blk_r in range(vi):
+                        for blk_c in range(hi):
+                            yy = (_my * vi + blk_r)
+                            xx = (_mx * hi + blk_c)
+                            dc_unit(coefs[cx][yy, xx], mi, dc_tabs[mi])
+        return
+    # Single-component (non-interleaved) scan over the component's own
+    # block grid.
+    cx, dcid, acid = members[0]
+    by, bx = geom[cx]
+    dc_tab = need(0, dcid) if (ss == 0 and ah == 0) else None
+    ac_tab = need(1, acid) if ss > 0 else None
+    rst, unit = [0], 0
+    for yy in range(by):
+        for xx in range(bx):
+            restart(unit, rst)
+            unit += 1
+            zz = coefs[cx][yy, xx]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se = 0"
+                    )
+                dc_unit(zz, 0, dc_tab)
+            elif ah == 0:
+                ac_first_unit(zz)
+            else:
+                ac_refine_unit(zz)
 
 
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
@@ -1345,6 +1928,69 @@ def jpeg_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
             )
 
     return df.mapInPandas(check, JPEG_ROUNDTRIP_SCHEMA)
+
+
+JPEG_PROGRESSIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("max_abs_err", T.LongType()),
+        T.StructField("matches_sequential", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_progressive_roundtrip_error(
+    df: DataFrame, quality: int = 90
+) -> DataFrame:
+    """Progressive twin of :func:`jpeg_roundtrip_error`, with a
+    strictly stronger check: each row encodes BOTH ways — the 5-scan
+    progressive script (:func:`encode_jpeg_gray_progressive`) and the
+    sequential baseline at the same quality — decodes both through
+    the shared marker-dispatched core, and asserts the decoded pixel
+    buffers are BYTE-IDENTICAL (every first scan drops exactly the
+    one bit its refinement scan restores, so the coefficient arrays
+    must coincide; any divergence in EOB-run, ZRL, correction-bit, or
+    spectral-band handling flips the boolean). ``max_abs_err`` is
+    reported against the source pixels as usual. All four codec
+    passes run inside ONE mapInPandas task per batch — payloads never
+    shuffle."""
+
+    def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["pixels"]
+            ):
+                raw = _raw_gray(px)
+                w, h = int(w), int(h)
+                _, _, dec_p = decode_jpeg_gray(
+                    encode_jpeg_gray_progressive(raw, w, h, quality=quality)
+                )
+                _, _, dec_b = decode_jpeg_gray(
+                    encode_jpeg_gray(raw, w, h, quality=quality)
+                )
+                err = int(
+                    np.abs(
+                        np.frombuffer(dec_p, dtype=np.uint8).astype(np.int64)
+                        - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    ).max()
+                )
+                rows.append((mid, w, h, w * h, err, dec_p == dec_b))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "max_abs_err", "matches_sequential",
+                ],
+            )
+
+    return df.mapInPandas(check, JPEG_PROGRESSIVE_SCHEMA)
 
 
 def jpeg_color_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:

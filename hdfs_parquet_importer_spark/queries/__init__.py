@@ -182,11 +182,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     CURRENT r12 window above and are gated this round;
 # (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall,
 #     split_leakage_audit, eval_simhash_recall, dedup_span_removal,
-#     eval_dim_truncation_recall, and eval_contamination_recall (P3:
-#     all registered r12 after this window froze — the registry's
-#     only never-windowed queries once the r12 window seats its
-#     rows; the last three are the r12 second-pass births),
-#     registration order;
+#     eval_dim_truncation_recall, eval_contamination_recall, and
+#     multimodal_jpeg_progressive_roundtrip (P3: all registered r12
+#     after this window froze — the registry's only never-windowed
+#     queries once the r12 window seats its rows; the last four are
+#     the r12 second-pass births), registration order;
 # (a) all 35 remaining r7 greens (P4, drains r7 — the oldest cohort
 #     after r12 drains r6; eval_langid_confusion and
 #     dedup_minhash_lsh, displaced from the r12 window by the two
@@ -208,11 +208,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #     oldest green is r9 after pandas_grouped_regression seats r12):
 #     q10_returned_items (tpch rep), agg_percentiles (subqueries
 #     rep), events_funnel (events rep), arrow_grouped_stats
-#     (pandas_surface rep, r9), dedup_exact, etl_date_enrich
+#     (pandas_surface rep, r9), dedup_exact
 #     (text_langid, embedding_kmeans, agg_cube, window_moving_avg,
-#     and join_broadcast_dim — displaced by the three second-pass a0
-#     births and the two P1 seats — roll to the r14 queue with the
-#     other 35 r8 greens).
+#     join_broadcast_dim, and etl_date_enrich — displaced by the four
+#     second-pass a0 births and the two P1 seats — roll to the r14
+#     queue with the other 35 r8 greens).
 
 
 def registry() -> dict[str, Query]:

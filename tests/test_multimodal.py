@@ -326,10 +326,17 @@ def test_jpeg_restart_markers_decode_identically():
 
 def test_jpeg_decoder_rejects_unsupported_by_name():
     data = bytearray(M.encode_jpeg_gray(_gradient(8, 8), 8, 8))
-    # SOF0 -> SOF2 (progressive): find the marker and patch it.
     i = bytes(data).find(b"\xff\xc0")
+    # SOF0 -> SOF9 (arithmetic sequential) — still a named boundary.
+    data[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        M.decode_jpeg_gray(bytes(data))
+    # SOF0 -> SOF2: progressive now DECODES (r12 second pass) — but a
+    # baseline full-band scan relabeled progressive is malformed (a
+    # progressive DC scan must have Se = 0) and fails loudly, never
+    # silently misdecoding.
     data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="Se = 0"):
         M.decode_jpeg_gray(bytes(data))
     with pytest.raises(ValueError, match="not a JPEG"):
         M.decode_jpeg_gray(b"\x00\x01")
@@ -549,3 +556,75 @@ def test_image_dhash_jpeg_luma_path(spark):
     assert (
         rows[1].dhash_lo == rows[2].dhash_lo == rows[3].dhash_lo
     ), rows
+
+
+def test_jpeg_progressive_matches_sequential_exhaustive_slice():
+    """Progressive (SOF2) decode must be BYTE-IDENTICAL to sequential
+    baseline decode of the same pixels at the same quality: every
+    first scan drops exactly the one bit (Al=1) its refinement scan
+    restores, so the coefficient arrays coincide. A deterministic
+    slice of the full sweep (the complete 2520-class sweep plus 300
+    adversarial images ran green at birth — r12 second pass); noise
+    at low quality exercises ZRL + correction-bit interplay, flats
+    exercise multi-block EOB runs (EOBn through the flat-8 table)."""
+    import random
+
+    rng = random.Random(7)
+    cases = [(w, h, s) for w in (8, 13, 16) for h in (8, 11, 14) for s in (0, 19, 39)]
+    for w, h, seed in cases:
+        px = bytes(
+            (20 + seed + 2 * (i % w) + 3 * (i // w)) & 0x7F
+            for i in range(w * h)
+        )
+        for q in (50, 90):
+            pb = M.decode_jpeg_gray(M.encode_jpeg_gray(px, w, h, q))[2]
+            pp = M.decode_jpeg_gray(
+                M.encode_jpeg_gray_progressive(px, w, h, q)
+            )[2]
+            assert pb == pp, (w, h, seed, q)
+    for kind in ("noise", "flat", "checker"):
+        w, h = rng.randint(1, 33), rng.randint(1, 33)
+        if kind == "noise":
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+        elif kind == "flat":
+            px = bytes([rng.randrange(256)]) * (w * h)
+        else:
+            px = bytes(
+                255 if ((i % w) + (i // w)) % 2 else 0 for i in range(w * h)
+            )
+        pb = M.decode_jpeg_gray(M.encode_jpeg_gray(px, w, h, 25))[2]
+        pp = M.decode_jpeg_gray(M.encode_jpeg_gray_progressive(px, w, h, 25))[2]
+        assert pb == pp, (kind, w, h)
+
+
+def test_jpeg_progressive_stream_is_sof2_multiscan():
+    """The progressive encoder emits a REAL progressive stream: SOF2
+    marker, five SOS segments (DC first/refine, two AC bands, AC
+    refine), and the flat-8 AC table as an ordinary DHT — any spec
+    decoder reads it, and the baseline core refuses it by name only
+    through the SOF2 dispatch (never silently)."""
+    px = bytes((i * 7) & 0xFF for i in range(16 * 12))
+    data = M.encode_jpeg_gray_progressive(px, 16, 12, quality=90)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert data.count(b"\xff\xda") == 5
+    w, h, dec = M.decode_jpeg_gray(data)
+    assert (w, h) == (16, 12) and len(dec) == 16 * 12
+
+
+def test_jpeg_progressive_roundtrip_operator(spark):
+    """The mapInPandas QA stage reports identical-decode and the
+    gray error bound on a small frame."""
+    rows = []
+    for i in range(6):
+        w, h = 8 + i % 5, 8 + i % 3
+        px = bytes((20 + i + 2 * (j % w) + 3 * (j // w)) & 0x7F for j in range(w * h))
+        rows.append((i, w, h, px))
+    df = spark.createDataFrame(
+        rows, "media_id long, width int, height int, pixels binary"
+    )
+    out = M.jpeg_progressive_roundtrip_error(df, quality=90).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r.matches_sequential, r
+        assert r.max_abs_err <= 4, r
+        assert r.n_pixels == r.width * r.height
