@@ -151,6 +151,14 @@ HEADLINE = [
     # mapInPandas stage; the heaviest per-row-Python cell by design —
     # benched from birth.
     "multimodal_jpeg_progressive_roundtrip",
+    # r13: DSIR selection-recall eval (planted cross-source dups of
+    # the curated domain; shared weight table + bucketed dist_rank
+    # top-k) — benched from birth.
+    "eval_dsir_recall",
+    # r13: the REAL AVI/MJPEG frame-sample replaced the synthetic
+    # container (encode + parse + per-frame JPEG decode per row) —
+    # re-benched as effectively a new query.
+    "multimodal_video_framesample",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -162,9 +170,17 @@ def main() -> int:
     spark = build_session(
         "bench",
         shuffle_partitions=32,
-        # No interactive console here: stage progress bars are pure
-        # stderr noise in a harness capture.
-        conf={"spark.ui.showConsoleProgress": "false"},
+        conf={
+            # No interactive console here: stage progress bars are
+            # pure stderr noise in a harness capture.
+            "spark.ui.showConsoleProgress": "false",
+            # The measured-protocol heap (SCALING.md r12 addendum:
+            # 32g clears the localCheckpoint OOM wall AND avoids the
+            # 64g G1 regime that degraded checkpoint-heavy queries
+            # 5-25x; the pre-r13 default was 1g — see _release_
+            # persisted for what that did to the session tail).
+            "spark.driver.memory": "32g",
+        },
     )
     # Quiet the JVM log stream (VERDICT r6 item 3): the *bounded*
     # single-partition windows (bucket-total passes over ~n_buckets
@@ -181,6 +197,7 @@ def main() -> int:
     # Warmup: every query once, untimed (JIT + codegen compile).
     for name in names:
         reg[name].fn(spark, sf_dir).collect()
+        _release_persisted(spark)
 
     medians: dict[str, float] = {}
     stdevs: dict[str, float] = {}
@@ -191,6 +208,13 @@ def main() -> int:
             t0 = time.perf_counter()
             reg[name].fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)
+            # OUTSIDE the timer: each execution's own checkpoint
+            # creation is charged to it above; dropping the blocks it
+            # left behind is harness bookkeeping, and doing it after
+            # EVERY execution means each timed run starts from the
+            # same storage state (lower variance, no session-position
+            # bias).
+            _release_persisted(spark)
         medians[name] = round(statistics.median(samples), 3)
         stdevs[name] = round(statistics.stdev(samples), 3)
         mins[name] = round(min(samples), 3)
@@ -263,6 +287,31 @@ def main() -> int:
         line = json.dumps(payload, separators=(",", ":"))
     print(line)
     return 0
+
+
+def _release_persisted(spark) -> None:
+    """Unpersist every persisted RDD the last execution left behind.
+
+    83 sites across the package ``localCheckpoint`` small shared
+    intermediates; each bench execution rebuilds its plan from
+    scratch, so a FINISHED execution's blocks are dead weight — but
+    localCheckpoint pins them for the session lifetime and, before
+    r13, nothing ever dropped them. Over the 56-query session
+    (1 warmup + 3 timed runs each) that accumulated every query's
+    blocks in the storage region of what was then a 1g default
+    driver heap, and the measured effect was POSITION-dependent
+    degradation: the r13 control run (BENCH_NOTES) clocked the LAST
+    ~8 headline queries at 4-11x their ambient-adjusted baselines
+    (mix_quota_by_quality 11.3x, dedup_semdedup 10.1x,
+    eval_classifier_quality 5.5x ...) while early-session queries
+    sat at ambient — and the r12 DRIVER run's 17.5x
+    quality_ccnet_buckets cell was the same mechanism landing on a
+    different victim. Blocking unpersist so every run starts from
+    a deterministic storage state; the ~ms py4j sweep runs outside
+    the timer."""
+    jsc = spark.sparkContext._jsc
+    for rdd in jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
 
 
 def _load_prev_table(sf) -> dict:

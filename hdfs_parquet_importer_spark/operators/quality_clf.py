@@ -53,6 +53,40 @@ def hashed_doc_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def dsir_log_weights(doc_b: DataFrame, target) -> DataFrame:
+    """DSIR importance weight table (Xie et al. 2023): 256 rows of
+    (b, w) with w = ln p_target(b) - ln p_raw(b), add-1 smoothed over
+    the buckets PRESENT in the corpus.
+
+    ``doc_b`` is the (doc_id, b, n) hashed-feature table (plus any
+    columns ``target`` needs); ``target`` is a boolean Column
+    selecting the curated-exemplar rows. Shared by
+    ``quality_dsir_weights`` and ``eval_dsir_recall`` (r13) so the
+    scorer and its eval measure the SAME weight definition
+    structurally — the same single-definition contract as
+    ``hashed_doc_features`` (r10 review). Both aggregates are
+    fixed-width (256 rows); the totals ride a 1-row broadcast."""
+    tgt = doc_b.filter(target).groupBy("b").agg(F.sum("n").alias("ct"))
+    raw = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
+    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
+        raw.agg(F.sum("cr").alias("rt"), F.count(F.lit(1)).alias("v"))
+    )
+    return (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("rt") + F.col("v")))
+            ).alias("w"),
+        )
+    )
+
+
 def nb_linear_classifier(feats: DataFrame, labels: DataFrame) -> DataFrame:
     """Train the NB log-count-ratio linear model in one pass.
 

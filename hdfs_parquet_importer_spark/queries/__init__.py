@@ -83,136 +83,105 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # (tests/test_oracle_gate.py / tools/check_oracle.py, driver-parity
 # pandas fetch), so rotation never leaves an edited query unverified.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- Round 12 rotation (executes the committed r12 QUEUE with
-    # the P5 module-rep correction: the queue as committed at r11
-    # close carried no tpch / subqueries / pandas_surface rep —
-    # q1_pricing_summary lives in queries/relational.py, not tpch —
-    # and the family-coverage gate
-    # (tests/test_smoke.py::test_driver_window_covers_every_family)
-    # plus the standing "P5 module reps outrank leftover-slot
-    # claims" rule force three fills to swap: q7_volume_shipping
-    # (tpch, r7 — the family's oldest green), subq_exists_priority
-    # (subqueries, r7), pandas_grouped_regression (pandas_surface,
-    # r8) replace ann_cosine_topk / multimodal_png_roundtrip /
-    # text_quality (llm, a family already holding 9 window rows).
-    # The fourth swap: eval_classifier_quality (new this round,
-    # VERDICT r11 item 5) takes mix_upsample_rare's slot per the r8
-    # leftover-slot amendment — mixing keeps 4 other reps; the four
-    # displaced r7 greens roll to the r13 queue below.)
+    # -- Round 13 rotation: executes the r12-committed queue, AMENDED
+    # for the P1s this round's own changes created (P1 outranks the
+    # committed fills — a changed query never ships on a stale
+    # green). The r13 changes: the corpus-wide string-key sweep
+    # (VERDICT r12 item 4) converted 8 internal md5 join/groupBy keys
+    # to xxhash64 longs; quality_dsir_weights' weight table moved to
+    # the shared operators/quality_clf.dsir_log_weights (value-
+    # identical, code changed); multimodal_video_framesample was
+    # REWRITTEN onto the real AVI/MJPEG container (item 5);
+    # decode_media's RIFF branch forked WAVE/AVI (so
+    # multimodal_png_roundtrip re-gates, the r12 decode_media
+    # precedent); and eval_dsir_recall is the r13 birth (item 6,
+    # leftover-slot amendment). Cost: 9 of the committed fills roll
+    # to r14 (5 func_* + 3 text_* r7 greens with family cover
+    # retained, and dedup_exact — llm keeps 15+ window rows), so the
+    # r7 drain completes at r14 instead of r13.
     #
-    # (P3) Registered in r11 after that round's window froze — the
-    # registry's ONLY query that has never held a driver row:
-    "multimodal_jpeg_roundtrip",
-    # (new, r12) Classifier-quality eval against planted truth
-    # (VERDICT r11 item 5) — P1/P2 empty, committed queue seated:
-    "eval_classifier_quality",
-    # (P4) All 35 remaining r6 greens (queue item a) — drains r6;
-    # after this round the oldest driver row anywhere is r7.
-    "agg_partial_reaggregate",
-    "agg_string_concat",
-    "dedup_containment",
-    "dq_benford_digits",
-    "dq_table_checksum",
-    "embedding_covariance",
-    "events_audience_overlap",
-    "events_cumulative_reach",
-    "events_dau_wau_mtd",
-    "events_error_rate_sli",
-    "events_funnel_3step",
-    "events_peak_concurrency",
-    "events_seasonality_index",
-    "events_time_to_conversion",
-    "join_relational_division",
-    "join_shuffled_hash_hint",
-    "market_basket_lift",
-    "mix_source_dup_rate",
-    "profile_fk_inclusion",
-    "quality_unigram_logprob",
-    "report_pareto_concentration",
-    "setop_except_all",
-    "setop_union_evolved",
-    "snapshot_diff",
-    "source_python_datasource",
-    "stat_autocorrelation",
-    "stat_ks_two_sample",
-    "stat_ols_catalyst",
-    "stat_welch_ttest",
-    "text_bm25_search",
-    "text_keyword_extraction",
-    "text_ngram_novelty",
-    "window_max_drawdown",
-    "window_running_distinct",
-    "window_time_range_frame",
-    # (P4/P5, queue item b as corrected above) 13 oldest-green
-    # fills, family-spread, with the three family reps the gate
-    # requires:
-    "agg_distinct",                # relational, r7
-    "corpus_source_overlap",       # mixing, r7
-    # (P1) decode_media gained the jpeg_rgb dispatch branch in r12 —
-    # PNG/WAV/gray-JPEG stats are byte-identical, but a changed
-    # query never ships on a stale green; takes dedup_minhash_lsh's
-    # fill slot (llm keeps 8+ window reps; the displaced r7 green
-    # rolls to the r13 queue):
-    "multimodal_png_roundtrip",
-    "etl_cleanse",                 # etl_parity, r7
-    # (P1) image_dhash gained a JPEG/color-luma input branch in r12
-    # (operators/multimodal.py) — PNG behavior is byte-identical, but
-    # a changed query never ships on a stale green; takes
-    # eval_langid_confusion's fill slot (llm keeps 8+ window reps;
-    # the displaced r7 green rolls to the r13 queue):
-    "multimodal_image_dhash_dedup",
-    "events_rfm_segmentation",     # events, r7
-    "func_try_arithmetic",         # functions, r7
-    "graph_triangle_count",        # graphs, r7
-    "q1_pricing_summary",          # relational, r7
-    "stat_zipf_fit",               # stats, r7
-    "q7_volume_shipping",          # tpch, r7 (P5 module rep)
-    "subq_exists_priority",        # subqueries, r7 (P5 module rep)
-    "pandas_grouped_regression",   # pandas_surface, r8 (P5 rep)
+    # (P1, committed at r12 close) xxhash64 gram keys since r9/r8
+    # greens:
+    "dedup_substring_span",
+    "corpus_contamination",
+    # (P1, r13 changes):
+    "multimodal_video_framesample",   # real AVI/MJPEG rewrite
+    "multimodal_png_roundtrip",       # decode_media RIFF fork
+    "quality_dsir_weights",           # shared dsir_log_weights
+    "eval_dedup_recall",              # xxhash64 truth join
+    "mix_source_dup_rate",            # xxhash64 fingerprint
+    "pipeline_corpus_prep",           # xxhash64 dedup fp
+    "dedup_incremental_batch",        # xxhash64 anti-join fp
+    "report_data_card",               # xxhash64 dup fp
+    # (a0/P3, committed) the 8 r12 births — the registry's only
+    # never-windowed queries before this round — registration order
+    # (four also carry r13 xxhash64/doc changes and so are P1 too):
+    "multimodal_jpeg_color_roundtrip",
+    "eval_semdedup_recall",
+    "split_leakage_audit",
+    "eval_simhash_recall",
+    "dedup_span_removal",
+    "eval_dim_truncation_recall",
+    "eval_contamination_recall",
+    "multimodal_jpeg_progressive_roundtrip",
+    # (new, r13) DSIR held-out-split selection eval (VERDICT r12
+    # item 6) — leftover-slot amendment (r8):
+    "eval_dsir_recall",
+    # (P4, committed queue item a) 27 of the 35 remaining r7 greens
+    # (the 8 rolled: func_collation_lcase, func_conditional,
+    # func_date_arith, func_explode_outer, func_nullsafe_eq,
+    # text_df_top_terms, text_fingerprint, text_mean_token_df —
+    # functions keeps 3 reps below, llm keeps 15+):
+    "agg_modern_surface",
+    "ann_cosine_topk",
+    "ann_ivf",
+    "ann_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "etl_array_parse",
+    "eval_langid_confusion",
+    "func_variant_parse",
+    "join_left_outer",
+    "mix_upsample_rare",
+    "report_cohort_ltv",
+    "setop_union",
+    "source_xml_parse",
+    "sql_pipe_syntax",
+    "stat_bootstrap_ci",
+    "stat_cusum_drift",
+    "stat_gini_coefficient",
+    "stat_mann_whitney",
+    "text_boilerplate_blocks",        # also P1: xxhash64 block keys
+    "text_perplexity_bigram",
+    "text_quality",
+    "window_first_last",
+    "window_ntile_global",
+    "window_rank_dense",
+    # (P5, committed queue item b) family reps the coverage gate
+    # requires (tpch / subqueries / events / pandas_surface have no
+    # rep above); dedup_exact, the queue's fifth fill, rolls to r14:
+    "q10_returned_items",
+    "agg_percentiles",
+    "events_funnel",
+    "arrow_grouped_stats",
 )
-# r13 QUEUE (committed at r12 close so the next rotation is
-# mechanical; cohort ages below are post-r12):
-# (P1) dedup_substring_span and corpus_contamination — their internal
-#     gram keys changed from md5/raw strings to xxhash64 longs in the
-#     r12 second pass (10-25x at the sf1 decade; SCALING.md string-key
-#     addendum); a changed query never ships on a stale green, so they
-#     take the last two item-(b) fill slots (agg_cube and
-#     window_moving_avg roll to r14). The other two string-key-fixed
-#     queries (corpus_source_overlap, text_ngram_novelty) sit in the
-#     CURRENT r12 window above and are gated this round;
-# (a0) multimodal_jpeg_color_roundtrip, eval_semdedup_recall,
-#     split_leakage_audit, eval_simhash_recall, dedup_span_removal,
-#     eval_dim_truncation_recall, eval_contamination_recall, and
-#     multimodal_jpeg_progressive_roundtrip (P3: all registered r12
-#     after this window froze — the registry's only never-windowed
-#     queries once the r12 window seats its rows; the last four are
-#     the r12 second-pass births), registration order;
-# (a) all 35 remaining r7 greens (P4, drains r7 — the oldest cohort
-#     after r12 drains r6; eval_langid_confusion and
-#     dedup_minhash_lsh, displaced from the r12 window by the two
-#     multimodal P1 seats, roll in here):
-#     agg_modern_surface, ann_cosine_topk, ann_ivf, ann_lsh_bucketed,
-#     dedup_embedding_cosine, dedup_minhash_lsh, dedup_ngram_jaccard,
-#     dedup_simhash, etl_array_parse, eval_langid_confusion,
-#     func_collation_lcase, func_conditional, func_date_arith,
-#     func_explode_outer, func_nullsafe_eq, func_variant_parse,
-#     join_left_outer, mix_upsample_rare, report_cohort_ltv,
-#     setop_union, source_xml_parse, sql_pipe_syntax,
-#     stat_bootstrap_ci, stat_cusum_drift, stat_gini_coefficient,
-#     stat_mann_whitney, text_boilerplate_blocks, text_df_top_terms,
-#     text_fingerprint, text_mean_token_df, text_perplexity_bigram,
-#     text_quality, window_first_last, window_ntile_global,
-#     window_rank_dense;
-# (b) 11 oldest-r8/r9 fills, family-spread, P5 reps first (tpch /
-#     subqueries / events have no rep in item a; pandas_surface's
-#     oldest green is r9 after pandas_grouped_regression seats r12):
-#     q10_returned_items (tpch rep), agg_percentiles (subqueries
-#     rep), events_funnel (events rep), arrow_grouped_stats
-#     (pandas_surface rep, r9), dedup_exact
-#     (text_langid, embedding_kmeans, agg_cube, window_moving_avg,
-#     join_broadcast_dim, and etl_date_enrich — displaced by the four
-#     second-pass a0 births and the two P1 seats — roll to the r14
-#     queue with the other 35 r8 greens).
+# r14 QUEUE (committed at r13 close so the next rotation is
+# mechanical; cohort ages below are post-r13):
+# (P1) none known yet — any r14 code/oracle change seats first, as
+#     always;
+# (a) the 9 fills displaced by this round's P1 amendments (8 r7
+#     greens + dedup_exact (r8)) — seating them first completes the
+#     r7 drain: func_collation_lcase, func_conditional,
+#     func_date_arith, func_explode_outer, func_nullsafe_eq,
+#     text_df_top_terms, text_fingerprint, text_mean_token_df,
+#     dedup_exact;
+# (b) the 35 oldest r8 greens, family-spread, P5 reps first — the
+#     list the r12 close note carried (text_langid, embedding_kmeans,
+#     agg_cube, window_moving_avg, join_broadcast_dim,
+#     etl_date_enrich lead it);
+# (c) leftover slots to r8/r9 greens by age.
 
 
 def registry() -> dict[str, Query]:

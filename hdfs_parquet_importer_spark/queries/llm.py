@@ -228,8 +228,9 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
     "and a correctly-working pipeline should find them), and "
     "min_truth_jaccard (the weakest planted pair's exact Jaccard — "
     "the margin to the threshold; a 10-word doc's ' dup' copy sits "
-    "at 8/9 ~ 0.889). SCALE: the truth join shuffles 32-char md5 "
-    "keys, never full texts; the found set is the dedup_minhash_lsh "
+    "at 8/9 ~ 0.889). SCALE: the truth join shuffles 8-byte xxhash64 "
+    "longs (r13 string-key rule; the oracle's md5 is its own bridge "
+    "— only content equality crosses engines), never full texts; the found set is the dedup_minhash_lsh "
     "scale path (band-bucket equi-joins only); the three count "
     "aggregates combine via 1-row broadcast cross joins. ORACLE: "
     "truth replayed rule-identically; the found set is the exact "
@@ -243,13 +244,16 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    # Truth pairs: join dup -> source on md5 so the exchange carries
-    # 32-char keys, not document bodies (the text itself never
-    # shuffles — same contract as dedup_exact's hash-groupBy).
-    dup_side = docs.select("doc_id", F.md5("text").alias("k"))
+    # Truth pairs: join dup -> source on a content hash so the
+    # exchange carries fixed-width keys, not document bodies. xxhash64
+    # longs, not md5 hex (r13 string-key rule): the key never reaches
+    # output — only content EQUALITY must match the oracle's own md5
+    # bridge — and 8-byte longs shuffle/compare 10-25x cheaper than
+    # 32-char strings at the sf1 decade (SCALING.md r12 addendum).
+    dup_side = docs.select("doc_id", F.xxhash64("text").alias("k"))
     src_side = docs.select(
         F.col("doc_id").alias("src_id"),
-        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
     )
     truth = (
         dup_side.join(src_side, "k")
@@ -1745,7 +1749,9 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
     "count — the detection margin (>= 3, since the shortest doc has "
     "10 tokens = 3 8-grams). FULL value oracle, no pinned facts: "
     "DuckDB re-derives truth, flags, and margin independently at any "
-    "SF. SCALE: the truth join shuffles 32-char md5 keys; the "
+    "SF. SCALE: the truth join shuffles 8-byte xxhash64 longs (r13 "
+    "string-key rule — the key never reaches output, and the "
+    "oracle's md5 is its own equality bridge); the "
     "detector is the shipped corpus_contamination path (xxhash64 "
     "gram keys, string-key rule); the summary assembles via 1-row "
     "broadcast cross joins. MEASURED: recall 1.0 at sf0.001-sf0.01 — "
@@ -1756,12 +1762,13 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
 def eval_contamination_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Truth: training docs (id % 50 != 0) that are ' dup' copies of an
-    # EVAL-slice doc (id % 50 == 0) — 32-char keys shuffle, never text.
+    # EVAL-slice doc (id % 50 == 0) — 8-byte xxhash64 longs shuffle
+    # (string-key rule), never text.
     dup_side = docs.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.md5("text").alias("k")
+        "doc_id", F.xxhash64("text").alias("k")
     )
     src_side = docs.filter(F.col("doc_id") % 50 == 0).select(
-        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k")
+        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k")
     )
     truth = (
         dup_side.join(src_side, "k")
@@ -1897,11 +1904,15 @@ GROUP BY source
     doc="C4-style boilerplate removal statistics: documents are cut "
     "into non-overlapping 10-token blocks; a block whose distinct-"
     "document frequency is >= 2 is boilerplate (navigation chrome, "
-    "license headers, templated text). Blocks travel as md5 hashes so "
-    "the block-df shuffle carries 32-byte keys, not raw text; the df "
-    "groupBy and the df join-back are both block-hash equi-joins with "
-    "map-side partial agg — O(distinct blocks) network, the scalable "
-    "shape at 100 TB. Unrounded count ratio: identical integers "
+    "license headers, templated text). Blocks travel as xxhash64 "
+    "longs (r13 string-key rule, SCALING.md r12 addendum: an internal "
+    "key that never reaches output must be a fixed-width integer "
+    "hash — 8-byte longs beat the r12 form's 32-char md5 hex through "
+    "the repartition+groupBy+join, 10-25x at the sf1 decade), never "
+    "raw text; the oracle's md5 blocks are its own equality bridge — "
+    "only block EQUALITY crosses engines. The df groupBy and the df "
+    "join-back are both block-hash equi-joins with map-side partial "
+    "agg — O(distinct blocks) network, the scalable shape at 100 TB. Unrounded count ratio: identical integers "
     "divide identically in both engines.",
 )
 def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1917,7 +1928,7 @@ def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(T.token_blocks(F.col("_t"), 10)).alias("blk"),
         )
-        .select("doc_id", "source", F.md5(F.col("blk")).alias("h"))
+        .select("doc_id", "source", F.xxhash64(F.col("blk")).alias("h"))
         # One explicit hash exchange on the block hash, shared by BOTH
         # consumers below (Spark reuses identical exchange subplans):
         # without it the tokenize+block+md5 projection runs twice —
@@ -2246,7 +2257,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(D.normalize_text(F.col("text")))
+    # Anti-join fingerprint = xxhash64 long (r13 string-key rule): _fp
+    # never reaches output; the oracle's md5 replay is its own bridge.
+    fp = F.xxhash64(D.normalize_text(F.col("text")))
     newb = docs.filter(F.col("doc_id") % 5 == 0)
     ex = docs.filter(F.col("doc_id") % 5 != 0)
 
@@ -3343,38 +3356,52 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_video_framesample",
     oracle="""
-WITH g AS (SELECT doc_id AS media_id, 2 + doc_id % 6 AS n_frames
+WITH g AS (SELECT doc_id AS media_id,
+                  2 + doc_id % 6 AS n_frames,
+                  16 + (doc_id % 3) * 8 AS width,
+                  16 + (doc_id % 2) * 8 AS height
            FROM documents),
-f AS (SELECT media_id, unnest(range(0, n_frames, 2)) AS frame_idx FROM g)
-SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-       sha256(media_id || ':' || frame_idx) AS frame_hex
+f AS (SELECT media_id, width, height,
+             unnest(range(0, n_frames, 2)) AS frame_idx
+      FROM g)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(('0x' || substr(sha256(media_id || ':' || frame_idx), 1, 2))::INT
+            AS BIGINT) AS min_gray,
+       CAST(('0x' || substr(sha256(media_id || ':' || frame_idx), 1, 2))::INT
+            AS BIGINT) AS max_gray
 FROM f ORDER BY media_id, frame_idx
 """,
-    doc="Video frame sampling through the multimodal pipeline: a "
-    "deterministic SGMM video container per document (2 + doc_id % 6 "
-    "frame slots, each slot the sha256 digest of 'id:idx' — "
-    "operators/multimodal.py make_payload) is BUILT in one "
-    "mapInPandas stage and FRAME-SAMPLED (every 2nd frame) in a "
-    "second; each sampled frame ships out as its hex fingerprint. "
-    "The real-codec path would swap the slot slicing for a demuxer "
-    "seek (ffmpeg is absent by contract — the honest "
-    "NotImplementedError boundary); everything Spark-side — schema, "
-    "Arrow batching, 1-to-many row expansion inside the task, "
-    "payload-never-shuffles layout — is the real plumbing and is "
-    "what this query pins. The oracle re-derives every sampled "
-    "frame's bytes from the generative formula (DuckDB sha256), so "
-    "a green row proves the container build, header skip, slot "
-    "arithmetic, and sampling stride are all byte-exact.",
+    doc="REAL video frame sampling (r13, VERDICT r12 item 5 — the "
+    "synthetic SGMM container is replaced): each document becomes an "
+    "AVI/MJPEG container (operators/multimodal.py encode_avi_mjpeg — "
+    "real RIFF hdrl/movi/idx1 structure) holding 2 + doc_id % 6 "
+    "grayscale baseline-JPEG frames of (16 + id%3*8) x (16 + id%2*8); "
+    "the sampling stage PARSES the container (header validation, "
+    "MJPEG demux, idx1 cross-check), keeps every 2nd frame, and runs "
+    "the real JPEG decoder on kept frames only (decode-after-filter), "
+    "emitting decoded-pixel extrema. Frame i is FLAT at gray level "
+    "sha256('id:i')[0] encoded at quality 100 — all-ones quant table, "
+    "DC-only blocks — so decode is provably EXACT and the oracle "
+    "re-derives min_gray = max_gray = the sha byte in SQL: a green "
+    "row proves container write, parse, demux, stride, and the full "
+    "JPEG decode path byte-for-byte, with no pinned facts. Non-MJPEG "
+    "codecs (inter-frame territory) remain NotImplementedError by "
+    "name. SCALE: containers are born and die task-side "
+    "(mapInPandas), 1-to-many frame expansion happens inside the "
+    "task, payload bytes never shuffle; at 100 TB the same operator "
+    "reads payload columns from parquet with the payload pruned on "
+    "non-video queries.",
 )
 def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators import multimodal as M
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    frames = M.frame_sample(M.documents_as_video(docs), every_n=2)
-    return frames.select("media_id", "frame_idx", "frame_hex").orderBy(
-        "media_id", "frame_idx"
-    )
+    frames = M.avi_frame_sample(M.documents_as_mjpeg_avi(docs), every_n=2)
+    return frames.orderBy("media_id", "frame_idx")
 
 
 @register(
@@ -3895,7 +3922,17 @@ ORDER BY d.n_dims, q.query_id
     "sets join on (query_id, vec_id); the per-(dims, query) counts "
     "are window-free bounded aggregates. Ties broken by vec_id on "
     "both engines; only set MEMBERSHIP crosses the engine boundary, "
-    "never a floating-point score.",
+    "never a floating-point score. KNOWN FRAGILITY (r12 advice): the "
+    "membership gate still assumes Spark's and DuckDB's cosine agree "
+    "on the ORDER of near-ties at the rank-10 boundary — two "
+    "candidates within ~1 ulp could rank oppositely across engines "
+    "and flip one set element at some other SF. Measured margin "
+    "(DuckDB, the oracle's own CTEs): min |cos(rank10)-cos(rank11)| "
+    "across all (dims, query) cells is 2.3e-4 / 1.5e-4 / 2.0e-5 at "
+    "sf0.001/0.01/0.1 — 11+ orders above double rounding, so the "
+    "gate is safe at every provisioned SF; if a future SF trips the "
+    "hash gate here, re-measure this margin before suspecting the "
+    "operator.",
 )
 def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3996,7 +4033,9 @@ FROM pinned p
     "SCALE: fingerprints are computed ONLY for truth-pair members "
     "(a left-semi join, ~2x planted count), per-pair work is one "
     "XOR/bit_count; three 1-row aggregates assemble the row. "
-    "ORACLE: n_truth re-derived independently via the md5 join; the "
+    "ORACLE: n_truth re-derived independently via the oracle's own "
+    "md5 join (the Spark side joins on xxhash64 longs — string-key "
+    "rule — since only content equality crosses engines); the "
     "hamming-side values are PINNED FIXED FACTS at the gate SF "
     "(deterministic xxhash64 fingerprints, same contract as "
     "eval_ann_recall's pinned per-index hits) — a fingerprint or "
@@ -4008,10 +4047,12 @@ def eval_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    dup_side = docs.select("doc_id", F.md5("text").alias("k"))
+    # Truth pairs join on 8-byte xxhash64 longs (r13 string-key rule:
+    # k never reaches output; the oracle's md5 is its own bridge).
+    dup_side = docs.select("doc_id", F.xxhash64("text").alias("k"))
     src_side = docs.select(
         F.col("doc_id").alias("src_id"),
-        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
     )
     truth = (
         dup_side.join(src_side, "k")

@@ -423,7 +423,11 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.md5(D.normalize_text(F.col("text"))).alias("fp"),
+        # Dedup fingerprint = xxhash64 long (r13 string-key rule): fp
+        # only partitions the keep-first window and never reaches
+        # output; the coin h stays md5 — the oracle replays the SAME
+        # substr(md5) selection, so the coin's VALUE crosses engines.
+        F.xxhash64(D.normalize_text(F.col("text"))).alias("fp"),
         hash_coin(F.col("doc_id")).alias("h"),
     )
     dedup_w = Window.partitionBy("fp").orderBy("doc_id")
@@ -1287,8 +1291,11 @@ GROUP BY source ORDER BY source
 )
 def mix_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Fingerprint = xxhash64 long, not md5 hex (r13 string-key rule):
+    # f is a groupBy + join-back key that never reaches output, and
+    # the oracle's md5 fingerprint is its own equality bridge.
     fp = docs.select(
-        "source", F.md5(D.normalize_text(F.col("text"))).alias("f")
+        "source", F.xxhash64(D.normalize_text(F.col("text"))).alias("f")
     )
     sizes = fp.groupBy("f").agg(F.count(F.lit(1)).alias("n"))
     in_dup = F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
@@ -1876,29 +1883,15 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src, "doc_id")
         .localCheckpoint(eager=True)
     )
-    tgt = (
-        doc_b.filter(F.col("source") == "src0")
-        .groupBy("b")
-        .agg(F.sum("n").alias("ct"))
+    # Weight table via the SHARED operators/quality_clf
+    # .dsir_log_weights (r13: eval_dsir_recall measures this exact
+    # definition, so it lives in one place — same contract as
+    # hashed_doc_features).
+    from hdfs_parquet_importer_spark.operators.quality_clf import (
+        dsir_log_weights,
     )
-    raw = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
-    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
-        raw.agg(F.sum("cr").alias("rt"), F.count(F.lit(1)).alias("v"))
-    )
-    w = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("tt") + F.col("v"))
-                )
-                - F.log((F.col("cr") + 1.0) / (F.col("rt") + F.col("v")))
-            ).alias("w"),
-        )
-    )
+
+    w = dsir_log_weights(doc_b, F.col("source") == "src0")
     sc = (
         doc_b.filter(F.col("source") != "src0")
         .join(F.broadcast(w), "b")
@@ -1915,6 +1908,192 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "logw")
         .orderBy(F.desc("logw"), "doc_id")
         .limit(20)
+    )
+
+
+@register(
+    "eval_dsir_recall",
+    oracle=f"""
+WITH tok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents)
+  WHERE term <> ''),
+fb AS (
+  SELECT doc_id, substr(md5(term), 1, 2) AS b, COUNT(*) AS n
+  FROM tok GROUP BY 1, 2
+),
+dupdocs AS (
+  SELECT DISTINCT d.doc_id FROM documents d JOIN documents s
+    ON md5(d.text) = md5(s.text || ' dup') AND d.doc_id <> s.doc_id
+),
+tgtdocs AS (SELECT doc_id FROM dupdocs WHERE doc_id % 2 = 0),
+truth AS (SELECT doc_id FROM dupdocs WHERE doc_id % 2 = 1),
+tgt AS (
+  SELECT f.b, CAST(SUM(f.n) AS BIGINT) AS ct
+  FROM fb f JOIN tgtdocs USING (doc_id) GROUP BY 1
+),
+raw AS (SELECT b, CAST(SUM(n) AS BIGINT) AS cr FROM fb GROUP BY 1),
+tots AS (
+  SELECT (SELECT SUM(ct) FROM tgt) AS tt,
+         (SELECT SUM(cr) FROM raw) AS rt,
+         (SELECT COUNT(*) FROM raw) AS v
+),
+w AS (
+  SELECT r.b,
+         ln((COALESCE(t.ct, 0) + 1.0) / (tots.tt + tots.v))
+         - ln((r.cr + 1.0) / (tots.rt + tots.v)) AS w
+  FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots
+),
+sc AS (
+  SELECT f.doc_id, ROUND(SUM(f.n * w.w) / SUM(f.n), 6) AS logw
+  FROM fb f JOIN w USING (b)
+  WHERE f.doc_id NOT IN (SELECT doc_id FROM tgtdocs) GROUP BY 1
+),
+k AS (SELECT COUNT(*) AS k FROM truth),
+nt AS (SELECT COUNT(*) AS n_nontarget FROM sc),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY logw DESC, doc_id) AS rk
+      FROM sc),
+sel AS (SELECT doc_id FROM r CROSS JOIN k WHERE rk <= k.k),
+hit AS (SELECT COUNT(*) AS n_hit FROM truth JOIN sel USING (doc_id))
+SELECT k.k AS n_truth,
+       k.k AS n_selected,
+       hit.n_hit AS n_hit,
+       CASE WHEN k.k > 0
+            THEN ROUND(hit.n_hit * 1.0 / k.k, 6) END AS recall,
+       CASE WHEN nt.n_nontarget > 0
+            THEN ROUND(k.k * 1.0 / nt.n_nontarget, 6) END AS base_rate,
+       CASE WHEN k.k > 0 AND nt.n_nontarget > 0
+            THEN ROUND(hit.n_hit * 1.0 * nt.n_nontarget / (k.k * k.k), 6)
+       END AS lift
+FROM k CROSS JOIN nt CROSS JOIN hit
+""",
+    doc="DSIR selection EVAL against planted truth (VERDICT r12 item "
+    "6 — quality_dsir_weights' selection quality, measured): the "
+    "classic held-out-curated-split protocol. The corpus plants "
+    "' dup' copies of earlier docs; the copies form a coherent "
+    "'curated domain' (shared provenance AND a shared marker "
+    "token). Target = the EVEN-doc_id half of the copies (the "
+    "curated exemplars DSIR trains its importance weights on); "
+    "truth = the held-out ODD-id half; pool = everything outside "
+    "the target. A working importance resampler must rank the "
+    "held-out curated docs far above random. MEASURED: recall@k "
+    "0.36 / 0.25 / 0.86 at sf0.001/0.01/0.1 vs base rates ~0.02-"
+    "0.05 (lift 10-36x) — honest boundary: short docs over a "
+    "shared vocabulary give the 256-bucket estimator little "
+    "per-doc evidence, so small-SF recall is modest and grows with "
+    "corpus size. (Design note: a 'copies of src0 docs' truth was "
+    "prototyped first and collapses at sf0.1 — the ' dup' marker "
+    "token, present in copies but absent from their sources, turns "
+    "strongly NEGATIVE when the target is the sources; the held-"
+    "out-split form keeps exemplars and truth in the same "
+    "distribution, which is also what a real curated set looks "
+    "like.) The eval scores the pool with the SHARED "
+    "operators/quality_clf.dsir_log_weights table (one definition "
+    "for scorer and eval, structurally), takes the top-|truth| by "
+    "(logw DESC, doc_id), and reports recall@|truth|, the base "
+    "rate a random selector would get, and lift = recall/base_rate "
+    "computed from raw integer counts (n_hit*n_nontarget/k^2, "
+    "ROUND(6) once — never a ratio of rounded ratios). FULL value "
+    "oracle, no pinned facts: DuckDB re-derives weights, scores, "
+    "ranks, truth, and all three ratios independently at any SF. "
+    "Rank-boundary determinism: logw is ROUND(6)-ed BEFORE ranking "
+    "with doc_id tiebreak, the ccnet/dist_rank convention. SCALE: "
+    "the dup-pair join shuffles 8-byte xxhash64 longs (string-key "
+    "rule; the oracle's md5 is its own bridge); the global top-k "
+    "rank rides the bucketed two-phase dist_rank (no single-task "
+    "window); weights are a 256-row broadcast; the three counts "
+    "assemble via 1-row broadcast cross joins.",
+)
+def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.prefix import dist_rank
+    from hdfs_parquet_importer_spark.operators.quality_clf import (
+        dsir_log_weights,
+        hashed_doc_features,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Planted curated set: docs that are ' dup' copies of another doc
+    # — the pair join shuffles 8-byte xxhash64 longs (string-key
+    # rule), never text. Even ids train the weights, odd ids are the
+    # held-out truth.
+    dup_side = docs.select("doc_id", F.xxhash64("text").alias("kk"))
+    src_side = docs.select(
+        F.col("doc_id").alias("src_id"),
+        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("kk"),
+    )
+    dupdocs = (
+        dup_side.join(src_side, "kk")
+        .filter(F.col("doc_id") != F.col("src_id"))
+        .select("doc_id")
+        .distinct()
+        # Read three times (target marker join + truth count + hit
+        # join); tiny (planted share of docs).
+        .localCheckpoint(eager=True)
+    )
+    tgtdocs = dupdocs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_tgt", F.lit(True)
+    )
+    truth = dupdocs.filter(F.col("doc_id") % 2 == 1)
+    doc_b = (
+        hashed_doc_features(docs)
+        .join(F.broadcast(tgtdocs), "doc_id", "left")
+        .withColumn("is_tgt", F.coalesce("is_tgt", F.lit(False)))
+        .localCheckpoint(eager=True)
+    )
+    w = dsir_log_weights(doc_b, F.col("is_tgt"))
+    # ROUND(6) before ranking so the (logw, doc_id) order is engine-
+    # independent (the quality_ccnet_buckets convention).
+    sc = (
+        doc_b.filter(~F.col("is_tgt"))
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("n") * F.col("w")) / F.sum("n"), 6).alias(
+                "logw"
+            )
+        )
+    )
+    kn = truth.agg(F.count(F.lit(1)).alias("k"))
+    # Scored set is read by dist_rank's two branches AND the count;
+    # materialize once so every consumer ranks the same doubles.
+    scored = sc.withColumn("nlw", -F.col("logw")).localCheckpoint(eager=True)
+    ranked = dist_rank(
+        scored, ["nlw", "doc_id"], F.floor(F.col("nlw") * 8), out_col="rk"
+    )
+    sel = (
+        ranked.crossJoin(F.broadcast(kn))
+        .filter(F.col("rk") <= F.col("k"))
+        .select("doc_id")
+    )
+    n_hit = truth.join(sel, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_nt = scored.agg(F.count(F.lit(1)).alias("n_nontarget"))
+    return (
+        kn.crossJoin(F.broadcast(n_hit))
+        .crossJoin(F.broadcast(n_nt))
+        .select(
+            F.col("k").cast("long").alias("n_truth"),
+            F.col("k").cast("long").alias("n_selected"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(
+                F.col("k") > 0, F.round(F.col("n_hit") / F.col("k"), 6)
+            ).alias("recall"),
+            F.when(
+                F.col("n_nontarget") > 0,
+                F.round(F.col("k") / F.col("n_nontarget"), 6),
+            ).alias("base_rate"),
+            F.when(
+                (F.col("k") > 0) & (F.col("n_nontarget") > 0),
+                F.round(
+                    F.col("n_hit")
+                    * F.col("n_nontarget")
+                    / (F.col("k") * F.col("k")),
+                    6,
+                ),
+            ).alias("lift"),
+        )
     )
 
 
@@ -2304,10 +2483,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    dup_side = docs.select("doc_id", F.md5("text").alias("k"))
+    # Truth pairs join on 8-byte xxhash64 longs (r13 string-key rule:
+    # the key never reaches output; the oracle's md5 is its own
+    # equality bridge — only content equality crosses engines).
+    dup_side = docs.select("doc_id", F.xxhash64("text").alias("k"))
     src_side = docs.select(
         F.col("doc_id").alias("src_id"),
-        F.md5(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
     )
     pairs = (
         dup_side.join(src_side, "k")

@@ -895,7 +895,8 @@ GROUP BY f.source ORDER BY f.source
     "in both sources). Two passes, both scale-safe: one projection "
     "to (source, lang, n_chars, fp, n_tok) feeding a per-source "
     "partial agg, plus one fp-keyed count whose >= 2 survivors join "
-    "back as a flag — fingerprints travel as fixed-width md5, text "
+    "back as a flag — fingerprints travel as 8-byte xxhash64 longs "
+    "(r13 string-key rule; the oracle's md5 is its own bridge), text "
     "is read once. All ratios are means of exact 0/1 indicators, "
     "ROUND(4).",
 )
@@ -907,7 +908,10 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         "n_chars",
-        F.md5(D.normalize_text(F.col("text"))).alias("fp"),
+        # Dup fingerprint = xxhash64 long (r13 string-key rule): fp is
+        # a groupBy + join-back key that never reaches output; the
+        # oracle's md5 fingerprint is its own equality bridge.
+        F.xxhash64(D.normalize_text(F.col("text"))).alias("fp"),
         F.size(D.tokens(F.col("text"))).alias("n_tok"),
     ).localCheckpoint(eager=True)
     dup = (

@@ -628,3 +628,137 @@ def test_jpeg_progressive_roundtrip_operator(spark):
         assert r.matches_sequential, r
         assert r.max_abs_err <= 4, r
         assert r.n_pixels == r.width * r.height
+
+
+# ---------------------------------------------------------------------------
+# r13: progressive restart intervals + 3-component progressive (the
+# decoder paths ADVICE r12 flagged as producer-less), and the real
+# AVI/MJPEG video container.
+# ---------------------------------------------------------------------------
+def test_jpeg_progressive_restart_interval_roundtrip():
+    """DRI in a progressive stream: every scan splits into RST-joined
+    intervals (predictor / EOB-run / correction-queue resets) and the
+    decoder's progressive restart paths reproduce the no-DRI decode
+    bit-for-bit."""
+    w, h = 40, 24
+    px = bytes((x * 31 + y * 17 + (x * y) % 7) % 256 for y in range(h) for x in range(w))
+    base = M.decode_jpeg_gray(M.encode_jpeg_gray(px, w, h, quality=90))[2]
+    for ri in (1, 2, 3, 5):
+        data = M.encode_jpeg_gray_progressive(px, w, h, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        n_rst = sum(
+            1
+            for i in range(len(data) - 1)
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+        )
+        assert n_rst > 0
+        assert M.decode_jpeg_gray(data)[2] == base
+
+
+def test_jpeg_rgb_progressive_matches_sequential():
+    """3-component SOF2: one INTERLEAVED multi-component DC scan +
+    three single-component AC scans (spectral selection only, Ah=Al=0
+    so the baseline Annex K tables suffice) decodes bit-identically
+    to the sequential 4:4:4 encoding — exercising the progressive
+    decoder's interleaved-DC and 3-component paths end to end."""
+    w, h = 24, 16
+    px = bytes(
+        ((x * 31 + y * 17 + ch * 53) % 256)
+        for y in range(h)
+        for x in range(w)
+        for ch in range(3)
+    )
+    for q, ri in ((90, 0), (75, 0), (90, 2), (50, 1)):
+        base = M.decode_jpeg_rgb(M.encode_jpeg_rgb(px, w, h, quality=q))
+        prog = M.encode_jpeg_rgb_progressive(px, w, h, quality=q, restart_interval=ri)
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") == 4
+        assert M.decode_jpeg_rgb(prog) == base
+
+
+def test_avi_mjpeg_container_roundtrip():
+    """encode_avi_mjpeg -> decode_avi_mjpeg returns the exact frame
+    byte strings and header dimensions; frame count cross-checks
+    (avih dwTotalFrames, idx1 entries) hold on the wire format."""
+    import hashlib
+
+    w, h = 24, 16
+    frames = []
+    for idx in range(5):
+        lvl = hashlib.sha256(f"7:{idx}".encode()).digest()[0]
+        frames.append(M.encode_jpeg_gray(bytes([lvl]) * (w * h), w, h, quality=100))
+    avi = M.encode_avi_mjpeg(frames, w, h)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    w2, h2, out = M.decode_avi_mjpeg(avi)
+    assert (w2, h2) == (w, h)
+    assert out == frames
+
+
+def test_avi_flat_q100_frame_decodes_exactly():
+    """The framesample oracle's premise: a FLAT frame at quality 100
+    (all-ones quant table, DC-only blocks) round-trips its gray level
+    EXACTLY, for every container geometry the builder emits."""
+    import hashlib
+
+    for mid in (0, 1, 5, 1234):
+        w = 16 + (mid % 3) * 8
+        h = 16 + (mid % 2) * 8
+        for idx in range(2 + mid % 6):
+            lvl = hashlib.sha256(f"{mid}:{idx}".encode()).digest()[0]
+            enc = M.encode_jpeg_gray(bytes([lvl]) * (w * h), w, h, quality=100)
+            dw, dh, px = M.decode_jpeg_gray(enc)
+            assert (dw, dh) == (w, h)
+            assert min(px) == max(px) == lvl
+
+
+def test_avi_rejects_non_mjpeg_by_name():
+    frames = [M.encode_jpeg_gray(bytes([7]) * 64, 8, 8, quality=100)]
+    avi = bytearray(M.encode_avi_mjpeg(frames, 8, 8))
+    pos = avi.find(b"MJPG")
+    avi[pos : pos + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        M.decode_avi_mjpeg(bytes(avi))
+    with pytest.raises(ValueError, match="not an AVI"):
+        M.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_avi_frame_sample_operator(spark):
+    """The Spark stages: build real AVI containers from doc_ids, parse
+    + sample + decode; per-frame extrema equal the sha-derived flat
+    level and the stride matches ceil(n_frames / 2)."""
+    import hashlib
+
+    df = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    out = M.avi_frame_sample(M.documents_as_mjpeg_avi(df), every_n=2).collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in out}
+    expect = 0
+    for mid in range(12):
+        n = 2 + mid % 6
+        for idx in range(0, n, 2):
+            expect += 1
+            r = by_key[(mid, idx)]
+            lvl = hashlib.sha256(f"{mid}:{idx}".encode()).digest()[0]
+            assert r.min_gray == r.max_gray == lvl
+            assert r.width == 16 + (mid % 3) * 8
+            assert r.height == 16 + (mid % 2) * 8
+    assert len(out) == expect
+
+
+def test_decode_media_dispatches_avi(spark):
+    """RIFF now forks on form type: WAVE -> PCM stats, AVI -> demux +
+    full per-frame JPEG decode stats."""
+    import hashlib
+
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    payload = M.documents_as_mjpeg_avi(df).first()["payload"]
+    media = spark.createDataFrame(
+        [(3, "video", bytes(payload), (32, 24, 5, "avi/mjpeg"))], M.MEDIA_SCHEMA
+    )
+    r = M.decode_media(media).first()
+    n = 2 + 3 % 6
+    w, h = 16 + (3 % 3) * 8, 16 + (3 % 2) * 8
+    levels = [hashlib.sha256(f"3:{i}".encode()).digest()[0] for i in range(n)]
+    assert r.format == "avi_mjpeg"
+    assert (r.width, r.height) == (w, h)
+    assert r.n_values == n * w * h
+    assert r.value_sum == sum(lvl * w * h for lvl in levels)
+    assert r.value_min == min(levels) and r.value_max == max(levels)
