@@ -191,13 +191,15 @@ BRUTE_FORCE_OK = {
                              # single bounded aggregate
     "split_leakage_audit",   # 1-row docs-rollup x 1-row pair-leak
                              # aggregate broadcast cross join into the
-                             # summary row; the truth join is an md5
-                             # equi-join and CC runs pre-checkpointed
+                             # summary row; the truth join is an
+                             # xxhash64 equi-join (r13 string-key
+                             # rule) and CC runs pre-checkpointed
     "eval_dedup_recall",     # three 1-row aggregate broadcast cross
                              # joins (n_truth x n_found x n_hit x
-                             # min-margin); the truth join is an md5
-                             # equi-join and the found set is the
-                             # dedup_minhash_lsh equi-join path
+                             # min-margin); the truth join is an
+                             # xxhash64 equi-join (r13) and the found
+                             # set is the dedup_minhash_lsh equi-join
+                             # path
     "eval_ann_recall",       # embeds brute_force_topk (broadcast(q)
                              # x vectors, no equi key) as the exact
                              # recall anchor — the same reason
@@ -210,8 +212,9 @@ BRUTE_FORCE_OK = {
                              # cross joins (n_truth x n_flagged x
                              # n_hit/margin) — same shape as
                              # eval_dedup_recall; the truth join is
-                             # an md5 equi-join and the detector is
-                             # corpus_contamination's gram equi-join
+                             # an xxhash64 equi-join (r13) and the
+                             # detector is corpus_contamination's
+                             # gram equi-join
     "eval_dim_truncation_recall",  # three brute_force_topk passes
                              # (broadcast(q) x vectors, no equi key —
                              # full-dim truth + the 16/32-dim
@@ -220,6 +223,14 @@ BRUTE_FORCE_OK = {
                              # joins are (query_id, vec_id)
                              # equi-joins and the per-query counts
                              # attach via a query_id equi-join
+    "eval_dsir_recall",      # (r13) 1-row weight-table totals + the
+                             # k/n_hit/n_nontarget 1-row aggregate
+                             # broadcast cross joins, plus
+                             # dist_rank's broadcast bucket-base
+                             # attach; the dup-pair truth join is an
+                             # xxhash64 equi-join, scoring a b-key
+                             # equi-join, the hit join a doc_id
+                             # equi-join
 }
 
 # Queries allowed an unpartitioned Window whose input is NOT already
