@@ -95,10 +95,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # decode_media's RIFF branch forked WAVE/AVI (so
     # multimodal_png_roundtrip re-gates, the r12 decode_media
     # precedent); and eval_dsir_recall is the r13 birth (item 6,
-    # leftover-slot amendment). Cost: 9 of the committed fills roll
-    # to r14 (5 func_* + 3 text_* r7 greens with family cover
-    # retained, and dedup_exact — llm keeps 15+ window rows), so the
-    # r7 drain completes at r14 instead of r13.
+    # leftover-slot amendment). Cost: 10 of the committed fills roll
+    # to r14 (5 func_* + 3 text_* + window_first_last r7 greens with
+    # family cover retained, and dedup_exact — llm keeps 15+ window
+    # rows), so the r7 drain completes at r14 instead of r13.
     #
     # (P1, committed at r12 close) xxhash64 gram keys since r9/r8
     # greens:
@@ -127,6 +127,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (new, r13) DSIR held-out-split selection eval (VERDICT r12
     # item 6) — leftover-slot amendment (r8):
     "eval_dsir_recall",
+    # (new, r13 second pass) packing regret vs a provably-tight
+    # optimal bound (the OTHER uncovered claim VERDICT r12 item 6
+    # named) — window_first_last rolls to r14 to make room:
+    "eval_packing_regret",
     # (P4, committed queue item a) 27 of the 35 remaining r7 greens
     # (the 8 rolled: func_collation_lcase, func_conditional,
     # func_date_arith, func_explode_outer, func_nullsafe_eq,
@@ -156,7 +160,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_boilerplate_blocks",        # also P1: xxhash64 block keys
     "text_perplexity_bigram",
     "text_quality",
-    "window_first_last",
     "window_ntile_global",
     "window_rank_dense",
     # (P5, committed queue item b) family reps the coverage gate
@@ -171,12 +174,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # mechanical; cohort ages below are post-r13):
 # (P1) none known yet — any r14 code/oracle change seats first, as
 #     always;
-# (a) the 9 fills displaced by this round's P1 amendments (8 r7
-#     greens + dedup_exact (r8)) — seating them first completes the
-#     r7 drain: func_collation_lcase, func_conditional,
-#     func_date_arith, func_explode_outer, func_nullsafe_eq,
-#     text_df_top_terms, text_fingerprint, text_mean_token_df,
-#     dedup_exact;
+# (a) the 10 fills displaced by this round's P1/birth amendments
+#     (9 r7 greens + dedup_exact (r8)) — seating them first
+#     completes the r7 drain: func_collation_lcase,
+#     func_conditional, func_date_arith, func_explode_outer,
+#     func_nullsafe_eq, text_df_top_terms, text_fingerprint,
+#     text_mean_token_df, window_first_last, dedup_exact;
 # (b) the 35 oldest r8 greens, family-spread, P5 reps first — the
 #     list the r12 close note carried (text_langid, embedding_kmeans,
 #     agg_cube, window_moving_avg, join_broadcast_dim,

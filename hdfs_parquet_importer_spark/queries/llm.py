@@ -3065,6 +3065,198 @@ def pack_strategy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_packing_regret",
+    oracle=f"""
+WITH planted AS (
+  SELECT [256, 512, 1024, 2048][
+           (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 4) + 1
+         ] AS len
+  FROM documents
+),
+pc AS (SELECT len, COUNT(*) AS cnt FROM planted GROUP BY len),
+pb AS (
+  SELECT CAST(SUM(len * cnt) AS BIGINT) AS total,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM((cnt + (8 // ((len + 255) // 256)) - 1)
+                  // (8 // ((len + 255) // 256))) AS BIGINT) AS bucketed
+  FROM pc
+),
+toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+mg AS ({_BPE_MERGES_SQL}),
+t AS (
+  SELECT n FROM (
+    SELECT CAST(list_sum([{_BPE_NTOK_SQL} for w in t if w != ''])
+                AS BIGINT) AS n
+    FROM toks CROSS JOIN mg)
+  WHERE n >= 1
+),
+rb AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM((n + 2047) // 2048) AS BIGINT) AS perdoc_seqs,
+         CAST(SUM((n - 1) // 2048) AS BIGINT) AS full_chunks
+  FROM t
+),
+rtails AS (SELECT ((n - 1) % 2048) + 1 AS tail FROM t),
+rbands AS (SELECT (tail + 255) // 256 AS band, COUNT(*) AS cnt
+           FROM rtails GROUP BY 1),
+rbuck AS (SELECT CAST(SUM((cnt + (8 // band) - 1) // (8 // band)) AS BIGINT)
+            AS tail_seqs FROM rbands),
+rows_ AS (
+  SELECT 'planted_divisor' AS workload, 'pad_per_doc' AS strategy,
+         n_docs AS n_sequences, (total + 2047) // 2048 AS bound_seqs,
+         total
+  FROM pb
+  UNION ALL
+  SELECT 'planted_divisor', 'pad_bucketed', bucketed,
+         (total + 2047) // 2048, total FROM pb
+  UNION ALL
+  SELECT 'planted_divisor', 'greedy_divisor', (total + 2047) // 2048,
+         (total + 2047) // 2048, total FROM pb
+  UNION ALL
+  SELECT 'real_bpe', 'pad_per_doc', perdoc_seqs,
+         (total + 2047) // 2048, total FROM rb
+  UNION ALL
+  SELECT 'real_bpe', 'pad_bucketed', full_chunks + tail_seqs,
+         (total + 2047) // 2048, total FROM rb, rbuck
+  UNION ALL
+  SELECT 'real_bpe', 'concat_chunk', (total + 2047) // 2048,
+         (total + 2047) // 2048, total FROM rb
+)
+SELECT workload, strategy,
+       CAST(n_sequences AS BIGINT) AS n_sequences,
+       CAST(bound_seqs AS BIGINT) AS bound_seqs,
+       ROUND(n_sequences / (1.0 * bound_seqs), 6) AS regret,
+       ROUND(total / (n_sequences * 2048.0), 6) AS utilization
+FROM rows_
+ORDER BY workload, strategy
+""",
+    doc="Packing-efficiency EVAL against an optimal bound (VERDICT "
+    "r12 item 6: pack_strategy_waste reports utilization ~0.95 but "
+    "never against an optimum — this query closes that gap on both "
+    "a provably-tight and a real workload). Budget L=2048. "
+    "WORKLOAD 'planted_divisor': each doc gets a planted length "
+    "256*2^(ascii(md5(doc_id)[0]) mod 4) in {256,512,1024,2048} — a "
+    "divisor chain, so largest-first greedy packs with ZERO internal "
+    "fragmentation (induction: after placing all items of each size "
+    "s, every bin's leftover is a multiple of s, and every smaller "
+    "size divides s — so each next class fills leftovers exactly "
+    "before opening bins) and the LP lower bound ceil(total/L) IS "
+    "the no-split optimum. Regret is therefore EXACT here: "
+    "pad_per_doc pays ~2.1x (one bin per doc at mean len ~960), "
+    "pad_bucketed's 256-token banding lands within a few "
+    "part-filled bins of optimal, greedy_divisor achieves 1.0 by "
+    "construction. WORKLOAD 'real_bpe': the same three-strategy "
+    "comparison as pack_strategy_waste on REAL learned-BPE token "
+    "counts, now reported as regret vs the same ceil(total/L) lower "
+    "bound (tight for concat_chunk, a valid floor for the no-split "
+    "strategies — the planted workload calibrates how close "
+    "banding gets when the bound IS achievable). SCALE: planted leg "
+    "is one scan-side md5 projection -> 4-row class groupBy -> "
+    "1-row arithmetic agg; real leg reuses the one-pass BPE encode "
+    "projection (broadcast 16-rule merge table) -> two bounded "
+    "aggregates + a <=8-row band groupBy; the only cross joins are "
+    "1-row broadcast totals. No windows, no driver loops; every "
+    "strategy count is integer arithmetic, so the oracle matches "
+    "exactly (regret/utilization are ROUND(6) doubles of "
+    "identical-integer quotients).",
+)
+def eval_packing_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators import bpe
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    # Planted divisor-chain lengths: identical md5-derived class on
+    # both engines (md5 of the decimal doc_id string; ascii of its
+    # first hex char mod 4 picks the size class).
+    cls = (
+        F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 4
+    )
+    planted = docs.select(
+        F.element_at(
+            F.array(F.lit(256), F.lit(512), F.lit(1024), F.lit(2048)),
+            (cls + 1).cast("int"),
+        )
+        .cast("long")
+        .alias("len")
+    )
+    pc = planted.groupBy("len").agg(F.count(F.lit(1)).alias("cnt"))
+    pb = pc.agg(
+        F.sum(F.col("len") * F.col("cnt")).cast("long").alias("total"),
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum(
+            F.expr(
+                "(cnt + (8 div ((len + 255) div 256)) - 1)"
+                " div (8 div ((len + 255) div 256))"
+            )
+        )
+        .cast("long")
+        .alias("bucketed"),
+    )
+    # Real-BPE leg: same machinery as pack_strategy_waste.
+    merges = bpe.learn_merges(docs, "text", k=16)
+    t = (
+        bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
+        .select(F.col("n_tokens_bpe").cast("long").alias("n"))
+        .filter(F.col("n") >= 1)
+    )
+    rb = t.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.expr("(n + 2047) div 2048")).cast("long").alias(
+            "perdoc_seqs"
+        ),
+        F.sum(F.expr("(n - 1) div 2048")).cast("long").alias(
+            "full_chunks"
+        ),
+    )
+    rbands = (
+        t.select(
+            (((F.col("n") - 1) % 2048 + 1 + 255) / 256)
+            .cast("long")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rbuck = rbands.agg(
+        F.sum(F.expr("(cnt + (8 div band) - 1) div (8 div band)"))
+        .cast("long")
+        .alias("tail_seqs")
+    )
+    rbj = rb.crossJoin(F.broadcast(rbuck))
+    bound = F.expr("(total + 2047) div 2048").cast("long")
+
+    def _row(src: DataFrame, workload: str, strategy: str, nseq) -> DataFrame:
+        nseq = nseq.cast("long")
+        return src.select(
+            F.lit(workload).alias("workload"),
+            F.lit(strategy).alias("strategy"),
+            nseq.alias("n_sequences"),
+            bound.alias("bound_seqs"),
+            F.round(nseq / bound, 6).alias("regret"),
+            F.round(F.col("total") / (nseq * F.lit(2048.0)), 6).alias(
+                "utilization"
+            ),
+        )
+
+    rows = (
+        _row(pb, "planted_divisor", "pad_per_doc", F.col("n_docs"))
+        .unionAll(_row(pb, "planted_divisor", "pad_bucketed", F.col("bucketed")))
+        .unionAll(_row(pb, "planted_divisor", "greedy_divisor", bound))
+        .unionAll(_row(rb, "real_bpe", "pad_per_doc", F.col("perdoc_seqs")))
+        .unionAll(
+            _row(
+                rbj,
+                "real_bpe",
+                "pad_bucketed",
+                F.col("full_chunks") + F.col("tail_seqs"),
+            )
+        )
+        .unionAll(_row(rb, "real_bpe", "concat_chunk", bound))
+    )
+    return rows.orderBy("workload", "strategy")
+
+
+@register(
     "ann_mips_topk",
     oracle="""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -128,6 +128,10 @@ BRUTE_FORCE_OK = {
     "pack_strategy_waste",   # 1-row corpus-totals x 1-row band-packed
                              # tail-count broadcast cross join feeding
                              # the three strategy rows
+    "eval_packing_regret",   # (r13) same shapes: 1-row merge-table
+                             # broadcast for the BPE counts + 1-row
+                             # totals x 1-row tail-count cross join
+                             # feeding the six strategy rows
     "tokenize_bpe_encode",   # 1-row merge-table (array of 16 pairs)
                              # broadcast cross join feeding the encode
                              # fold — the BPE "model broadcast"
