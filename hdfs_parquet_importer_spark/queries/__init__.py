@@ -131,6 +131,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # optimal bound (the OTHER uncovered claim VERDICT r12 item 6
     # named) — window_first_last rolls to r14 to make room:
     "eval_packing_regret",
+    # (P1, r13 second pass) one-pass checkpoint fix: the encode fold
+    # ran ~6x per execution through the union branches; values
+    # unchanged but code changed, so it re-gates. window_rank_dense
+    # rolls to r14 (windows keeps window_ntile_global + the three
+    # window_* llm rows):
+    "pack_strategy_waste",
     # (P4, committed queue item a) 27 of the 35 remaining r7 greens
     # (the 8 rolled: func_collation_lcase, func_conditional,
     # func_date_arith, func_explode_outer, func_nullsafe_eq,
@@ -161,7 +167,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_perplexity_bigram",
     "text_quality",
     "window_ntile_global",
-    "window_rank_dense",
     # (P5, committed queue item b) family reps the coverage gate
     # requires (tpch / subqueries / events / pandas_surface have no
     # rep above); dedup_exact, the queue's fifth fill, rolls to r14:
@@ -174,12 +179,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # mechanical; cohort ages below are post-r13):
 # (P1) none known yet — any r14 code/oracle change seats first, as
 #     always;
-# (a) the 10 fills displaced by this round's P1/birth amendments
-#     (9 r7 greens + dedup_exact (r8)) — seating them first
+# (a) the 11 fills displaced by this round's P1/birth amendments
+#     (10 r7 greens + dedup_exact (r8)) — seating them first
 #     completes the r7 drain: func_collation_lcase,
 #     func_conditional, func_date_arith, func_explode_outer,
 #     func_nullsafe_eq, text_df_top_terms, text_fingerprint,
-#     text_mean_token_df, window_first_last, dedup_exact;
+#     text_mean_token_df, window_first_last, window_rank_dense,
+#     dedup_exact;
 # (b) the 35 oldest r8 greens, family-spread, P5 reps first — the
 #     list the r12 close note carried (text_langid, embedding_kmeans,
 #     agg_cube, window_moving_avg, join_broadcast_dim,

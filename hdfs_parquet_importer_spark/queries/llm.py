@@ -3000,10 +3000,16 @@ def pack_strategy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     merges = bpe.learn_merges(docs, "text", k=16)
+    # Eager checkpoint (r13): the doc claims ONE token-count pass, but
+    # without it the encode-fold subtree feeds base AND tails, each
+    # referenced by multiple union branches — the optimizer keeps a
+    # copy per branch and the fold executed ~6x per run. Checkpointing
+    # the one-long-per-doc count table makes the single pass real.
     t = (
         bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
         .select(F.col("n_tokens_bpe").cast("long").alias("n"))
         .filter(F.col("n") >= 1)
+        .localCheckpoint(eager=True)
     )
     base = t.agg(
         F.sum("n").cast("long").alias("total_tokens"),
@@ -3192,12 +3198,17 @@ def eval_packing_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucketed"),
     )
-    # Real-BPE leg: same machinery as pack_strategy_waste.
+    # Real-BPE leg: same machinery as pack_strategy_waste. The encode
+    # fold is the expensive part and its output here is ONE long per
+    # doc — checkpoint it eagerly so the fold runs once, not once per
+    # union branch (rb feeds three strategy rows and rbands a fourth;
+    # without this the optimizer re-executes the fold per subtree).
     merges = bpe.learn_merges(docs, "text", k=16)
     t = (
         bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
         .select(F.col("n_tokens_bpe").cast("long").alias("n"))
         .filter(F.col("n") >= 1)
+        .localCheckpoint(eager=True)
     )
     rb = t.agg(
         F.sum("n").cast("long").alias("total"),
