@@ -2417,6 +2417,186 @@ def jpeg_color_roundtrip_error(df: DataFrame, quality: int = 90) -> DataFrame:
     return df.mapInPandas(check, JPEG_ROUNDTRIP_SCHEMA)
 
 
+def _gray_gradient(mid: int, w: int, h: int) -> bytes:
+    """Row-major gray gradient ``20 + id%40 + 2x + 3y`` as raw bytes —
+    the multimodal_jpeg_roundtrip pixel formula, generated with numpy
+    instead of the interpreted Catalyst ``transform(sequence(...))``
+    (r13 optimization, guide §4.2: interpreted per-element HOF
+    evaluation plus the Arrow transfer of the pixel array cost more
+    than the codec itself; values are integer-exact either way)."""
+    import numpy as np
+
+    row = 20 + mid % 40 + 2 * np.arange(w, dtype=np.int64)
+    img = row[None, :] + 3 * np.arange(h, dtype=np.int64)[:, None]
+    return img.astype(np.uint8).tobytes()
+
+
+def _rgb_gradient(mid: int, w: int, h: int) -> bytes:
+    """Interleaved RGB gradient of multimodal_jpeg_color_roundtrip
+    (R = 20+id%40+2x+3y, G = 10+(id%40)//2+3x+2y, B = 40+id%20+x+4y),
+    numpy twin of the query's former Catalyst formula."""
+    import numpy as np
+
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    r = 20 + mid % 40 + 2 * x + 3 * y
+    g = 10 + (mid % 40) // 2 + 3 * x + 2 * y
+    b = 40 + mid % 20 + x + 4 * y
+    return (
+        np.stack(
+            [
+                np.broadcast_to(r, (h, w)),
+                np.broadcast_to(g, (h, w)),
+                np.broadcast_to(b, (h, w)),
+            ],
+            axis=-1,
+        )
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
+def jpeg_gradient_roundtrip(
+    df: DataFrame, quality: int = 90, progressive: bool = False
+) -> DataFrame:
+    """Fused generate+roundtrip stage for the gradient corpus:
+    (media_id, width, height) -> the :func:`jpeg_roundtrip_error`
+    output (plus ``matches_sequential`` when ``progressive``), with
+    the gradient pixels generated IN the task (``_gray_gradient``)
+    instead of arriving as a Catalyst array column. One Python stage,
+    three small int columns across the Arrow boundary instead of a
+    per-pixel array — guide §4.1/§4.2 (r13 optimization; the decode
+    and encode passes are unchanged)."""
+    schema = JPEG_PROGRESSIVE_SCHEMA if progressive else JPEG_ROUNDTRIP_SCHEMA
+
+    def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h in zip(
+                pdf["media_id"], pdf["width"], pdf["height"]
+            ):
+                mid, w, h = int(mid), int(w), int(h)
+                raw = _gray_gradient(mid, w, h)
+                if progressive:
+                    _, _, dec = decode_jpeg_gray(
+                        encode_jpeg_gray_progressive(raw, w, h, quality=quality)
+                    )
+                    _, _, dec_b = decode_jpeg_gray(
+                        encode_jpeg_gray(raw, w, h, quality=quality)
+                    )
+                else:
+                    _, _, dec = decode_jpeg_gray(
+                        encode_jpeg_gray(raw, w, h, quality=quality)
+                    )
+                err = int(
+                    np.abs(
+                        np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                        - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    ).max()
+                )
+                if progressive:
+                    rows.append((mid, w, h, w * h, err, dec == dec_b))
+                else:
+                    rows.append((mid, w, h, w * h, err))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(check, schema)
+
+
+def jpeg_gradient_color_roundtrip(df: DataFrame, quality: int = 90) -> DataFrame:
+    """Color twin of :func:`jpeg_gradient_roundtrip`: (media_id,
+    width, height, subsampling) -> :func:`jpeg_color_roundtrip_error`
+    output, RGB gradient generated task-side (``_rgb_gradient``)."""
+
+    def check(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, w, h, sub in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["subsampling"],
+            ):
+                mid, w, h = int(mid), int(w), int(h)
+                raw = _rgb_gradient(mid, w, h)
+                _, _, dec = decode_jpeg_rgb(
+                    encode_jpeg_rgb(
+                        raw, w, h, quality=quality, subsampling=str(sub)
+                    )
+                )
+                err = int(
+                    np.abs(
+                        np.frombuffer(dec, dtype=np.uint8).astype(np.int64)
+                        - np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    ).max()
+                )
+                rows.append((mid, w, h, w * h, err))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "max_abs_err",
+                ],
+            )
+
+    return df.mapInPandas(check, JPEG_ROUNDTRIP_SCHEMA)
+
+
+def mjpeg_framesample_fused(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Fused build+sample stage for the synthetic MJPEG corpus:
+    (doc_id) -> the :func:`avi_frame_sample` output, with the AVI
+    container born, parsed, demuxed and frame-decoded inside ONE
+    Python evaluation. The unfused pipeline
+    (``avi_frame_sample(documents_as_mjpeg_avi(df))``) chains two
+    ``mapInPandas`` evaluations in one stage, so every container
+    payload crosses the Arrow boundary twice (Python -> JVM ->
+    Python); since the generator is query-local synthesis (at 100 TB
+    the payload column comes from parquet and the two-stage shape
+    stands), fusing it is free (r13 optimization, guide §4.1). The
+    container encode/parse/decode helpers are byte-identical to the
+    unfused operators'."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [],
+                "height": [], "min_gray": [], "max_gray": [],
+            }
+            for i in pdf["doc_id"]:
+                mid = int(i)
+                w = 16 + (mid % 3) * 8
+                h = 16 + (mid % 2) * 8
+                frames = [
+                    encode_jpeg_gray(
+                        bytes(
+                            [hashlib.sha256(f"{mid}:{idx}".encode()).digest()[0]]
+                        )
+                        * (w * h),
+                        w,
+                        h,
+                        quality=100,
+                    )
+                    for idx in range(2 + mid % 6)
+                ]
+                _, _, demuxed = decode_avi_mjpeg(encode_avi_mjpeg(frames, w, h))
+                for idx in range(0, len(demuxed), every_n):
+                    dw, dh, px = decode_jpeg_gray(demuxed[idx])
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(dw)
+                    out["height"].append(dh)
+                    out["min_gray"].append(min(px) if px else 0)
+                    out["max_gray"].append(max(px) if px else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id").mapInPandas(run, AVI_FRAMES_SCHEMA)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Decode stage with REAL codecs, dispatching on payload magic:
     PNG -> pixel statistics (CRC-verified, inflated, un-filtered),

@@ -1119,33 +1119,28 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators import multimodal as M
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
+    # r13 optimization: pixels are generated task-side with numpy
+    # inside the same mapInPandas as the codec (guide §4.1/§4.2 — the
+    # former Catalyst transform(sequence(...)) generator was
+    # interpreted per element and shipped the whole pixel array across
+    # the Arrow boundary), and the terminal presentation orderBy is
+    # dropped (guide §2.4: the driver's value digest is
+    # order-insensitive, and the rangepartitioning sampling pass
+    # re-executed the entire codec subtree a second time per run).
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     gen = docs.select(
         F.col("doc_id").alias("media_id"),
         (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
         (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
-    ).withColumn(
-        "pixels",
-        F.transform(
-            F.sequence(
-                F.lit(0), (F.col("width") * F.col("height") - 1).cast("int")
-            ),
-            lambda i: (
-                F.lit(20)
-                + F.col("media_id") % 40
-                + (i % F.col("width")) * 2
-                + F.floor(i / F.col("width")) * 3
-            ).cast("int"),
-        ),
     )
-    checked = M.jpeg_roundtrip_error(gen, quality=90)
+    checked = M.jpeg_gradient_roundtrip(gen, quality=90)
     return checked.select(
         "media_id",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
+        "width",
+        "height",
         "n_pixels",
         (F.col("max_abs_err") <= 4).alias("within_tol"),
-    ).orderBy("media_id")
+    )
 
 
 @register(
@@ -1195,34 +1190,24 @@ def multimodal_jpeg_progressive_roundtrip(
     from hdfs_parquet_importer_spark.operators import multimodal as M
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
+    # r13 optimization: task-side numpy pixel generation fused into
+    # the codec mapInPandas + terminal presentation orderBy dropped —
+    # same rationale as multimodal_jpeg_roundtrip (guide §2.4, §4.1).
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     gen = docs.select(
         F.col("doc_id").alias("media_id"),
         (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
         (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
-    ).withColumn(
-        "pixels",
-        F.transform(
-            F.sequence(
-                F.lit(0), (F.col("width") * F.col("height") - 1).cast("int")
-            ),
-            lambda i: (
-                F.lit(20)
-                + F.col("media_id") % 40
-                + (i % F.col("width")) * 2
-                + F.floor(i / F.col("width")) * 3
-            ).cast("int"),
-        ),
     )
-    checked = M.jpeg_progressive_roundtrip_error(gen, quality=90)
+    checked = M.jpeg_gradient_roundtrip(gen, quality=90, progressive=True)
     return checked.select(
         "media_id",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
+        "width",
+        "height",
         "n_pixels",
         (F.col("max_abs_err") <= 4).alias("within_tol"),
         "matches_sequential",
-    ).orderBy("media_id")
+    )
 
 
 @register(
@@ -1267,60 +1252,33 @@ def multimodal_jpeg_color_roundtrip(
     from hdfs_parquet_importer_spark.operators import multimodal as M
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
+    # r13 optimization: task-side numpy RGB generation fused into the
+    # codec mapInPandas + terminal presentation orderBy dropped — same
+    # rationale as multimodal_jpeg_roundtrip (guide §2.4, §4.1; the
+    # former Catalyst transform(sequence(...)) emitted 3*w*h values
+    # per row through an interpreted 3-way CASE).
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     gen = docs.select(
         F.col("doc_id").alias("media_id"),
         (F.lit(8) + F.col("doc_id") % 9).cast("int").alias("width"),
         (F.lit(8) + F.col("doc_id") % 7).cast("int").alias("height"),
-    ).withColumn(
-        "rgb",
-        F.transform(
-            F.sequence(
-                F.lit(0),
-                (F.col("width") * F.col("height") * 3 - 1).cast("int"),
-            ),
-            lambda i: (
-                F.when(
-                    i % 3 == 0,
-                    F.lit(20)
-                    + F.col("media_id") % 40
-                    + (F.floor(i / 3) % F.col("width")) * 2
-                    + F.floor(F.floor(i / 3) / F.col("width")) * 3,
-                )
-                .when(
-                    i % 3 == 1,
-                    F.lit(10)
-                    + F.floor((F.col("media_id") % 40) / 2)
-                    + (F.floor(i / 3) % F.col("width")) * 3
-                    + F.floor(F.floor(i / 3) / F.col("width")) * 2,
-                )
-                .otherwise(
-                    F.lit(40)
-                    + F.col("media_id") % 20
-                    + F.floor(i / 3) % F.col("width")
-                    + F.floor(F.floor(i / 3) / F.col("width")) * 4
-                )
-            ).cast("int"),
-        ),
-    ).withColumn(
-        "subsampling",
-        F.when(F.col("media_id") % 2 == 0, F.lit("444")).otherwise(
-            F.lit("420")
-        ),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("444"))
+        .otherwise(F.lit("420"))
+        .alias("subsampling"),
     )
-    checked = M.jpeg_color_roundtrip_error(gen, quality=90)
+    checked = M.jpeg_gradient_color_roundtrip(gen, quality=90)
     sub = F.when(F.col("media_id") % 2 == 0, F.lit("444")).otherwise(
         F.lit("420")
     )
     tol = F.when(sub == "444", F.lit(4)).otherwise(F.lit(6))
     return checked.select(
         "media_id",
-        F.col("width").cast("long").alias("width"),
-        F.col("height").cast("long").alias("height"),
+        "width",
+        "height",
         "n_pixels",
         sub.alias("subsampling"),
         (F.col("max_abs_err") <= tol).alias("within_tol"),
-    ).orderBy("media_id")
+    )
 
 
 @register(
@@ -3602,9 +3560,14 @@ def multimodal_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators import multimodal as M
     from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 
+    # r13 optimization: container build + parse + demux + frame decode
+    # fused into ONE mapInPandas (the unfused chain shipped every AVI
+    # payload Python -> JVM -> Python through two Arrow crossings) and
+    # the presentation orderBy dropped (guide §4.1, §2.4). At 100 TB
+    # payloads come from parquet and the unfused avi_frame_sample
+    # operator stands unchanged.
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    frames = M.avi_frame_sample(M.documents_as_mjpeg_avi(docs), every_n=2)
-    return frames.orderBy("media_id", "frame_idx")
+    return M.mjpeg_framesample_fused(docs, every_n=2)
 
 
 @register(
