@@ -279,47 +279,104 @@ def encode_tokens(word: Column, merges: Column) -> Column:
     encodes to an empty ARRAY (filtered split), agreeing with
     :func:`token_count`'s 0 — a bare split of the unframed '' would
     yield [''] and disagree by one."""
-    framed = encode_framed(word, merges)
-    inner = F.substring(framed, 2, F.length(framed) - 2)
-    return F.filter(
-        F.split(inner, "[" + SEP + "]"), lambda t: t != F.lit("")
+    s0 = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP))
+    return F.aggregate(
+        merges,
+        s0,
+        merge_pass,
+        # finish lambda binds the framed accumulator once (see
+        # token_count) instead of re-running the fold for the
+        # substring bound and the split input.
+        lambda framed: F.filter(
+            F.split(
+                F.substring(framed, 2, F.length(framed) - 2),
+                "[" + SEP + "]",
+            ),
+            lambda t: t != F.lit(""),
+        ),
     )
 
 
 def token_count(word: Column, merges: Column) -> Column:
     """Token count after encoding = separators - 1, counted without
-    materializing the split array."""
-    framed = encode_framed(word, merges)
-    return (
-        F.length(framed)
-        - F.length(F.replace(framed, F.lit(SEP), F.lit("")))
-        - F.lit(1)
+    materializing the split array.
+
+    The count is computed in ``aggregate``'s *finish* lambda so the
+    fold's accumulator is bound once: referencing the framed result
+    from two sibling expressions (``length(framed)`` and
+    ``replace(framed, ...)``) duplicates the whole encode fold in the
+    plan — higher-order functions are CodegenFallback, so no
+    subexpression elimination rescues it and the fold genuinely ran
+    twice per word (r13 measurement: the encode projection halved
+    when the second evaluation went away)."""
+    s0 = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP))
+    return F.aggregate(
+        merges,
+        s0,
+        merge_pass,
+        lambda framed: (
+            F.length(framed)
+            - F.length(F.replace(framed, F.lit(SEP), F.lit("")))
+            - F.lit(1)
+        ),
+    )
+
+
+def vocab_token_counts(
+    docs: DataFrame, text_col: str, merges: DataFrame
+) -> DataFrame:
+    """Distinct words with their encoded BPE token count ``(w,
+    _wtok)`` — the encode fold runs once per VOCABULARY entry, not
+    once per corpus occurrence (the same Sennrich trainer reduction
+    :func:`word_counts` applies to learning, now applied to
+    encoding). The fold's cost becomes sublinear in corpus bytes;
+    the corpus-sized pass that remains is a plain tokenize."""
+    vocab = (
+        docs.select(F.explode(D.tokens(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    return vocab.crossJoin(F.broadcast(merges)).select(
+        "w", token_count(F.col("w"), F.col("merges")).alias("_wtok")
     )
 
 
 def doc_token_counts(
     docs: DataFrame, id_cols: list[str], text_col: str, merges: DataFrame
 ) -> DataFrame:
-    """Per-document REAL BPE token count (plus word/char counts) in a
-    single scan-side projection: tokenize once per row, fold the
-    broadcast merges over every word, sum sizes — no explode, no
-    shuffle before the caller's aggregation."""
-    toks = docs.select(
+    """Per-document REAL BPE token count (plus word/char counts).
+
+    r13 optimization (guide §8 — decide with small rows): the encode
+    fold is O(len^2) interpreted string building per (word, rule) and
+    used to run on every word OCCURRENCE inside a per-row projection
+    — at sf0.1 that is 270,704 fold evaluations for a corpus whose
+    vocabulary holds 31 distinct words (and the twice-referenced
+    fold result doubled it; see :func:`token_count`). Now the fold
+    runs once per distinct word (:func:`vocab_token_counts`), the
+    per-word counts come back via a broadcast hash join on ``w``,
+    and per-document sums are a map-side partial aggregation —
+    integer-identical output, vocabulary-sized fold work.
+    ``explode_outer`` keeps zero-token documents as (0, 0, 0) rows
+    exactly as the old projection did; casts pin the three counts to
+    the projection's original ``int`` so downstream schemas are
+    unchanged."""
+    per_word = vocab_token_counts(docs, text_col, merges)
+    words = docs.select(
         *id_cols,
-        F.filter(D.tokens(F.col(text_col)), lambda w: w != "").alias("_t"),
+        F.explode_outer(
+            F.filter(D.tokens(F.col(text_col)), lambda w: w != "")
+        ).alias("w"),
     )
-    m = F.col("merges")
-    return toks.crossJoin(F.broadcast(merges)).select(
-        *id_cols,
-        F.size("_t").alias("n_words"),
-        F.aggregate(
-            F.transform("_t", lambda w: F.length(w)),
-            F.lit(0),
-            lambda a, x: a + x,
-        ).alias("n_chars"),
-        F.aggregate(
-            F.transform("_t", lambda w: token_count(w, m)),
-            F.lit(0),
-            lambda a, x: a + x,
-        ).alias("n_tokens_bpe"),
+    return (
+        words.join(F.broadcast(per_word), ["w"], "left")
+        .groupBy(*id_cols)
+        .agg(
+            F.count("w").cast("int").alias("n_words"),
+            F.coalesce(F.sum(F.length("w")), F.lit(0))
+            .cast("int")
+            .alias("n_chars"),
+            F.coalesce(F.sum("_wtok"), F.lit(0))
+            .cast("int")
+            .alias("n_tokens_bpe"),
+        )
     )

@@ -725,7 +725,9 @@ def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("n_chars").cast("double") / F.sum("n_tokens_bpe"), 6
             ).alias("chars_per_token"),
         )
-        .orderBy("source")
+        # r13: terminal presentation orderBy dropped (driver digest is
+        # order-insensitive; the rangepartitioning sample pass cost
+        # 2.1 s on a 5-row result — guide §2.4, multimodal precedent).
     )
 
 
@@ -823,12 +825,14 @@ FROM toks CROSS JOIN mg
     doc="Tokenizer-design sweep: corpus token count and compression "
     "at merge-table sizes K in {0, 4, 8, 16} — the marginal-utility "
     "curve (each doubling of the merge budget buys less compression) "
-    "that decides how large a vocabulary is worth training. ONE "
-    "corpus pass: every document folds all four table prefixes "
-    "(slice of the single broadcast 16-rule array) in the same "
-    "scan-side projection, explodes the 4-element (k, count) struct "
-    "array, and re-aggregates by k — the explode multiplies rows by "
-    "|K|=4, not by tokens. K=0 is the character baseline (tokens == "
+    "that decides how large a vocabulary is worth training. The "
+    "encode fold runs over the frequency-weighted DISTINCT-WORDS "
+    "table (vocabulary-sized, the Sennrich trainer reduction — the "
+    "sweep outputs corpus totals only, so weighted per-word counts "
+    "sum to the identical integers), each word folding all four "
+    "table prefixes (slice of the single broadcast 16-rule array), "
+    "then explodes the 4-element (k, count) struct array and "
+    "re-aggregates by k. K=0 is the character baseline (tokens == "
     "chars, so chars_per_token == 1 exactly — a built-in "
     "self-check). Integer-exact cross-engine via the same nested "
     "fold as tokenize_bpe_encode.",
@@ -838,35 +842,29 @@ def tokenize_bpe_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     merges = bpe.learn_merges(docs, "text", k=16)
-    toks = docs.select(
-        "doc_id",
-        F.filter(D.tokens(F.col("text")), lambda w: w != "").alias("_t"),
-    )
-    def _counter(k: int):
-        # NB: a two-parameter lambda would make PySpark bind the
-        # second parameter to the ELEMENT INDEX (transform's (x, i)
-        # form) — close over k via a factory instead.
-        return lambda w: bpe.token_count(w, F.slice(F.col("merges"), 1, k))
-
+    # r13: the sweep's output is corpus totals only, so the encode
+    # fold runs on the frequency-weighted DISTINCT-WORDS table (the
+    # same Sennrich reduction tokenize_bpe_multiround already rides)
+    # instead of once per word occurrence x 4 prefixes — identical
+    # integer sums, vocabulary-sized fold work (guide §8: decide with
+    # small rows).
+    words = bpe.word_counts(docs, "text")
     entries = F.array(
         *[
             F.struct(
                 F.lit(k).alias("k_merges"),
-                F.aggregate(
-                    F.transform("_t", _counter(k)),
-                    F.lit(0),
-                    lambda a, x: a + x,
+                (
+                    F.col("wn")
+                    * bpe.token_count(
+                        F.col("w"), F.slice(F.col("merges"), 1, k)
+                    )
                 ).alias("n_tok"),
             )
             for k in _SWEEP_KS
         ]
     )
-    per = toks.crossJoin(F.broadcast(merges)).select(
-        F.aggregate(
-            F.transform("_t", lambda w: F.length(w)),
-            F.lit(0),
-            lambda a, x: a + x,
-        ).alias("n_chars"),
+    per = words.crossJoin(F.broadcast(merges)).select(
+        (F.col("wn") * F.length("w")).alias("n_chars"),
         F.explode(entries).alias("e"),
     )
     return (
