@@ -340,6 +340,22 @@ def triangles(
     that already aggregated degrees (e.g. for a wedge denominator)
     share ONE degree pass instead of shuffling the edge list twice.
     """
+    return triangles_of_oriented(oriented_edges(edges, src, dst, deg))
+
+
+def oriented_edges(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """Degree-ordered orientation ``(a, b, deg_b)`` of an undirected
+    edge list — step 2 of :func:`triangles`, exposed separately so a
+    caller can materialize it ONCE: :func:`triangles_of_oriented`
+    reads it three times (both wedge legs + the closure semi-join),
+    and without a checkpoint Catalyst re-executes the two degree
+    joins per consumer (r13: the sf0.1 plan held the identical
+    4-exchange subtree three times)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if deg is None:
         deg = (
@@ -352,11 +368,16 @@ def triangles(
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     ed = e.join(du, "u").join(dv, "v")
     fwd = F.struct("deg_u", "u") < F.struct("deg_v", "v")
-    oriented = ed.select(
+    return ed.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_b"),
     )
+
+
+def triangles_of_oriented(oriented: DataFrame) -> DataFrame:
+    """Wedge + closure legs of :func:`triangles` over a precomputed
+    ``(a, b, deg_b)`` orientation (see :func:`oriented_edges`)."""
     e1 = oriented.select("a", "b", "deg_b")
     e2 = oriented.select(
         F.col("a"), F.col("b").alias("c"), F.col("deg_b").alias("deg_c")

@@ -667,7 +667,7 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "state",
         "version",
-    ).orderBy("user_id", "day")
+    )
 
 
 @register(

@@ -766,7 +766,6 @@ def events_dau_wau_mtd(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit(mtd_mask - wau_lo).alias("wau"),
             hit(mtd_mask).alias("mtd_au"),
         )
-        .orderBy("day_of_jan")
     )
 
 

@@ -122,22 +122,46 @@ def _co_activity_edges(ev: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _MIN_SHARED_BUCKETS)
     )
+    # r13: both directions come from ONE explode instead of a
+    # unionAll of two selects over `cand` — the union's branches each
+    # re-executed the candidate join+aggregate subtree (guide §2.4:
+    # remove duplicated work feeding an exchange).
     dirx = cand.select(
-        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
-    ).unionAll(
-        cand.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("w").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
     wk = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
     kept = (
         dirx.withColumn("r", F.row_number().over(wk))
         .filter(F.col("r") <= _KNN)
         .select("src", "dst")
     )
-    rev = kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # r13: mutuality via ONE unordered-pair aggregate — a directed
+    # pair is unique within `kept`, so an undirected pair kept by
+    # both endpoints appears exactly twice. The former reversed-key
+    # left-semi self-join re-executed the entire candidate+window
+    # pipeline for its build side (guide §2.4); the count==2 filter
+    # keeps the identical edge set with a single exchange.
     return (
-        kept.join(rev, ["src", "dst"], "left_semi")
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        kept.groupBy(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select("u", "v")
     )
 
 
@@ -191,7 +215,10 @@ FROM wed, ne, tri
     "single division, ROUND(6).",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hdfs_parquet_importer_spark.operators.graph import triangles
+    from hdfs_parquet_importer_spark.operators.graph import (
+        oriented_edges,
+        triangles_of_oriented,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     # The edge list feeds FIVE consumers (degrees, both orientation
@@ -205,7 +232,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # triangles()'s orientation (its deg parameter exists for this).
     deg = _degrees(edges).localCheckpoint(eager=True)
 
-    n_tri = triangles(edges, deg=deg).agg(
+    # r13: the oriented-edge table feeds THREE consumers inside the
+    # wedge+closure legs (both self-join sides and the closure
+    # semi-join); without materialization the 2-join/4-exchange
+    # orientation subtree ran three times (plan before/after in
+    # plans/r13/). Checkpoint once, same rationale as `edges` above.
+    oriented = oriented_edges(edges, deg=deg).localCheckpoint(eager=True)
+    n_tri = triangles_of_oriented(oriented).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
     wed = deg.agg(

@@ -2581,7 +2581,6 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cmax").cast("bigint").alias("max_code"),
             F.round(F.sum("sqerr") * 1000, 4).alias("sq_err_sum_x1k"),
         )
-        .orderBy("label")
     )
 
 
@@ -4030,7 +4029,6 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.md5(F.array_join("kept", " ")).alias("kept_md5"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4159,7 +4157,7 @@ def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "n_hit",
         F.round(F.col("n_hit") / F.lit(10.0), 6).alias("recall"),
-    ).orderBy("n_dims", "query_id")
+    )
 
 
 @register(

@@ -212,7 +212,6 @@ def mix_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
             F.sum("doc_id").alias("id_sum"),
         )
-        .orderBy("source")
     )
 
 
@@ -327,7 +326,6 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -477,7 +475,6 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars_total"),
             F.sum("doc_id").alias("id_sum"),
         )
-        .orderBy("lang")
     )
 
 
@@ -529,7 +526,6 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
             F.round(F.col("cum") / F.col("_total"), 6).alias("cum_coverage"),
         )
-        .orderBy(F.desc("n_occurrences"), "term")
     )
 
 
@@ -1483,7 +1479,6 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("bits"), 4).alias("avg_bits"),
         )
-        .orderBy("source", "bucket")
     )
 
 
@@ -1628,7 +1623,6 @@ def mix_quota_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_alpha_kept"
             ),
         )
-        .orderBy("source")
     )
 
 

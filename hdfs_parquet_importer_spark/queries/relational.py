@@ -60,7 +60,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -167,7 +166,6 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -197,7 +195,6 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("brand_revenue"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         )
-        .orderBy("p_brand")
     )
 
 
@@ -530,7 +527,6 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy("gid", "order_year", "o_orderstatus")
     )
 
 
@@ -826,7 +822,6 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.unionByName(supp)
         .select("kind", "key_id", F.round("amount", 2).alias("amount"))
-        .orderBy("kind", "key_id")
     )
 
 
@@ -957,7 +952,7 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return orders.select(
         "o_orderkey", z_value(qs, 8).alias("z")
-    ).orderBy("o_orderkey")
+    )
 
 
 @register(
@@ -1900,7 +1895,6 @@ def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        .orderBy("o_month")
     )
 
 

@@ -95,7 +95,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rule", "n_violations"),
         "n_checked",
     )
-    return melted.orderBy("rule")
+    return melted
 
 
 def _fuzzy_candidate_pairs(names: DataFrame) -> DataFrame:
@@ -383,7 +383,6 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", _FMT).alias("ts_s"),
             F.round(interp, 4).alias("value"),
         )
-        .orderBy("user_id", "ts_s")
     )
 
 

@@ -333,7 +333,6 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("t").alias("event_type"), "exact_n", "cms_estimate"
         )
-        .orderBy("event_type")
     )
 
 
@@ -371,7 +370,6 @@ def agg_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.dayofmonth("ts")).cast("bigint").alias("first_day"),
             F.max(F.dayofmonth("ts")).cast("bigint").alias("last_day"),
         )
-        .orderBy("user_id")
     )
 
 

@@ -135,7 +135,6 @@ def subq_in_heavy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("total"),
             F.round("sum_qty", 2).alias("sum_qty"),
         )
-        .orderBy(F.desc("total"), "o_orderkey")
     )
 
 

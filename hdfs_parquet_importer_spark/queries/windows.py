@@ -45,7 +45,6 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
-        .orderBy("o_custkey", "rn")
     )
 
 
@@ -299,7 +298,7 @@ def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.coalesce("asof_event_id", F.lit(-1)).alias("view_id"),
         F.coalesce(gap, F.lit(-1)).cast("long").alias("gap_s"),
-    ).orderBy("purchase_id")
+    )
 
 
 @register(
@@ -342,7 +341,6 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("total"),
             "n_within_10k",
         )
-        .orderBy("total", "o_orderkey")
     )
 
 
