@@ -239,7 +239,7 @@ def pagerank(
         # ONCE; nodes/out-weights/normalized edges below all derive
         # from this table, so each of their checkpoint jobs reads the
         # cached edge rows instead of re-running the pipeline.
-        e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
@@ -256,8 +256,8 @@ def pagerank(
         # edge list once per reference. Materialize the loop
         # invariants once — at web scale this is "pre-partition the
         # edge list and keep it", the standard PageRank layout.
-        nodes = nodes.localCheckpoint(eager=True)
-        en = en.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=False)
+        en = en.localCheckpoint(eager=False)
 
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
@@ -273,7 +273,7 @@ def pagerank(
             # agg, one row per in-linked node. ranks below derives
             # from THIS table lazily, so plan depth stays constant
             # without ever materializing the rank vector.
-            contrib = contrib.localCheckpoint(eager=True)
+            contrib = contrib.localCheckpoint(eager=False)
         # Mass conservation: sum(r) == 1 every iteration and each
         # source's outgoing p sums to 1, so the rank mass that did NOT
         # arrive as a contribution is exactly the dangling mass.
@@ -425,7 +425,7 @@ def label_propagation(
     # (often itself a banded self-join) re-executes ~2x per round —
     # the same reason connected_components checkpoints `sym` and
     # pagerank its edge table (r10 review).
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lbl = (
         nbr.select("node")
         .distinct()
@@ -453,5 +453,5 @@ def label_propagation(
             .select("node", F.col("top.label").alias("label"))
         )
         record_loop_leg("label_propagation.leg", lbl)
-        lbl = lbl.localCheckpoint()
+        lbl = lbl.localCheckpoint(eager=False)
     return lbl

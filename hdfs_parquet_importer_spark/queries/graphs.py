@@ -227,17 +227,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join + pair aggregate per consumer (measured 12.5 s -> 3 s
     # at sf0.1). Same localCheckpoint pattern as pagerank's loop
     # invariants.
-    edges = _co_activity_edges(ev).localCheckpoint(eager=True)
+    edges = _co_activity_edges(ev).localCheckpoint(eager=False)
     # One degree pass shared between the wedge denominator below and
     # triangles()'s orientation (its deg parameter exists for this).
-    deg = _degrees(edges).localCheckpoint(eager=True)
+    deg = _degrees(edges).localCheckpoint(eager=False)
 
     # r13: the oriented-edge table feeds THREE consumers inside the
     # wedge+closure legs (both self-join sides and the closure
     # semi-join); without materialization the 2-join/4-exchange
     # orientation subtree ran three times (plan before/after in
     # plans/r13/). Checkpoint once, same rationale as `edges` above.
-    oriented = oriented_edges(edges, deg=deg).localCheckpoint(eager=True)
+    oriented = oriented_edges(edges, deg=deg).localCheckpoint(eager=False)
     n_tri = triangles_of_oriented(oriented).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -292,7 +292,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _degrees reads the edge list twice (one union branch per
     # endpoint) and the mutual-kNN chain reads its own kept-set twice
     # (forward + reversed) — checkpoint once, as in triangle_count.
-    deg = _degrees(_co_activity_edges(ev).localCheckpoint(eager=True))
+    deg = _degrees(_co_activity_edges(ev).localCheckpoint(eager=False))
     return (
         deg.groupBy(
             F.floor(F.log2("deg")).cast("long").alias("degree_bin")
@@ -360,7 +360,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hdfs_parquet_importer_spark.operators.graph import label_propagation
 
     ev = load_table(spark, sf_dir, "events")
-    edges = _co_activity_edges(ev).localCheckpoint()
+    edges = _co_activity_edges(ev).localCheckpoint(eager=False)
     lbl = label_propagation(edges, "u", "v", rounds=_LPA_ROUNDS)
     return (
         lbl.groupBy(F.col("label").alias("community"))
@@ -417,7 +417,7 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Edge list feeds three consumers (both nbr directions via the
     # wedge join, the anti-join, degrees) — same materialization
     # rationale as graph_triangle_count.
-    edges = _co_activity_edges(ev).localCheckpoint(eager=True)
+    edges = _co_activity_edges(ev).localCheckpoint(eager=False)
     nbr = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nb")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
@@ -509,7 +509,7 @@ SELECT * FROM (
 )
 def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    edges = _co_activity_edges(ev).localCheckpoint(eager=True)
+    edges = _co_activity_edges(ev).localCheckpoint(eager=False)
     stats = []
     cur = edges
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -518,7 +518,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = deg.select(F.col("node").alias("v"))
         cur = cur.join(na, "u").join(nb, "v")
         record_loop_leg("k_core_peel.leg", cur)
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.localCheckpoint(eager=False)
         n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
         n_edges = cur.agg(F.count(F.lit(1)).alias("n_edges"))
         stats.append(
