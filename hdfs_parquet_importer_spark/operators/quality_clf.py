@@ -42,15 +42,22 @@ N_BUCKETS = 256  # md5 2-hex-char prefix — keep in sync with the SQL twin
 def hashed_doc_features(docs: DataFrame) -> DataFrame:
     """(doc_id, b, n): per-document hashed-unigram bucket counts —
     the classifier's fixed-width feature vectors (<=256 entries per
-    doc). One tokenize pass via the shared intermediate."""
-    from hdfs_parquet_importer_spark.operators.tokenize import doc_term_counts
+    doc). One tokenize pass, ONE aggregation: the bucket is computed
+    per exploded token and grouped directly on (doc_id, b) — the
+    intermediate (doc_id, term, n) grouping was a second full
+    shuffle+agg whose term granularity no consumer of this table
+    reads (r13; the sum over terms of a bucket equals the direct
+    occurrence count, so values are identical). Map-side partial
+    aggregation reduces each task to <=256 rows per doc before the
+    exchange."""
+    from hdfs_parquet_importer_spark.operators.tokenize import doc_tokens
 
-    return (
-        doc_term_counts(docs)
-        .withColumn("b", F.substring(F.md5("term"), 1, 2))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("n").alias("n"))
+    tok = doc_tokens(docs).select(
+        "doc_id", F.explode("tokens").alias("term")
     )
+    return tok.groupBy(
+        "doc_id", F.substring(F.md5("term"), 1, 2).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
 def dsir_log_weights(doc_b: DataFrame, target) -> DataFrame:
@@ -65,22 +72,27 @@ def dsir_log_weights(doc_b: DataFrame, target) -> DataFrame:
     scorer and its eval measure the SAME weight definition
     structurally — the same single-definition contract as
     ``hashed_doc_features`` (r10 review). Both aggregates are
-    fixed-width (256 rows); the totals ride a 1-row broadcast."""
-    tgt = doc_b.filter(target).groupBy("b").agg(F.sum("n").alias("ct"))
-    raw = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
-    tots = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
-        raw.agg(F.sum("cr").alias("rt"), F.count(F.lit(1)).alias("v"))
+    fixed-width (256 rows); the totals ride a 1-row broadcast.
+
+    r13: target and raw bucket totals come from ONE conditional-sum
+    pass over ``doc_b`` (the nb_linear_classifier shape) instead of
+    two aggregations joined back together — a bucket with no target
+    rows sums to 0, exactly what the old left join coalesced."""
+    agg = doc_b.groupBy("b").agg(
+        F.sum(F.when(target, F.col("n")).otherwise(F.lit(0))).alias("ct"),
+        F.sum("n").alias("cr"),
+    )
+    tots = agg.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("rt"),
+        F.count(F.lit(1)).alias("v"),
     )
     return (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        agg.crossJoin(F.broadcast(tots))
         .select(
             "b",
             (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("tt") + F.col("v"))
-                )
+                F.log((F.col("ct") + 1.0) / (F.col("tt") + F.col("v")))
                 - F.log((F.col("cr") + 1.0) / (F.col("rt") + F.col("v")))
             ).alias("w"),
         )

@@ -2008,20 +2008,29 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Planted curated set: docs that are ' dup' copies of another doc
     # — the pair join shuffles 8-byte xxhash64 longs (string-key
     # rule), never text. Even ids train the weights, odd ids are the
-    # held-out truth.
-    dup_side = docs.select("doc_id", F.xxhash64("text").alias("kk"))
-    src_side = docs.select(
-        F.col("doc_id").alias("src_id"),
-        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("kk"),
-    )
+    # held-out truth. r13: BOTH hashes come from one projection over
+    # one text scan (the old two-sided form scanned the parquet text
+    # column twice); the self-join then reads the persisted 24-byte
+    # rows twice.
+    hashes = docs.select(
+        "doc_id",
+        F.xxhash64("text").alias("kd"),
+        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("ks"),
+    ).localCheckpoint(eager=False)
     dupdocs = (
-        dup_side.join(src_side, "kk")
+        hashes.select("doc_id", F.col("kd").alias("kk"))
+        .join(
+            hashes.select(
+                F.col("doc_id").alias("src_id"), F.col("ks").alias("kk")
+            ),
+            "kk",
+        )
         .filter(F.col("doc_id") != F.col("src_id"))
         .select("doc_id")
         .distinct()
         # Read three times (target marker join + truth count + hit
         # join); tiny (planted share of docs).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tgtdocs = dupdocs.filter(F.col("doc_id") % 2 == 0).withColumn(
         "is_tgt", F.lit(True)
@@ -2031,7 +2040,7 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_doc_features(docs)
         .join(F.broadcast(tgtdocs), "doc_id", "left")
         .withColumn("is_tgt", F.coalesce("is_tgt", F.lit(False)))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = dsir_log_weights(doc_b, F.col("is_tgt"))
     # ROUND(6) before ranking so the (logw, doc_id) order is engine-
@@ -2049,7 +2058,7 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     kn = truth.agg(F.count(F.lit(1)).alias("k"))
     # Scored set is read by dist_rank's two branches AND the count;
     # materialize once so every consumer ranks the same doubles.
-    scored = sc.withColumn("nlw", -F.col("logw")).localCheckpoint(eager=True)
+    scored = sc.withColumn("nlw", -F.col("logw")).localCheckpoint(eager=False)
     ranked = dist_rank(
         scored, ["nlw", "doc_id"], F.floor(F.col("nlw") * 8), out_col="rk"
     )
