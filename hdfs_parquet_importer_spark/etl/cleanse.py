@@ -87,7 +87,7 @@ def cleanse_suspect_rows_not_in(
         # for the guard count + anti-join build without pinning a
         # cached frame in executor storage for the session's lifetime
         # — the checkpoint RDD is GC-reclaimed once unreferenced.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bad_count = bad.count()
     if bad_count > max_bad_ids:

@@ -236,7 +236,7 @@ def learn_merges_iterative(
     the driver loop is N tiny jobs, not a long lineage. A corpus
     with no remaining pairs stops adopting (merge state carried
     unchanged), so ``rounds`` is always safe to overshoot."""
-    words = word_counts(docs, text_col).localCheckpoint()
+    words = word_counts(docs, text_col).localCheckpoint(eager=False)
     merges = docs.sparkSession.createDataFrame(
         [([],)], "merges array<string>"
     )
@@ -261,7 +261,7 @@ def learn_merges_iterative(
                 .otherwise(F.array_append("merges", F.col("pair")))
                 .alias("merges")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return merges
 

@@ -57,6 +57,24 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     )
 
 
+
+def content_pair_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    marker: str = " dup",
+) -> DataFrame:
+    """(id, kd, ks): xxhash64 of the text and of text+marker from ONE
+    scan of the text column, persisted lazily — the planted-copy eval
+    queries self-join ``kd`` against ``ks`` to recover (copy, source)
+    pairs. The old per-query form projected each hash in its own
+    select, so the parquet text column was scanned twice per query
+    (r13); both hashes are 8-byte longs (string-key rule)."""
+    return docs.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("kd"),
+        F.xxhash64(F.concat(F.col(text_col), F.lit(marker))).alias("ks"),
+    ).localCheckpoint(eager=False)
+
+
 def tokens(col: Column) -> Column:
     return F.split(normalize_text(col), " ")
 
@@ -203,7 +221,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_t")
     ).select(
         "_sid", shingles_of_tokens(F.col("_t"), shingle_n).alias("_sset")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     verified = (
         cand.join(sets_df.withColumnRenamed("_sid", "id_a")
                          .withColumnRenamed("_sset", "set_a"), "id_a")

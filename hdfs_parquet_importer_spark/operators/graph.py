@@ -59,13 +59,13 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().localCheckpoint(eager=False)
 
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     if max_iter < 1:
@@ -110,7 +110,7 @@ def connected_components(
             .drop("_prev")
         )
         record_loop_leg("connected_components.leg", new_labels)
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
@@ -304,7 +304,7 @@ def pagerank(
             and not materialize
             and (i + 1) % checkpoint_every == 0
         ):
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -138,7 +138,7 @@ def kmeans_fit(
     out = (
         vecs.select(id_col, "embedding", _assign_expr(centroids))
         .select(id_col, "cluster")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vecs.unpersist()
     return out, centroids, history

@@ -102,7 +102,7 @@ def top_eigenvector(
             )
         )
         record_loop_leg("pca_power.leg", v)
-        v = v.localCheckpoint(eager=True)
+        v = v.localCheckpoint(eager=False)
     # Rayleigh quotient lambda = v' A v.
     av = (
         cells.join(F.broadcast(v), cells.j == v.j)

@@ -176,7 +176,7 @@ def score_documents(
         # is <=256 rows, and without materialization the second read
         # re-runs the whole closed-form training lineage (cheap in
         # work, but it doubles the plan and the number of exchanges).
-        model = model.localCheckpoint(eager=True)
+        model = model.localCheckpoint(eager=False)
         # Validate the (already-materialized, <=256-row) model at the
         # swap point rather than scoring through it: an EMPTY weight
         # table (bad offline load) would make bias NULL and prob NULL

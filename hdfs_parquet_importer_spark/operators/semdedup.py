@@ -120,7 +120,7 @@ def semdedup_edges(
         F.col(id_col).alias("vec_id"),
         F.transform(e, lambda x: x.cast("double") / nrm).alias("vecn"),
         srp_bucket(e, bits).alias("bucket"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = b.select(
         F.col("vec_id").alias("id_a"),
         F.col("vecn").alias("va"),
@@ -141,7 +141,7 @@ def semdedup_edges(
         .select(F.col("bucket_a").alias("bucket"), "id_a", "id_b")
         # Materialize the edge LIST so the quadratic pair scan runs
         # exactly ONCE (module docstring).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 

@@ -57,7 +57,7 @@ def tfidf_weights(
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     if materialize:
-        tf = tf.localCheckpoint(eager=True)
+        tf = tf.localCheckpoint(eager=False)
     n_df = tf.agg(F.countDistinct("id").cast("double").alias("_n"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     return (
@@ -137,7 +137,7 @@ def tfidf_topk_pairs(
     if per_term_cap is not None:
         w = cap_postings(w, per_term_cap)
     # Three consumers (norms + both join sides); materialize once.
-    w = w.localCheckpoint(eager=True)
+    w = w.localCheckpoint(eager=False)
     return cosine_pairs(w).orderBy(
         F.col("cosine").desc(), "id_a", "id_b"
     ).limit(k)

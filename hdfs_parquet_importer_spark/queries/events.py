@@ -905,7 +905,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Four consumers (three rank passes + the count scalar):
     # materialize the per-user aggregate once.
-    rfm = rfm.localCheckpoint(eager=True)
+    rfm = rfm.localCheckpoint(eager=False)
     # Plateau fan-out block width DERIVED from the observed id range
     # (ADVICE r6): the frequency bucket negf * 4096 + uid_block is
     # monotone in (negf, user_id) only while uid_block < 4096. A
@@ -947,7 +947,7 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers below (pos/zer/neg branches) would each re-run
     # the two dist_rank pipelines above — Spark does not dedupe
     # common subplans — so materialize once (r11 review).
-    m = m.localCheckpoint(eager=True)
+    m = m.localCheckpoint(eager=False)
     # Monetary DESC is MULTIMODAL: positives are near-unique (a
     # value-keyed fan-out bucket would put one bucket per purchaser —
     # an O(n) single-task totals pass), zero holds every

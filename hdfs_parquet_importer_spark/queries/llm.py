@@ -250,10 +250,10 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output — only content EQUALITY must match the oracle's own md5
     # bridge — and 8-byte longs shuffle/compare 10-25x cheaper than
     # 32-char strings at the sf1 decade (SCALING.md r12 addendum).
-    dup_side = docs.select("doc_id", F.xxhash64("text").alias("k"))
-    src_side = docs.select(
-        F.col("doc_id").alias("src_id"),
-        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+    hp = D.content_pair_hashes(docs)  # one text scan for both hashes
+    dup_side = hp.select("doc_id", F.col("kd").alias("k"))
+    src_side = hp.select(
+        F.col("doc_id").alias("src_id"), F.col("ks").alias("k")
     )
     truth = (
         dup_side.join(src_side, "k")
@@ -264,8 +264,8 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # Read three times below (count, hit join, margin join);
-        # tiny (~5% of docs) — materialize so the md5 join runs once.
-        .localCheckpoint(eager=True)
+        # tiny (~5% of docs) — materialize so the pair join runs once.
+        .localCheckpoint(eager=False)
     )
     # Materialized: read twice below (pair count + hit join), and
     # Spark does not dedupe common subplans — without this the whole
@@ -273,7 +273,7 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash_dedup_pairs' own internal checkpoint; r10 review).
     found = D.minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Exact-Jaccard margin of every truth pair (not just the found
     # ones). Shingle sets are built ONLY for ids appearing in a truth
     # pair (a semi-join — ~2x the planted-dup count, not the corpus)
@@ -287,7 +287,7 @@ def eval_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(truth_ids, "doc_id", "left_semi")
         .select("doc_id", D.tokens(F.col("text")).alias("_t"))
         .select("doc_id", D.shingles_of_tokens(F.col("_t"), 3).alias("s"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tj = (
         truth.join(
@@ -394,7 +394,7 @@ def eval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once (50 rows) — same contract as eval_dedup_recall's truth.
     exact = _top10(
         S.brute_force_topk(emb, q, k=11, salt_buckets=32)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     indexes = [
         ("ivf", S.ivf_topk(emb, q, k=11, n_lists=8, n_probe=3)),
         ("lsh", S.lsh_topk(emb, q, k=11, n_planes=6, n_tables=8, multiprobe=True)),
@@ -1361,7 +1361,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     cc = connected_components(edges, "id_a", "id_b")
 
     ca = cc.select(F.col("node").alias("id_a"), F.col("component").alias("comp_a"))
@@ -1436,7 +1436,7 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids, history = kmeans_fit(emb, k=8, max_iter=5)
-    assigned = assigned.localCheckpoint(eager=True)
+    assigned = assigned.localCheckpoint(eager=False)
 
     # (a) Lloyd monotonicity of the collected objective history.
     monotone = all(
@@ -1722,18 +1722,19 @@ def eval_contamination_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Truth: training docs (id % 50 != 0) that are ' dup' copies of an
     # EVAL-slice doc (id % 50 == 0) — 8-byte xxhash64 longs shuffle
     # (string-key rule), never text.
-    dup_side = docs.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.xxhash64("text").alias("k")
+    hp = D.content_pair_hashes(docs)  # one text scan for both hashes
+    dup_side = hp.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.col("kd").alias("k")
     )
-    src_side = docs.filter(F.col("doc_id") % 50 == 0).select(
-        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k")
+    src_side = hp.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("ks").alias("k")
     )
     truth = (
         dup_side.join(src_side, "k")
         .select("doc_id")
         .distinct()
         # Read twice (count + hit join); tiny (~0.1% of docs).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # The found set is the SHIPPED detector, not a reimplementation —
     # same contract as eval_dedup_recall running minhash_dedup_pairs.
@@ -1741,7 +1742,7 @@ def eval_contamination_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_contamination(spark, sf_dir)
         .filter(F.col("contaminated"))
         .select("doc_id", "n_shared_8grams")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hit = truth.join(flagged, "doc_id")
     t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
@@ -2063,7 +2064,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
-    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     cc = connected_components(edges, "id_a", "id_b")
 
     quality = docs.select(
@@ -2230,7 +2231,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("v")
@@ -2652,7 +2653,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three consumers (corpus stats, the unpivot, and through it the
     # df agg) of a 4-ints-per-doc table: materialize once so the
     # tokenize pass runs exactly once.
-    per_doc = per_doc.localCheckpoint(eager=True)
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("len").alias("avgdl"),
@@ -2966,7 +2967,7 @@ def pack_strategy_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
         .select(F.col("n_tokens_bpe").cast("long").alias("n"))
         .filter(F.col("n") >= 1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     base = t.agg(
         F.sum("n").cast("long").alias("total_tokens"),
@@ -3165,7 +3166,7 @@ def eval_packing_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe.doc_token_counts(docs, ["doc_id"], "text", merges)
         .select(F.col("n_tokens_bpe").cast("long").alias("n"))
         .filter(F.col("n") >= 1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rb = t.agg(
         F.sum("n").cast("long").alias("total"),
@@ -3479,7 +3480,7 @@ def dedup_substring_span(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", "n_tokens", "s.pos", "s.gh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     gd = (
         g.groupBy("gh")
@@ -3975,7 +3976,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("tokens").cast("long").alias("n_tokens"),
         )
         .filter(F.col("n_tokens") > 0)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     g = (
         base.select(
@@ -3992,7 +3993,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .select("doc_id", "s.pos", "s.gh")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     gd = (
         g.groupBy("gh")
@@ -4126,7 +4127,7 @@ def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval_ann_recall's exact side.
     exact = _top10(
         S.brute_force_topk(emb, q, k=11, salt_buckets=32)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     rows = None
     for d in (16, 32):
         emb_d = emb.select(
@@ -4213,10 +4214,10 @@ def eval_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # Truth pairs join on 8-byte xxhash64 longs (r13 string-key rule:
     # k never reaches output; the oracle's md5 is its own bridge).
-    dup_side = docs.select("doc_id", F.xxhash64("text").alias("k"))
-    src_side = docs.select(
-        F.col("doc_id").alias("src_id"),
-        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+    hp = D.content_pair_hashes(docs)  # one text scan for both hashes
+    dup_side = hp.select("doc_id", F.col("kd").alias("k"))
+    src_side = hp.select(
+        F.col("doc_id").alias("src_id"), F.col("ks").alias("k")
     )
     truth = (
         dup_side.join(src_side, "k")
@@ -4228,7 +4229,7 @@ def eval_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # Read three times (member semi-join + both fingerprint
         # joins); tiny (~5% of docs).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     members = (
         truth.select(F.col("id_a").alias("doc_id"))
@@ -4237,7 +4238,7 @@ def eval_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = D.simhash_fingerprints(
         docs.join(members, "doc_id", "left_semi"), "doc_id", "text"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     fa = fp.select(F.col("id").alias("id_a"), F.col("fp").alias("fa"))
     fb = fp.select(F.col("id").alias("id_b"), F.col("fp").alias("fb"))
     h = (

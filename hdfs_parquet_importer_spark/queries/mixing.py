@@ -1437,7 +1437,7 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/tokenize.py); materialized once, it feeds BOTH the
     # vocab-bounded corpus tf (a re-aggregation, not a corpus pass)
     # and the per-doc scoring join.
-    doc_tf = doc_term_counts(docs).localCheckpoint(eager=True)
+    doc_tf = doc_term_counts(docs).localCheckpoint(eager=False)
     tf = corpus_term_counts(doc_tf)
     tot = tf.agg(F.sum("c").cast("double").alias("ntot"))
     pd = (
@@ -1459,7 +1459,7 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could then round differently per branch — inconsistent rank
     # bases. Materialize the scores ONCE so every consumer sees the
     # same doubles (same reason events_rfm checkpoints its aggregate).
-    pd = pd.localCheckpoint(eager=True)
+    pd = pd.localCheckpoint(eager=False)
     ranked = dist_rank(
         pd, ["bits", "doc_id"], F.floor(F.col("bits") * 8), out_col="r"
     )
@@ -1686,7 +1686,7 @@ def pack_sorted_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 1)
         # Two independent orderings consume the same encode pass:
         # materialize once (same convention as text_bm25_search).
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     straddle = (
         F.expr("o div 2048") != F.expr("(o + n - 1) div 2048")
@@ -1873,7 +1873,7 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_b = (
         hashed_doc_features(docs)
         .join(src, "doc_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Weight table via the SHARED operators/quality_clf
     # .dsir_log_weights (r13: eval_dsir_recall measures this exact
@@ -2009,14 +2009,10 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — the pair join shuffles 8-byte xxhash64 longs (string-key
     # rule), never text. Even ids train the weights, odd ids are the
     # held-out truth. r13: BOTH hashes come from one projection over
-    # one text scan (the old two-sided form scanned the parquet text
-    # column twice); the self-join then reads the persisted 24-byte
-    # rows twice.
-    hashes = docs.select(
-        "doc_id",
-        F.xxhash64("text").alias("kd"),
-        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("ks"),
-    ).localCheckpoint(eager=False)
+    # one text scan (content_pair_hashes; the old two-sided form
+    # scanned the parquet text column twice); the self-join then
+    # reads the persisted 24-byte rows twice.
+    hashes = D.content_pair_hashes(docs)
     dupdocs = (
         hashes.select("doc_id", F.col("kd").alias("kk"))
         .join(
@@ -2148,7 +2144,7 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    feats = hashed_doc_features(docs).localCheckpoint(eager=True)
+    feats = hashed_doc_features(docs).localCheckpoint(eager=False)
     labels = docs.select("doc_id", (F.col("source") == "src0").alias("pos"))
     model = nb_linear_classifier(feats, labels)
     return score_documents(feats, model).join(
@@ -2359,7 +2355,7 @@ def eval_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("planted").alias("source"),
     )
     corpus = docs.select("doc_id", "text", "source").unionByName(planted)
-    feats = hashed_doc_features(corpus).localCheckpoint(eager=True)
+    feats = hashed_doc_features(corpus).localCheckpoint(eager=False)
     labels = corpus.select("doc_id", (F.col("source") == "src0").alias("pos"))
     sc = score_documents(feats, nb_linear_classifier(feats, labels)).join(
         corpus.select("doc_id", "source"), "doc_id"
@@ -2486,11 +2482,12 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # Truth pairs join on 8-byte xxhash64 longs (r13 string-key rule:
     # the key never reaches output; the oracle's md5 is its own
-    # equality bridge — only content equality crosses engines).
-    dup_side = docs.select("doc_id", F.xxhash64("text").alias("k"))
-    src_side = docs.select(
-        F.col("doc_id").alias("src_id"),
-        F.xxhash64(F.concat(F.col("text"), F.lit(" dup"))).alias("k"),
+    # equality bridge — only content equality crosses engines). Both
+    # hashes from ONE text scan (content_pair_hashes, r13).
+    hp = D.content_pair_hashes(docs)
+    dup_side = hp.select("doc_id", F.col("kd").alias("k"))
+    src_side = hp.select(
+        F.col("doc_id").alias("src_id"), F.col("ks").alias("k")
     )
     pairs = (
         dup_side.join(src_side, "k")
@@ -2502,7 +2499,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # Read by CC (which re-reads per round) and the two pair-side
         # label joins below.
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cc = connected_components(pairs, "id_a", "id_b")
     canon = (
@@ -2526,7 +2523,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         split3(hash_coin(F.col("doc_id"))).alias("naive_split"),
         split3(hash_coin(F.col("canonical_id"))).alias("cluster_split"),
         # Read three times (doc rollup + both pair sides).
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     docs_agg = lab.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(

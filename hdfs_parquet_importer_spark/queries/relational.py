@@ -1691,7 +1691,7 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_type").alias("t"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_orders = ot.select("ok").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n")
@@ -1781,7 +1781,7 @@ def report_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Five consumers of the supplier aggregate (two prefix passes'
     # window + bucket-total branches, plus the scalar totals);
     # materialize it once — same contract as tfidf's tf table.
-    rev = rev.localCheckpoint(eager=True)
+    rev = rev.localCheckpoint(eager=False)
     neg = rev.withColumn("negc", -F.col("cents")).withColumn(
         "one", F.lit(1).cast("long")
     )

@@ -212,7 +212,7 @@ def report_mom_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Three consumers of the ~80-row aggregate (cur + two self-join
     # sides): materialize once.
-    m = m.localCheckpoint(eager=True)
+    m = m.localCheckpoint(eager=False)
     mstart = F.to_date(F.concat(F.col("month"), F.lit("-01")))
     p1 = m.select(
         F.col("month").alias("m1"), F.col("rev_cents").alias("rev1")
@@ -696,7 +696,7 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already checkpoints).
     tagged = ev.crossJoin(F.broadcast(bounds)).select(
         "value", (F.col("es") < F.expr("(e0 + e1) div 2")).alias("is_ref")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     rv = tagged.filter("is_ref").agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )
@@ -912,7 +912,7 @@ def report_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's md5 fingerprint is its own equality bridge.
         F.xxhash64(D.normalize_text(F.col("text"))).alias("fp"),
         F.size(D.tokens(F.col("text"))).alias("n_tok"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dup = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -836,7 +836,7 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("x")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Bucket = floor(x / 50k): monotone in the primary order column x;
     # supplier revenue concentrates in a band that widens only with
     # per-supplier volume (not supplier count), so bucket occupancy
@@ -1090,7 +1090,7 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = m.withColumn(
         "i", F.row_number().over(Window.orderBy("month"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = x.select(F.col("cents").alias("ca"), F.col("i").alias("ia"))
     b = x.select(F.col("cents").alias("cb"), F.col("i").alias("ib"))
     pairs = a.join(b, F.col("ia") < F.col("ib")).select(
