@@ -138,7 +138,8 @@ def kmeans_fit(
     out = (
         vecs.select(id_col, "embedding", _assign_expr(centroids))
         .select(id_col, "cluster")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)  # EAGER: must land before the
+        # unpersist below frees the vector cache it reads
     )
     vecs.unpersist()
     return out, centroids, history

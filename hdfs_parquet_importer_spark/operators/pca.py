@@ -102,7 +102,10 @@ def top_eigenvector(
             )
         )
         record_loop_leg("pca_power.leg", v)
-        v = v.localCheckpoint(eager=False)
+        # EAGER: v is a normalized double-sum vector read by the
+        # next iteration AND the Rayleigh quotient — a recompute
+        # race could hand consumers ulp-different vectors (r13).
+        v = v.localCheckpoint(eager=True)
     # Rayleigh quotient lambda = v' A v.
     av = (
         cells.join(F.broadcast(v), cells.j == v.j)

@@ -1459,7 +1459,11 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # could then round differently per branch — inconsistent rank
     # bases. Materialize the scores ONCE so every consumer sees the
     # same doubles (same reason events_rfm checkpoints its aggregate).
-    pd = pd.localCheckpoint(eager=False)
+    # EAGER: double-sum subtree with multiple consumers — a lazy
+    # checkpoint admits a cache race where two stages compute the
+    # subtree independently and shuffle-merge order could round a
+    # boundary-straddling sum differently per branch (r13).
+    pd = pd.localCheckpoint(eager=True)
     ranked = dist_rank(
         pd, ["bits", "doc_id"], F.floor(F.col("bits") * 8), out_col="r"
     )
@@ -2054,7 +2058,9 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     kn = truth.agg(F.count(F.lit(1)).alias("k"))
     # Scored set is read by dist_rank's two branches AND the count;
     # materialize once so every consumer ranks the same doubles.
-    scored = sc.withColumn("nlw", -F.col("logw")).localCheckpoint(eager=False)
+    # EAGER: same double-rounding determinism rationale as ccnet's
+    # pd checkpoint above.
+    scored = sc.withColumn("nlw", -F.col("logw")).localCheckpoint(eager=True)
     ranked = dist_rank(
         scored, ["nlw", "doc_id"], F.floor(F.col("nlw") * 8), out_col="rk"
     )

@@ -836,7 +836,7 @@ def stat_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("x")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # EAGER: double-rounding determinism
     # Bucket = floor(x / 50k): monotone in the primary order column x;
     # supplier revenue concentrates in a band that widens only with
     # per-supplier volume (not supplier count), so bucket occupancy
