@@ -32,6 +32,16 @@ from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
 # Mersenne prime 2^31-1: permutation arithmetic stays < 2^62.
 _MERSENNE = (1 << 31) - 1
 
+# Column-expression memos (r13): the wide fingerprint/signature
+# builders construct hundreds of Column objects per call, each a py4j
+# round-trip — measured 0.6-1.3 s of pure driver-side build time per
+# bench cycle. The expression trees reference only fixed internal
+# column names ('tok', 'h', 'sig_i', ...), so they are reusable
+# verbatim across DataFrames and sessions (Catalyst expressions are
+# immutable); build them once per process. This caches EXPRESSIONS,
+# never data or results.
+_EXPR_CACHE: dict = {}
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical dedup key: lowercase, strip non-alnum, collapse spaces."""
@@ -158,8 +168,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     )
     h32 = F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE))
     sh = sh.select(id_col, h32.alias("h"))
-    aggs = [F.min(_permute(F.col("h"), i)).alias(f"sig_{i}") for i in range(num_perm)]
-    return sh.groupBy(id_col).agg(*aggs)
+    key = ("minhash_sig", num_perm)
+    if key not in _EXPR_CACHE:
+        _EXPR_CACHE[key] = [
+            F.min(_permute(F.col("h"), i)).alias(f"sig_{i}")
+            for i in range(num_perm)
+        ]
+    return sh.groupBy(id_col).agg(*_EXPR_CACHE[key])
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
@@ -173,14 +188,19 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str,
             f"num_perm={num_perm} must be divisible by bands={bands}"
         )
     rows_per_band = num_perm // bands
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("bucket"),
-        )
-        for b in range(bands)
-    ])
+    key = ("lsh_bands", num_perm, bands)
+    if key in _EXPR_CACHE:
+        band_structs = _EXPR_CACHE[key]
+    else:
+        band_structs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}")
+                             for r in range(rows_per_band)]).alias("bucket"),
+            )
+            for b in range(bands)
+        ])
+        _EXPR_CACHE[key] = band_structs
     banded = sig_df.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
@@ -248,6 +268,9 @@ def simhash64(text_col: Column, bits: int = 63) -> Column:
     default so the packed value never overflows a signed long in ANSI
     mode (max value 2^63 - 1).
     """
+    key = ("simhash64", str(text_col), bits)
+    if key in _EXPR_CACHE:
+        return _EXPR_CACHE[key]
     tok_hashes = F.transform(token_set(text_col), lambda t: F.xxhash64(t))
     zero = F.array_repeat(F.lit(0).cast("long"), bits)
 
@@ -266,11 +289,13 @@ def simhash64(text_col: Column, bits: int = 63) -> Column:
     # Pack MSB-first: reversed votes are bit (bits-1) .. bit 0, so
     # acc*2 + b reconstructs sum(b_i << i) without a literal-shift loop
     # or re-evaluating `votes` per bit.
-    return F.aggregate(
+    out = F.aggregate(
         F.reverse(votes),
         F.lit(0).cast("long"),
         lambda acc, v: acc * 2 + F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
+    _EXPR_CACHE[key] = out
+    return out
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
@@ -292,19 +317,24 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("id"),
         F.explode(token_set(F.col(text_col))).alias("tok"),
     )
-    h = F.xxhash64("tok")
-    ones = [
-        F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"ones_{i}")
-        for i in range(bits)
-    ]
+    key = ("simhash_fp", bits)
+    if key not in _EXPR_CACHE:
+        h = F.xxhash64("tok")
+        ones = [
+            F.sum(F.shiftright(h, i).bitwiseAND(F.lit(1))).alias(f"ones_{i}")
+            for i in range(bits)
+        ]
+        fp = None
+        for i in range(bits):
+            term = F.when(
+                F.col(f"ones_{i}") * 2 > F.col("n"),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            fp = term if fp is None else fp + term
+        _EXPR_CACHE[key] = (ones, fp.alias("fp"))
+    ones, fp_named = _EXPR_CACHE[key]
     counted = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *ones)
-    fp = None
-    for i in range(bits):
-        term = F.when(
-            F.col(f"ones_{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return counted.select("id", fp.alias("fp"))
+    return counted.select("id", fp_named)
 
 
 def simhash_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
