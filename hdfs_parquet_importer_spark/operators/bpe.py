@@ -76,6 +76,20 @@ SEP = "."
 RULE_SEP = " "  # between L and R inside one rule; outside [a-z0-9] and SEP
 
 
+# Column-expression memo (r13, same contract as operators/dedup.py's
+# _EXPR_CACHE): the fold builders construct large expression trees per
+# call — pure py4j build time, re-paid per bench cycle and per
+# multiround iteration. Keyed by the input expressions' string forms;
+# caches EXPRESSIONS only, never data.
+_EXPR_CACHE: dict = {}
+
+
+def _memo(key, build):
+    if key not in _EXPR_CACHE:
+        _EXPR_CACHE[key] = build()
+    return _EXPR_CACHE[key]
+
+
 def learn_merges(docs: DataFrame, text_col: str, k: int = 16) -> DataFrame:
     """Top-``k`` adjacent character pairs by corpus count -> ONE row
     holding ``merges: array<string>`` of ``"L R"`` rules in priority
@@ -192,15 +206,18 @@ def adjacent_pairs(framed: Column) -> Column:
     ``"L R"`` rule candidate — the recount step of iterative
     learning. Pure array expressions (unframe, then zip the list
     with itself shifted by one)."""
-    ts = F.filter(
-        F.split(framed, "[" + SEP + "]"), lambda t: t != F.lit("")
-    )
-    n = F.greatest(F.size(ts) - 1, F.lit(0))
-    return F.zip_with(
-        F.slice(ts, F.lit(1), n),
-        F.slice(ts, F.lit(2), n),
-        lambda a, b: F.concat(a, F.lit(RULE_SEP), b),
-    )
+    def build():
+        ts = F.filter(
+            F.split(framed, "[" + SEP + "]"), lambda t: t != F.lit("")
+        )
+        n = F.greatest(F.size(ts) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(ts, F.lit(1), n),
+            F.slice(ts, F.lit(2), n),
+            lambda a, b: F.concat(a, F.lit(RULE_SEP), b),
+        )
+
+    return _memo(("adjacent_pairs", str(framed)), build)
 
 
 def word_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -270,8 +287,14 @@ def encode_framed(word: Column, merges: Column) -> Column:
     """Fold the merge rules over one word; returns the separator-
     framed token string (``.lu.c.k.`` …). ``merges`` is the broadcast
     priority-ordered array column from :func:`learn_merges`."""
-    s0 = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP))
-    return F.aggregate(merges, s0, merge_pass)
+    return _memo(
+        ("encode_framed", str(word), str(merges)),
+        lambda: F.aggregate(
+            merges,
+            F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP)),
+            merge_pass,
+        ),
+    )
 
 
 def encode_tokens(word: Column, merges: Column) -> Column:
@@ -279,20 +302,22 @@ def encode_tokens(word: Column, merges: Column) -> Column:
     encodes to an empty ARRAY (filtered split), agreeing with
     :func:`token_count`'s 0 — a bare split of the unframed '' would
     yield [''] and disagree by one."""
-    s0 = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP))
-    return F.aggregate(
-        merges,
-        s0,
-        merge_pass,
-        # finish lambda binds the framed accumulator once (see
-        # token_count) instead of re-running the fold for the
-        # substring bound and the split input.
-        lambda framed: F.filter(
-            F.split(
-                F.substring(framed, 2, F.length(framed) - 2),
-                "[" + SEP + "]",
+    return _memo(
+        ("encode_tokens", str(word), str(merges)),
+        lambda: F.aggregate(
+            merges,
+            F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP)),
+            merge_pass,
+            # finish lambda binds the framed accumulator once (see
+            # token_count) instead of re-running the fold for the
+            # substring bound and the split input.
+            lambda framed: F.filter(
+                F.split(
+                    F.substring(framed, 2, F.length(framed) - 2),
+                    "[" + SEP + "]",
+                ),
+                lambda t: t != F.lit(""),
             ),
-            lambda t: t != F.lit(""),
         ),
     )
 
@@ -309,15 +334,17 @@ def token_count(word: Column, merges: Column) -> Column:
     subexpression elimination rescues it and the fold genuinely ran
     twice per word (r13 measurement: the encode projection halved
     when the second evaluation went away)."""
-    s0 = F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP))
-    return F.aggregate(
-        merges,
-        s0,
-        merge_pass,
-        lambda framed: (
-            F.length(framed)
-            - F.length(F.replace(framed, F.lit(SEP), F.lit("")))
-            - F.lit(1)
+    return _memo(
+        ("token_count", str(word), str(merges)),
+        lambda: F.aggregate(
+            merges,
+            F.concat(F.lit(SEP), F.regexp_replace(word, "(.)", r"$1" + SEP)),
+            merge_pass,
+            lambda framed: (
+                F.length(framed)
+                - F.length(F.replace(framed, F.lit(SEP), F.lit("")))
+                - F.lit(1)
+            ),
         ),
     )
 
@@ -360,12 +387,20 @@ def doc_token_counts(
     exactly as the old projection did; casts pin the three counts to
     the projection's original ``int`` so downstream schemas are
     unchanged."""
-    per_word = vocab_token_counts(docs, text_col, merges)
     words = docs.select(
         *id_cols,
         F.explode_outer(
             F.filter(D.tokens(F.col(text_col)), lambda w: w != "")
         ).alias("w"),
+        # r13: ONE tokenize pass — the vocabulary below derives from
+        # this persisted explode instead of vocab_token_counts'
+        # second tokenize of the corpus (explode_outer emits NULL
+        # only for empty docs, so the non-null distinct set equals
+        # the old filter(w != '') vocabulary exactly).
+    ).localCheckpoint(eager=False)
+    vocab = words.select("w").filter(F.col("w").isNotNull()).distinct()
+    per_word = vocab.crossJoin(F.broadcast(merges)).select(
+        "w", token_count(F.col("w"), F.col("merges")).alias("_wtok")
     )
     return (
         words.join(F.broadcast(per_word), ["w"], "left")
