@@ -99,7 +99,7 @@ def _vec_dim(df: DataFrame, col: str) -> int:
 
 def salted_topk(
     scored: DataFrame,
-    query_id_col: str,
+    query_id_col: str | list[str],
     id_col: str,
     k: int,
     order_cols,
@@ -111,9 +111,11 @@ def salted_topk(
     then final top-k over the ``k * salt_buckets`` survivors — no
     reducer ever holds one query's full candidate set. Shared by every
     ANN ranker here; ``order_cols`` must end with a unique tiebreak
-    (the id) so both phases are deterministic. Candidate ids must be
-    numeric (the salt is a modulus) — true for this engine's tables;
-    hash non-numeric ids upstream."""
+    (the id) so both phases are deterministic. ``query_id_col`` may be
+    a list for composite per-query keys (e.g. (n_dims, query_id) when
+    several retrieval configurations share one fused pass). Candidate
+    ids must be numeric (the salt is a modulus) — true for this
+    engine's tables; hash non-numeric ids upstream."""
     from pyspark.sql import Window
     from pyspark.sql.types import NumericType
 
@@ -130,9 +132,12 @@ def salted_topk(
             f"ids upstream (e.g. xxhash64)"
         )
 
+    qcols = (
+        [query_id_col] if isinstance(query_id_col, str) else list(query_id_col)
+    )
     salt = F.pmod(F.col(id_col), F.lit(salt_buckets))
-    partial_w = Window.partitionBy(query_id_col, salt).orderBy(*order_cols)
-    final_w = Window.partitionBy(query_id_col).orderBy(*order_cols)
+    partial_w = Window.partitionBy(*qcols, salt).orderBy(*order_cols)
+    final_w = Window.partitionBy(*qcols).orderBy(*order_cols)
     return (
         scored.withColumn("_prn", F.row_number().over(partial_w))
         .filter(F.col("_prn") <= k)

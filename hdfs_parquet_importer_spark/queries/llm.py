@@ -4081,9 +4081,11 @@ ORDER BY d.n_dims, q.query_id
     "eval_semdedup_recall the BUCKETING, this the REPRESENTATION "
     "(prefix truncation = 4x/2x smaller vectors and proportionally "
     "cheaper dot products — the standard first-stage/rerank split). "
-    "SCALE: three brute passes, each the salted two-phase top-k over "
-    "a broadcast query set (truncation is a scan-side slice "
-    "projection, so the 16-dim pass moves 4x less data per row); hit "
+    "SCALE: ONE brute pass scores all three widths (r13; segmented "
+    "left-to-right folds share the prefix arithmetic bit-identically "
+    "with the old per-width cosines) into a single salted two-phase "
+    "top-k over a broadcast query set partitioned by (n_dims, "
+    "query_id); hit "
     "sets join on (query_id, vec_id); the per-(dims, query) counts "
     "are window-free bounded aggregates. Ties broken by vec_id on "
     "both engines; only set MEMBERSHIP crosses the engine boundary, "
@@ -4100,64 +4102,122 @@ ORDER BY d.n_dims, q.query_id
     "operator.",
 )
 def eval_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hdfs_parquet_importer_spark.operators.util import ensure_parallelism
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
 
-    def _top10(scored: DataFrame) -> DataFrame:
-        # k=11 upstream so dropping self-matches leaves 10 true rows.
-        return (
-            scored.filter(F.col("vec_id") != F.col("query_id"))
-            .withColumn(
-                "_r",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.desc("cos"), F.asc("vec_id")
-                    )
-                ),
-            )
-            .filter(F.col("_r") <= 10)
-            .select("query_id", "vec_id")
+    # ONE scan scores all three retrieval widths (r13: previously
+    # three full brute_force_topk passes re-read and re-joined the
+    # candidate set per width). The 16/32/full cosines share their
+    # prefix arithmetic via segmented folds: aggregate() accumulates
+    # strictly left-to-right, so seeding the next segment's fold with
+    # the previous segment's accumulator reproduces the monolithic
+    # fold over the sliced array BIT-IDENTICALLY — the same doubles
+    # the per-width cosine() produced before.
+    def _seg(col: str, start: int, length):
+        return F.slice(F.col(col), F.lit(start), length)
+
+    def _seg_dot(start: int, length, init: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                _seg("query_vec", start, length),
+                _seg("embedding", start, length),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            init,
+            lambda acc, x: acc + x,
         )
 
-    # Read twice (one hit join per truncation width) — materialize
-    # the full-dimension truth set once (50 rows), same contract as
-    # eval_ann_recall's exact side.
-    exact = _top10(
-        S.brute_force_topk(emb, q, k=11, salt_buckets=32)
-    ).localCheckpoint(eager=False)
-    rows = None
-    for d in (16, 32):
-        emb_d = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+    def _seg_ssq(col: str, start: int, length, init: Column) -> Column:
+        return F.aggregate(
+            _seg(col, start, length),
+            init,
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
         )
-        q_d = q.select(
-            "query_id", F.slice("query_vec", 1, d).alias("query_vec")
+
+    tail = F.size(F.col("embedding")) - F.lit(32)
+    d16 = _seg_dot(1, F.lit(16), F.lit(0.0))
+    d32 = _seg_dot(17, F.lit(16), d16)
+    d64 = _seg_dot(33, tail, d32)
+    qs16 = _seg_ssq("query_vec", 1, F.lit(16), F.lit(0.0))
+    qs32 = _seg_ssq("query_vec", 17, F.lit(16), qs16)
+    qs64 = _seg_ssq("query_vec", 33, tail, qs32)
+    es16 = _seg_ssq("embedding", 1, F.lit(16), F.lit(0.0))
+    es32 = _seg_ssq("embedding", 17, F.lit(16), es16)
+    es64 = _seg_ssq("embedding", 33, tail, es32)
+
+    def _cos(dot: Column, qs: Column, es: Column) -> Column:
+        return dot / F.nullif(F.sqrt(qs) * F.sqrt(es), F.lit(0.0))
+
+    legs = F.explode(
+        F.array(
+            F.struct(
+                F.lit(16).cast("int").alias("n_dims"),
+                _cos(d16, qs16, es16).alias("cos"),
+            ),
+            F.struct(
+                F.lit(32).cast("int").alias("n_dims"),
+                _cos(d32, qs32, es32).alias("cos"),
+            ),
+            F.struct(
+                F.lit(64).cast("int").alias("n_dims"),
+                _cos(d64, qs64, es64).alias("cos"),
+            ),
         )
-        tr = _top10(S.brute_force_topk(emb_d, q_d, k=11, salt_buckets=32))
-        h = (
-            q.select("query_id")
-            .join(
-                exact.join(tr, ["query_id", "vec_id"])
-                .groupBy("query_id")
-                .agg(F.count(F.lit(1)).alias("_h")),
-                "query_id",
-                "left",
-            )
-            .select(
-                F.lit(d).cast("int").alias("n_dims"),
-                "query_id",
-                F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hit"),
-            )
+    )
+    # Self-matches dropped BEFORE ranking: top-10 of the non-self
+    # candidates is the same set the old k=11-then-drop-self pass
+    # kept (self either occupied one of the 11 slots or none).
+    scored = (
+        ensure_parallelism(emb)
+        .join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", legs.alias("_leg"))
+        .select(
+            F.col("_leg.n_dims").alias("n_dims"),
+            "query_id",
+            "vec_id",
+            F.col("_leg.cos").alias("cos"),
         )
-        rows = h if rows is None else rows.unionByName(h)
-    return rows.select(
+    )
+    # One salted two-phase top-k ranks all (width, query) legs; the
+    # 150-row result feeds the truth split AND both hit joins.
+    top = (
+        S.salted_topk(
+            scored,
+            ["n_dims", "query_id"],
+            "vec_id",
+            10,
+            [F.desc("cos"), F.asc("vec_id")],
+            salt_buckets=32,
+        )
+        .select("n_dims", "query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    exact = top.filter(F.col("n_dims") == 64).select("query_id", "vec_id")
+    hits = (
+        top.filter(F.col("n_dims") != 64)
+        .join(F.broadcast(exact), ["query_id", "vec_id"])
+        .groupBy("n_dims", "query_id")
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    grid = q.select(
+        "query_id",
+        F.explode(
+            F.array(F.lit(16).cast("int"), F.lit(32).cast("int"))
+        ).alias("n_dims"),
+    )
+    return grid.join(F.broadcast(hits), ["n_dims", "query_id"], "left").select(
         "n_dims",
         "query_id",
-        "n_hit",
-        F.round(F.col("n_hit") / F.lit(10.0), 6).alias("recall"),
+        F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long") / F.lit(10.0), 6
+        ).alias("recall"),
     )
 
 

@@ -318,6 +318,11 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.xxhash64("gram").alias("gh"))
         .distinct()
+        # Both self-join sides read this subtree; without the
+        # checkpoint the tokenize+shingle+distinct pipeline executes
+        # twice (the broadcast side's BroadcastExchange blocks
+        # exchange reuse — r13 plan audit).
+        .localCheckpoint(eager=False)
     )
     a = sg.select(F.col("source").alias("source_a"), "gh")
     b = sg.select(F.col("source").alias("source_b"), "gh")
@@ -2152,8 +2157,14 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     feats = hashed_doc_features(docs).localCheckpoint(eager=False)
     labels = docs.select("doc_id", (F.col("source") == "src0").alias("pos"))
-    model = nb_linear_classifier(feats, labels)
-    return score_documents(feats, model).join(
+    # Trusted closed-form path (model fresh from nb_linear_classifier
+    # in the same lineage): validate=False skips the swap-point
+    # driver collect that a per-run query path pays on every
+    # execution (r13; the operator docstring's documented contract).
+    # The checkpoint keeps the <=256-row model single-computed for
+    # its two reads (weight join + bias row).
+    model = nb_linear_classifier(feats, labels).localCheckpoint(eager=False)
+    return score_documents(feats, model, validate=False).join(
         docs.select("doc_id", "source"), "doc_id"
     )
 
@@ -2363,7 +2374,11 @@ def eval_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.select("doc_id", "text", "source").unionByName(planted)
     feats = hashed_doc_features(corpus).localCheckpoint(eager=False)
     labels = corpus.select("doc_id", (F.col("source") == "src0").alias("pos"))
-    sc = score_documents(feats, nb_linear_classifier(feats, labels)).join(
+    # validate=False: trusted closed-form path, no per-run swap-point
+    # driver collect (r13); lazy checkpoint single-computes the
+    # <=256-row model for its two reads.
+    model = nb_linear_classifier(feats, labels).localCheckpoint(eager=False)
+    sc = score_documents(feats, model, validate=False).join(
         corpus.select("doc_id", "source"), "doc_id"
     )
     cand = sc.filter(F.col("source") != "src0").select(
@@ -2528,8 +2543,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         split3(hash_coin(F.col("doc_id"))).alias("naive_split"),
         split3(hash_coin(F.col("canonical_id"))).alias("cluster_split"),
-        # Read three times (doc rollup + both pair sides).
-    ).localCheckpoint(eager=False)
+    )
     docs_agg = lab.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(
@@ -2543,25 +2557,38 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("train_frac_cluster"),
     )
-    la = lab.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("naive_split").alias("na"),
-        F.col("cluster_split").alias("ca"),
+    # The pair-side split labels are pure functions of the member id
+    # (hash_coin) and its canonical id — and every pair member is in
+    # cc by construction (pairs built the edge list). So the leak
+    # counts need only the TINY cc label table joined twice, not two
+    # joins against the all-docs lab table (r13: the old shape
+    # shuffled every doc's labels through two SortMergeJoins to
+    # decorate ~5% of docs' pairs; same values, pair-scale bytes).
+    cca = cc.select(
+        F.col("node").alias("id_a"), F.col("component").alias("comp_a")
     )
-    lb = lab.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("naive_split").alias("nb"),
-        F.col("cluster_split").alias("cb"),
+    ccb = cc.select(
+        F.col("node").alias("id_b"), F.col("component").alias("comp_b")
     )
     pair_agg = (
-        pairs.join(la, "id_a")
-        .join(lb, "id_b")
+        pairs.join(cca, "id_a")
+        .join(ccb, "id_b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.sum((F.col("na") != F.col("nb")).cast("int"))
+            F.sum(
+                (
+                    split3(hash_coin(F.col("id_a")))
+                    != split3(hash_coin(F.col("id_b")))
+                ).cast("int")
+            )
             .cast("long")
             .alias("leaked_naive"),
-            F.sum((F.col("ca") != F.col("cb")).cast("int"))
+            F.sum(
+                (
+                    split3(hash_coin(F.col("comp_a")))
+                    != split3(hash_coin(F.col("comp_b")))
+                ).cast("int")
+            )
             .cast("long")
             .alias("leaked_cluster"),
         )
