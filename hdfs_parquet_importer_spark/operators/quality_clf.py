@@ -39,24 +39,34 @@ from pyspark.sql import functions as F
 N_BUCKETS = 256  # md5 2-hex-char prefix — keep in sync with the SQL twin
 
 
-def hashed_doc_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, b, n): per-document hashed-unigram bucket counts —
-    the classifier's fixed-width feature vectors (<=256 entries per
-    doc). One tokenize pass, ONE aggregation: the bucket is computed
-    per exploded token and grouped directly on (doc_id, b) — the
-    intermediate (doc_id, term, n) grouping was a second full
+def hashed_doc_features(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *carry, b, n): per-document hashed-unigram bucket
+    counts — the classifier's fixed-width feature vectors (<=256
+    entries per doc). One tokenize pass, ONE aggregation: the bucket
+    is computed per exploded token and grouped directly on (doc_id, b)
+    — the intermediate (doc_id, term, n) grouping was a second full
     shuffle+agg whose term granularity no consumer of this table
     reads (r13; the sum over terms of a bucket equals the direct
     occurrence count, so values are identical). Map-side partial
     aggregation reduces each task to <=256 rows per doc before the
-    exchange."""
+    exchange.
+
+    ``carry`` names per-document columns (functions of doc_id — e.g.
+    ``source``) to keep on the output rows: grouping additionally on a
+    column the id determines yields the IDENTICAL (doc_id, b, n) rows
+    plus the carried value, and spares every consumer a join back to
+    the doc table for it (r13, guide §2.4 remove shuffles outright)."""
     from hdfs_parquet_importer_spark.operators.tokenize import doc_tokens
 
-    tok = doc_tokens(docs).select(
-        "doc_id", F.explode("tokens").alias("term")
+    tok = doc_tokens(docs, carry=carry).select(
+        "doc_id", *carry, F.explode("tokens").alias("term")
     )
     return tok.groupBy(
-        "doc_id", F.substring(F.md5("term"), 1, 2).alias("b")
+        "doc_id",
+        *[F.col(c) for c in carry],
+        F.substring(F.md5("term"), 1, 2).alias("b"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
@@ -99,18 +109,33 @@ def dsir_log_weights(doc_b: DataFrame, target) -> DataFrame:
     )
 
 
-def nb_linear_classifier(feats: DataFrame, labels: DataFrame) -> DataFrame:
+def nb_linear_classifier(
+    feats: DataFrame, labels: DataFrame, pos_col=None
+) -> DataFrame:
     """Train the NB log-count-ratio linear model in one pass.
 
     ``labels`` is (doc_id, pos: boolean). Returns a single broadcast-
     sized DataFrame: 256 rows of (b, w) CROSS JOINed with the 1-row
     bias — i.e. (b, w, bias) — so scoring rides one broadcast weight
     join plus a 1-row bias broadcast. V is the count of buckets
-    PRESENT in the corpus (matches the DSIR smoothing convention)."""
-    fl = feats.join(labels, "doc_id")
+    PRESENT in the corpus (matches the DSIR smoothing convention).
+
+    ``pos_col`` (r13): a boolean Column evaluable directly on
+    ``feats`` (e.g. over a carried ``source`` column from
+    :func:`hashed_doc_features`). When given, the per-bucket
+    aggregation skips the (feats x labels) doc_id join entirely —
+    labels cover every doc, so the inner join kept all feats rows and
+    the bucket sums are integer-identical either way. ``labels`` is
+    still required: the bias counts DOCUMENTS (including zero-token
+    docs that have no feature rows), which feats cannot provide."""
+    if pos_col is None:
+        fl = feats.join(labels, "doc_id")
+        pos_col = F.col("pos")
+    else:
+        fl = feats
     agg = fl.groupBy("b").agg(
-        F.sum(F.when(F.col("pos"), F.col("n")).otherwise(0)).alias("pn"),
-        F.sum(F.when(F.col("pos"), 0).otherwise(F.col("n"))).alias("nn"),
+        F.sum(F.when(pos_col, F.col("n")).otherwise(0)).alias("pn"),
+        F.sum(F.when(pos_col, 0).otherwise(F.col("n"))).alias("nn"),
     )
     tots = agg.agg(
         F.sum("pn").alias("pt"),
@@ -138,9 +163,18 @@ def nb_linear_classifier(feats: DataFrame, labels: DataFrame) -> DataFrame:
 
 
 def score_documents(
-    feats: DataFrame, model: DataFrame, validate: bool = True
+    feats: DataFrame,
+    model: DataFrame,
+    validate: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, n_tokens, margin, prob). ``margin`` is the
+    """(doc_id, *carry, n_tokens, margin, prob). ``carry`` (r13)
+    propagates per-document columns already riding ``feats`` (see
+    :func:`hashed_doc_features`) through the doc-level aggregate —
+    grouping additionally on a column doc_id determines leaves the
+    groups (and the float sum order within each group's partition
+    set) unchanged while sparing the caller a join back to the doc
+    table. ``margin`` is the
     mean-pooled dot product (sum_b n_b w_b)/n_tokens — the model's
     evidence relative to the class prior (margin > 0 means the doc
     looks more curated-than-prior regardless of class imbalance,
@@ -196,7 +230,7 @@ def score_documents(
     bias_1row = model.agg(F.max("bias").alias("bias"))
     return (
         feats.join(F.broadcast(model.select("b", "w")), "b", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *[F.col(c) for c in carry])
         .agg(
             F.sum("n").alias("n_tokens"),
             margin.alias("margin"),
@@ -204,6 +238,7 @@ def score_documents(
         .crossJoin(F.broadcast(bias_1row))  # 1-row broadcast
         .select(
             "doc_id",
+            *carry,
             "n_tokens",
             "margin",
             (

@@ -41,13 +41,20 @@ from hdfs_parquet_importer_spark.operators import dedup as D
 
 
 def doc_tokens(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, tokens array<string>) — ONE normalize+split per document,
-    empty tokens dropped. Order-preserving: n-gram consumers slice
-    this array."""
+    """(id, *carry, tokens array<string>) — ONE normalize+split per
+    document, empty tokens dropped. Order-preserving: n-gram consumers
+    slice this array. ``carry`` names per-document columns kept on the
+    output row so downstream aggregates can group on them instead of
+    joining them back by id (r13, guide §2.4: a carried column that is
+    a function of the id adds zero groups and removes a shuffle)."""
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.filter(D.tokens(F.col(text_col)), lambda w: w != "").alias(
             "tokens"
         ),

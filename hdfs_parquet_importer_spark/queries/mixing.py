@@ -1870,7 +1870,6 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    src = docs.select("doc_id", "source")
     # One tokenize pass; the hashed-bucket projection collapses the
     # vocab dimension immediately after (256 features), so everything
     # downstream is either 256-row (broadcast) or per-doc-bounded.
@@ -1878,11 +1877,11 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .hashed_doc_features — DSIR and the NB classifier must score
     # over the SAME feature space, and a single definition makes that
     # equivalence structural instead of two copies that must stay
-    # byte-identical (r10 review).
-    doc_b = (
-        hashed_doc_features(docs)
-        .join(src, "doc_id")
-        .localCheckpoint(eager=False)
+    # byte-identical (r10 review). r13 second pass: `source` rides the
+    # aggregation as a carried column instead of a join back
+    # (guide §2.4; identical integer bucket counts).
+    doc_b = hashed_doc_features(docs, carry=("source",)).localCheckpoint(
+        eager=False
     )
     # Weight table via the SHARED operators/quality_clf
     # .dsir_log_weights (r13: eval_dsir_recall measures this exact
@@ -1896,7 +1895,11 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (
         doc_b.filter(F.col("source") != "src0")
         .join(F.broadcast(w), "b")
-        .groupBy("doc_id")
+        # Grouping on the carried `source` too: doc_id determines it,
+        # so the groups — and the float sum order within each group —
+        # are unchanged, and the former join back for the source
+        # column disappears (r13 second pass).
+        .groupBy("doc_id", "source")
         .agg(
             F.round(F.sum(F.col("n") * F.col("w")) / F.sum("n"), 6).alias(
                 "logw"
@@ -1905,8 +1908,7 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sc.join(src, "doc_id")
-        .select("doc_id", "source", "n_tokens", "logw")
+        sc.select("doc_id", "source", "n_tokens", "logw")
         .orderBy(F.desc("logw"), "doc_id")
         .limit(20)
     )
@@ -2155,7 +2157,16 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    feats = hashed_doc_features(docs).localCheckpoint(eager=False)
+    # r13 second pass: `source` rides the feature aggregation as a
+    # carried per-doc column, so BOTH former doc_id joins — labels
+    # into training, source back onto scores — vanish (guide §2.4).
+    # Bucket sums and model weights are integer-derived and identical;
+    # labels is still passed for the bias (it counts ALL docs,
+    # including zero-token ones feats cannot see) but costs only a
+    # one-column scan, never a join.
+    feats = hashed_doc_features(docs, carry=("source",)).localCheckpoint(
+        eager=False
+    )
     labels = docs.select("doc_id", (F.col("source") == "src0").alias("pos"))
     # Trusted closed-form path (model fresh from nb_linear_classifier
     # in the same lineage): validate=False skips the swap-point
@@ -2163,10 +2174,10 @@ def _clf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # execution (r13; the operator docstring's documented contract).
     # The checkpoint keeps the <=256-row model single-computed for
     # its two reads (weight join + bias row).
-    model = nb_linear_classifier(feats, labels).localCheckpoint(eager=False)
-    return score_documents(feats, model, validate=False).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
+    model = nb_linear_classifier(
+        feats, labels, pos_col=F.col("source") == "src0"
+    ).localCheckpoint(eager=False)
+    return score_documents(feats, model, validate=False, carry=("source",))
 
 
 @register(
@@ -2372,15 +2383,20 @@ def eval_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("planted").alias("source"),
     )
     corpus = docs.select("doc_id", "text", "source").unionByName(planted)
-    feats = hashed_doc_features(corpus).localCheckpoint(eager=False)
+    # r13 second pass: carry `source` through the feature aggregation
+    # — the labels join into training and the source join onto scores
+    # both vanish (guide §2.4; _clf_scored rationale).
+    feats = hashed_doc_features(corpus, carry=("source",)).localCheckpoint(
+        eager=False
+    )
     labels = corpus.select("doc_id", (F.col("source") == "src0").alias("pos"))
     # validate=False: trusted closed-form path, no per-run swap-point
     # driver collect (r13); lazy checkpoint single-computes the
     # <=256-row model for its two reads.
-    model = nb_linear_classifier(feats, labels).localCheckpoint(eager=False)
-    sc = score_documents(feats, model, validate=False).join(
-        corpus.select("doc_id", "source"), "doc_id"
-    )
+    model = nb_linear_classifier(
+        feats, labels, pos_col=F.col("source") == "src0"
+    ).localCheckpoint(eager=False)
+    sc = score_documents(feats, model, validate=False, carry=("source",))
     cand = sc.filter(F.col("source") != "src0").select(
         (F.col("source") == "planted").alias("planted"),
         (F.round("margin", 6) <= 0).alias("rejected"),
