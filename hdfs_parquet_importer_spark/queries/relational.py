@@ -1938,7 +1938,11 @@ def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-file scan) is unsplittable no matter the thresholds. At
     # 100 TB the scan yields thousands of mappers naturally;
     # ensure_parallelism recreates that precondition at test scale.
-    ev = ensure_parallelism(load_table(spark, sf_dir, "events")).select(
+    # Project to (user_id, value) BEFORE the spread — the props map
+    # and the other event columns never feed this query (guide §2.3).
+    ev = ensure_parallelism(
+        load_table(spark, sf_dir, "events").select("user_id", "value")
+    ).select(
         F.when((F.col("user_id") % 10) < 7, F.lit(0))
         .otherwise(F.col("user_id"))
         .cast("long")
