@@ -241,8 +241,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge+closure legs (both self-join sides and the closure
     # semi-join); without materialization the 2-join/4-exchange
     # orientation subtree ran three times (plan before/after in
-    # plans/r13/). Checkpoint once, same rationale as `edges` above.
-    oriented = oriented_edges(edges, deg=deg).localCheckpoint(eager=False)
+    # plans/r13/). Checkpoint once, same rationale as `edges` above —
+    # and hash it by the wedge key first, so the wedge self-join reads
+    # two identically-partitioned sides and plans ZERO exchanges of
+    # its own (guide §2.4; measured 3.03 -> 2.34 s for the triangle
+    # leg at sf0.1, identical count).
+    oriented = (
+        oriented_edges(edges, deg=deg)
+        .repartition("a")
+        .localCheckpoint(eager=False)
+    )
     n_tri = triangles_of_oriented(oriented).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
