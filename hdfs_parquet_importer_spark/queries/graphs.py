@@ -526,7 +526,15 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = []
     cur = edges
     for r in range(1, _KCORE_ROUNDS + 1):
-        deg = _degrees(cur).filter(F.col("deg") >= _KCORE_K).select("node")
+        # Three consumers per round (both restriction joins + the
+        # n_nodes count) — materialize the survivor set once instead
+        # of re-running the degree aggregate per reader (r13).
+        deg = (
+            _degrees(cur)
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         na = deg.select(F.col("node").alias("u"))
         nb = deg.select(F.col("node").alias("v"))
         cur = cur.join(na, "u").join(nb, "v")
