@@ -431,6 +431,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # wedge join, the anti-join, degrees) — same materialization
     # rationale as graph_triangle_count.
     edges = _co_activity_edges(ev).localCheckpoint(eager=False)
+    # (r13 note: pre-hashing nbr by the wedge key — the triangle/LPA
+    # pattern — measured slightly WORSE here: with no loop to
+    # amortize it, the added repartition exchange costs what the
+    # self-join exchange saves. Left as-is deliberately.)
     nbr = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nb")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nb")))
@@ -443,7 +447,8 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("common_nb"))
     )
     non_adj = cn.join(edges, ["u", "v"], "left_anti")
-    deg = _degrees(edges)
+    # Read twice (deg_u and deg_v sides) — one degree pass, not two.
+    deg = _degrees(edges).localCheckpoint(eager=False)
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     return (
