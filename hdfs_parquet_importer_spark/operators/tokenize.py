@@ -62,18 +62,23 @@ def doc_tokens(
 
 
 def doc_term_counts(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, term, n) term-frequency table — the shared unigram
+    """(id, *carry, term, n) term-frequency table — the shared unigram
     intermediate. One tokenize pass, one explode, one partial-agg
     shuffle keyed (id, term); everything unigram derives from this
     without re-reading text (module docstring). The explode happens
     AFTER the projection to (id, tokens), so the scan ships only the
-    two columns."""
-    tok = doc_tokens(docs, id_col, text_col).select(
-        id_col, F.explode("tokens").alias("term")
+    needed columns. ``carry`` rides per-document columns through the
+    aggregation (see :func:`doc_tokens`) so consumers skip a join back
+    by id — a column the id determines adds zero groups."""
+    tok = doc_tokens(docs, id_col, text_col, carry=carry).select(
+        id_col, *carry, F.explode("tokens").alias("term")
     )
-    return tok.groupBy(id_col, "term").agg(
+    return tok.groupBy(id_col, *[F.col(c) for c in carry], "term").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
 

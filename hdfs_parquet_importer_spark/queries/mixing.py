@@ -1442,13 +1442,20 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (operators/tokenize.py); materialized once, it feeds BOTH the
     # vocab-bounded corpus tf (a re-aggregation, not a corpus pass)
     # and the per-doc scoring join.
-    doc_tf = doc_term_counts(docs).localCheckpoint(eager=False)
+    # r13 second pass: `source` rides the tokenize aggregation and the
+    # scoring groupBy as a carried per-doc column (guide §2.4), so the
+    # former docs join under the final rollup disappears. corpus tf is
+    # a groupBy(term) re-aggregation — the extra column changes
+    # nothing there.
+    doc_tf = doc_term_counts(docs, carry=("source",)).localCheckpoint(
+        eager=False
+    )
     tf = corpus_term_counts(doc_tf)
     tot = tf.agg(F.sum("c").cast("double").alias("ntot"))
     pd = (
         doc_tf.join(tf, "term")
         .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(
             F.round(
                 F.sum(-F.col("n") * F.log2(F.col("c") / F.col("ntot")))
@@ -1481,13 +1488,9 @@ def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("b") == 2, "middle")
         .otherwise("tail")
     )
-    return (
-        bucketed.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source", lab.alias("bucket"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("bits"), 4).alias("avg_bits"),
-        )
+    return bucketed.groupBy("source", lab.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("bits"), 4).alias("avg_bits"),
     )
 
 
