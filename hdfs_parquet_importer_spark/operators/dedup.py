@@ -68,6 +68,19 @@ def exact_dedup(df: DataFrame, key: Column, id_col: str) -> DataFrame:
 
 
 
+def content_pair_hash_cols(
+    text_col: Column, marker: str = " dup"
+) -> tuple[Column, Column]:
+    """The (kd, ks) planted-copy hash Column pair — the ONE definition
+    :func:`content_pair_hashes` persists and that fused single-scan
+    callers (eval_dsir_recall r14) project alongside their own
+    columns; both hashes are 8-byte longs (string-key rule)."""
+    return (
+        F.xxhash64(text_col),
+        F.xxhash64(F.concat(text_col, F.lit(marker))),
+    )
+
+
 def content_pair_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     marker: str = " dup",
@@ -78,10 +91,9 @@ def content_pair_hashes(
     pairs. The old per-query form projected each hash in its own
     select, so the parquet text column was scanned twice per query
     (r13); both hashes are 8-byte longs (string-key rule)."""
+    kd, ks = content_pair_hash_cols(F.col(text_col), marker)
     return docs.select(
-        F.col(id_col),
-        F.xxhash64(F.col(text_col)).alias("kd"),
-        F.xxhash64(F.concat(F.col(text_col), F.lit(marker))).alias("ks"),
+        F.col(id_col), kd.alias("kd"), ks.alias("ks")
     ).localCheckpoint(eager=False)
 
 

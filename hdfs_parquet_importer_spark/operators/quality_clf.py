@@ -40,7 +40,9 @@ N_BUCKETS = 256  # md5 2-hex-char prefix — keep in sync with the SQL twin
 
 
 def hashed_doc_features(
-    docs: DataFrame, carry: tuple[str, ...] = ()
+    docs: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, *carry, b, n): per-document hashed-unigram bucket
     counts — the classifier's fixed-width feature vectors (<=256
@@ -57,10 +59,22 @@ def hashed_doc_features(
     ``source``) to keep on the output rows: grouping additionally on a
     column the id determines yields the IDENTICAL (doc_id, b, n) rows
     plus the carried value, and spares every consumer a join back to
-    the doc table for it (r13, guide §2.4 remove shuffles outright)."""
+    the doc table for it (r13, guide §2.4 remove shuffles outright).
+
+    ``tokens_df`` (r14): a pre-built :func:`~hdfs_parquet_importer_
+    spark.operators.tokenize.doc_tokens`-shaped frame (doc_id, *carry,
+    tokens) to derive the features from instead of tokenizing
+    ``docs`` — the tokenize-once-upstream contract (tokenize.py module
+    docstring): a caller that also needs other text-derived columns
+    (eval_dsir_recall's planted-pair hashes) materializes ONE scan and
+    feeds every consumer from it. Zero-token docs still vanish from
+    the feature rows (explode, not explode_outer) exactly as on the
+    ``docs`` path."""
     from hdfs_parquet_importer_spark.operators.tokenize import doc_tokens
 
-    tok = doc_tokens(docs, carry=carry).select(
+    if tokens_df is None:
+        tokens_df = doc_tokens(docs, carry=carry)
+    tok = tokens_df.select(
         "doc_id", *carry, F.explode("tokens").alias("term")
     )
     return tok.groupBy(

@@ -42,6 +42,14 @@ def record_loop_leg(label: str, df: DataFrame) -> None:
     )
 
 
+def loop_leg_capture_active() -> bool:
+    """True inside a :func:`capture_loop_legs` context — operators
+    with a size-gated local strategy (connected_components r14) force
+    their distributed loop under capture so the plan-audit gates keep
+    seeing the iterated joins."""
+    return _LOOP_LEGS is not None
+
+
 @contextmanager
 def capture_loop_legs():
     """Enable loop-leg capture; yields {label: [formatted plans]}."""

@@ -2018,19 +2018,31 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed_doc_features,
     )
 
+    from hdfs_parquet_importer_spark.operators.tokenize import doc_tokens
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # Planted curated set: docs that are ' dup' copies of another doc
     # — the pair join shuffles 8-byte xxhash64 longs (string-key
     # rule), never text. Even ids train the weights, odd ids are the
-    # held-out truth. r13: BOTH hashes come from one projection over
-    # one text scan (content_pair_hashes; the old two-sided form
-    # scanned the parquet text column twice); the self-join then
-    # reads the persisted 24-byte rows twice.
-    hashes = D.content_pair_hashes(docs)
+    # held-out truth. r14 (VERDICT r13 item 3): ONE text scan for the
+    # whole query — the pair hashes ride the SAME projection that
+    # tokenizes (the tokenize-once-upstream contract, tokenize.py
+    # module docstring), and both the hash self-join and the feature
+    # aggregation read the persisted (doc_id, kd, ks, tokens) rows
+    # instead of each re-reading the parquet text column. Zero-token
+    # docs stay visible to the hash side (the projection is per-doc,
+    # no explode above the checkpoint — the documented hazard that
+    # blocked this fusion in r13), and still vanish from the feature
+    # rows exactly as before (hashed_doc_features explodes below).
+    kd, ks = D.content_pair_hash_cols(F.col("text"))
+    base = doc_tokens(
+        docs.select("doc_id", "text", kd.alias("kd"), ks.alias("ks")),
+        carry=("kd", "ks"),
+    ).localCheckpoint(eager=False)
     dupdocs = (
-        hashes.select("doc_id", F.col("kd").alias("kk"))
+        base.select("doc_id", F.col("kd").alias("kk"))
         .join(
-            hashes.select(
+            base.select(
                 F.col("doc_id").alias("src_id"), F.col("ks").alias("kk")
             ),
             "kk",
@@ -2047,7 +2059,7 @@ def eval_dsir_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = dupdocs.filter(F.col("doc_id") % 2 == 1)
     doc_b = (
-        hashed_doc_features(docs)
+        hashed_doc_features(tokens_df=base.select("doc_id", "tokens"))
         .join(F.broadcast(tgtdocs), "doc_id", "left")
         .withColumn("is_tgt", F.coalesce("is_tgt", F.lit(False)))
         .localCheckpoint(eager=False)

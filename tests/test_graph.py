@@ -283,3 +283,52 @@ def test_cc_converges_exactly_at_max_iter(spark):
 
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(chain, max_iter=0)
+
+
+def test_cc_driver_and_distributed_strategies_agree(spark):
+    """r14: connected_components picks a driver-local strategy for
+    size-gated graphs (the broadcast-join analogy). Both strategies
+    must produce identical labelings, identical schemas, and the
+    identical max_iter/raise contract."""
+    import pytest
+
+    edges = (
+        [(i, i + 1) for i in range(9)]          # chain
+        + [(100, 101), (101, 102), (100, 102)]  # triangle
+        + [(50, 60)]                            # isolated pair
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local_df = connected_components(df)
+    dist_df = connected_components(df, driver_max_sym_rows=0)
+    assert [f.dataType for f in local_df.schema.fields] == [
+        f.dataType for f in dist_df.schema.fields
+    ]
+    local = {(r.node, r.component) for r in local_df.collect()}
+    dist = {(r.node, r.component) for r in dist_df.collect()}
+    assert local == dist
+
+    # String node ids (the fuzzy_name_clusters shape) agree too.
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    assert {
+        (r.node, r.component) for r in connected_components(sdf).collect()
+    } == {
+        (r.node, r.component)
+        for r in connected_components(sdf, driver_max_sym_rows=0).collect()
+    } == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+    # The convergence contract is strategy-independent: a 31-node
+    # chain converges in exactly 4 propagate+jump rounds on BOTH
+    # paths, and exceeding the budget raises on both.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["id_a", "id_b"]
+    )
+    for kw in ({}, {"driver_max_sym_rows": 0}):
+        got = {
+            (r.node, r.component)
+            for r in connected_components(chain, max_iter=4, **kw).collect()
+        }
+        assert got == {(i, 0) for i in range(31)}
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(chain, max_iter=3, **kw)

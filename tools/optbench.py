@@ -1,8 +1,8 @@
-"""Optimization-round harness (r13): time query subsets under the
+"""Optimization-round harness (r13/r14): time query subsets under the
 bench.py methodology (1 untimed warmup, then median of RUNS timed
 full plan-build+execute+collect cycles, per-execution unpersist) and
 optionally dump each query's ``explain("formatted")`` to
-``plans/r13/<name>_<tag>.txt`` so plan claims in OPTIMIZATION_r13.md
+``plans/<dir>/<name>_<tag>.txt`` (default r14) so plan claims in OPTIMIZATION_r13.md
 are checkable without running Spark.
 
 Usage:
@@ -37,6 +37,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--plans", default=None, help="dump plans with this tag")
+    ap.add_argument("--plans-dir", default="r14", help="plans/<dir>/ to write into")
     ap.add_argument("--runs", type=int, default=max(3, bench.RUNS))
     ap.add_argument("--all", action="store_true", help="every headline query")
     ap.add_argument("names", nargs="*")
@@ -63,7 +64,7 @@ def main() -> int:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        args.plans_dir,
     )
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
