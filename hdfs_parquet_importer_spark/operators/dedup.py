@@ -243,17 +243,37 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     normalizes whole texts) rather than lowering ``shingle_n``.
     """
     df = ensure_parallelism(df)
-    sig = minhash_signature(df, id_col, text_col, num_perm, shingle_n)
-    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
-    # Materialized once: the verify join reads this table TWICE (id_a
-    # and id_b sides) and Spark does not dedupe common subplans — the
-    # pure-lazy form re-tokenizes and re-shingles the corpus once per
-    # side (same contract as tfidf_weights' tf checkpoint).
+    # r14 (guide §1.2 first-principles / §2.3): ONE text scan + ONE
+    # tokenize/shingle pass for the whole operator. The checkpointed
+    # shingle-set table feeds BOTH the signature explode and the
+    # verify join; before, the signatures came from their own scan
+    # (minhash_signature re-tokenized + re-shingled the corpus).
+    # Same explode + groupBy-min signature computation as before —
+    # identical values from identical shingle sets, only the SOURCE
+    # changes (checkpointed arrays instead of a second parquet scan).
+    # A shuffle-free per-row variant (32x array_min(transform(...)))
+    # was measured 3.5x SLOWER here (dedup_minhash_lsh 1.44 -> 5.10 s
+    # same-window): each transform materializes a permuted copy of
+    # the shingle array per row, and that allocation dwarfs the small
+    # post-partial-agg exchange it saved. Explode form kept.
     sets_df = df.select(
         F.col(id_col).alias("_sid"), tokens(F.col(text_col)).alias("_t")
     ).select(
         "_sid", shingles_of_tokens(F.col("_t"), shingle_n).alias("_sset")
     ).localCheckpoint(eager=False)
+    sh = sets_df.select(
+        F.col("_sid").alias(id_col), F.explode("_sset").alias("sh")
+    ).select(
+        id_col, F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE)).alias("h")
+    )
+    key = ("minhash_sig", num_perm)
+    if key not in _EXPR_CACHE:
+        _EXPR_CACHE[key] = [
+            F.min(_permute(F.col("h"), i)).alias(f"sig_{i}")
+            for i in range(num_perm)
+        ]
+    sig = sh.groupBy(id_col).agg(*_EXPR_CACHE[key])
+    cand = lsh_candidate_pairs(sig, id_col, num_perm, bands)
     verified = (
         cand.join(sets_df.withColumnRenamed("_sid", "id_a")
                          .withColumnRenamed("_sset", "set_a"), "id_a")

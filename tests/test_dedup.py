@@ -62,6 +62,31 @@ def test_empty_text_shingles(spark):
     assert rows[1]["s"] == []
 
 
+def test_minhash_zero_shingle_docs_never_pair(spark):
+    """The r14 one-scan rewrite derives signatures from the SAME
+    checkpointed shingle-set table as the verify join; the subtle
+    contract it must preserve is that zero-shingle docs (< shingle_n
+    tokens) are ABSENT from the signature table (the explode drops
+    them) and therefore never become candidates — even verbatim
+    duplicates (the operator's documented SCOPE)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta"),  # 2 tokens < shingle_n=3 -> no shingles
+            (2, "alpha beta"),  # verbatim dup of 1, still no shingles
+            (3, "one two three four five"),
+            (4, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(
+            df, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert pairs == {(3, 4)}
+
+
 def test_minhash_finds_planted_near_dup(spark, docs):
     pairs = D.minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.5, shingle_n=2
